@@ -1,0 +1,302 @@
+"""Filter-bank primitives: non-decimating, decimate-by-2 and interpolate-by-2
+column/row filtering with symmetric-reflect ("repeat end samples") boundary
+handling.
+
+Behavioral parity surface: ``/root/reference/dtcwt/numpy/lowlevel.py``
+(colfilter :47-80, coldfilt :82-154, colifilt :156-260).  The implementation
+is a fresh polyphase derivation designed for XLA/TPU:
+
+* Shapes and filters are static at trace time, so the reference's
+  data-dependent branches (``sum(ha*hb) > 0`` output-parity tests at
+  lowlevel.py:143-148 and :212-217, and the ``m/2`` parity split at :205) all
+  resolve to Python-level constants here and emit straight-line code.
+* The dual-filter ops are expressed as even/odd *phase splits* of the
+  symmetrically extended signal followed by small stride-1/2 valid
+  correlations — no strided scatter, no transposes: every op works along an
+  arbitrary axis of an arbitrarily batched array, so 2-D/3-D transforms and
+  ``vmap`` batches share one code path.
+
+Closed forms (derived from the reference index algebra, verified bit-exactly
+against it in ``tests/test_fb_vs_reference.py``):
+
+Let ``ext`` be the input extended by ``n`` samples each side with repeated
+end samples, ``r`` the input length, ``m = len(ha)`` (even), ``m2 = m//2``.
+
+``colfilter`` (ext width ``m//2``)::
+
+    Y[i] = sum_k rev(h)[k] * ext[i + k]            # len r (odd m) / r+1 (even)
+
+``coldfilt`` (ext width ``m``; E/O = even/odd phase of ext)::
+
+    Ya[i] = sum_k rev(ha)[k] * E[2i + 1 + k]       # i in [0, r//4)
+    Yb[i] = sum_k rev(hb)[k] * O[2i + 1 + k]
+    Y     = interleave2(Ya, Yb)  (order given by sign of sum(ha*hb))
+
+``colifilt`` (ext width ``m2``; EV/OD = phases of ext holding even/odd
+*extended* indices, i.e. ``ext[m2%2::2]`` / ``ext[(m2+1)%2::2]``)::
+
+    m2 even, sum(ha*hb)>0:
+        Y[4i+0] = corr(EV, rev(ha[1::2]))[i]
+        Y[4i+1] = corr(OD, rev(hb[1::2]))[i]
+        Y[4i+2] = corr(EV, rev(ha[0::2]))[i+1]
+        Y[4i+3] = corr(OD, rev(hb[0::2]))[i+1]
+    m2 odd,  sum(ha*hb)>0:
+        Y[4i+0] = corr(EV, rev(ha[0::2]))[i]
+        Y[4i+1] = corr(OD, rev(hb[0::2]))[i+1]
+        Y[4i+2] = corr(EV, rev(ha[1::2]))[i]
+        Y[4i+3] = corr(OD, rev(hb[1::2]))[i+1]
+    sum(ha*hb)<0: swap the EV/OD roles between the a- and b-tree rows.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from dtcwt_tpu.utils import reflect
+
+__all__ = [
+    "colfilter", "rowfilter", "coldfilt", "rowdfilt", "colifilt", "rowifilt",
+    "filter_axis", "dfilt_axis", "ifilt_axis", "symmetric_extend",
+]
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _as_taps(h) -> np.ndarray:
+    """Normalize a filter to a flat float64 numpy vector (static)."""
+    h = np.asarray(h, dtype=np.float64).reshape(-1)
+    if h.size == 0:
+        raise ValueError("Empty filter")
+    return h
+
+
+def _norm_axis(axis: int, ndim: int) -> int:
+    axis = axis if axis >= 0 else axis + ndim
+    if not 0 <= axis < ndim:
+        raise ValueError("axis out of range")
+    return axis
+
+
+def _asfloat(x):
+    x = jnp.asarray(x)
+    if not jnp.issubdtype(x.dtype, jnp.inexact):
+        x = x.astype(jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    return x
+
+
+def symmetric_extend(x, n: int, axis: int):
+    """Extend *x* by *n* samples each side of *axis* using symmetric
+    reflection with repeated end samples ([c b a | a b c ... x y z | z y x])."""
+    axis = _norm_axis(axis, x.ndim)
+    if n == 0:
+        return x
+    r = x.shape[axis]
+    if n <= r:
+        front = lax.rev(lax.slice_in_dim(x, 0, n, axis=axis), (axis,))
+        back = lax.rev(lax.slice_in_dim(x, r - n, r, axis=axis), (axis,))
+        return jnp.concatenate([front, x, back], axis=axis)
+    # Rare case (filter support longer than the signal): full reflect gather.
+    xe = reflect(np.arange(-n, r + n, dtype=np.float64), -0.5, r - 0.5)
+    return jnp.take(x, xe.astype(np.int64), axis=axis)
+
+
+def _corr(buf, taps: Sequence[float], n_out: int, axis: int,
+          offset: int = 0, stride: int = 1):
+    """Valid correlation: ``Y[i] = sum_k taps[k] * buf[stride*i + offset + k]``
+    along *axis*, unrolled over the (static, small) tap count so XLA fuses it
+    into a single vectorized pass."""
+    rdt = jnp.real(buf).dtype if jnp.issubdtype(buf.dtype, jnp.complexfloating) else buf.dtype
+    acc = None
+    for k, t in enumerate(taps):
+        lo = offset + k
+        hi = lo + stride * (n_out - 1) + 1
+        sl = lax.slice_in_dim(buf, lo, hi, stride=stride, axis=axis)
+        term = sl * jnp.asarray(t, dtype=rdt)
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _interleave(parts, axis: int):
+    """Interleave k same-shape arrays along *axis*: out[k*i + q] = parts[q][i]."""
+    axis = _norm_axis(axis, parts[0].ndim)
+    stacked = jnp.stack(parts, axis=axis + 1)
+    shape = list(parts[0].shape)
+    shape[axis] = shape[axis] * len(parts)
+    return stacked.reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+def _filter_impl(x, h: np.ndarray, axis: int):
+    x = _asfloat(x)
+    axis = _norm_axis(axis, x.ndim)
+    m = h.size
+    m2 = m // 2
+    r = x.shape[axis]
+    ext = symmetric_extend(x, m2, axis)
+    n_out = r + 2 * m2 - m + 1
+    return _corr(ext, h[::-1], n_out, axis)
+
+
+@functools.lru_cache(maxsize=None)
+def _filter_jit(hbytes: bytes, axis: int):
+    h = np.frombuffer(hbytes, dtype=np.float64)
+    return jax.jit(functools.partial(_filter_impl, h=h, axis=axis))
+
+
+def filter_axis(x, h, axis: int):
+    """Non-decimating filter along *axis* with symmetric edge extension.
+
+    Output length equals the input length for odd-length *h* and input
+    length + 1 for even-length *h* (reference: ``numpy/lowlevel.py:47-80``).
+    """
+    h = _as_taps(h)
+    return _filter_jit(h.tobytes(), axis)(x)
+
+
+def _dfilt_impl(x, ha: np.ndarray, hb: np.ndarray, axis: int):
+    x = _asfloat(x)
+    axis = _norm_axis(axis, x.ndim)
+    r = x.shape[axis]
+    m = ha.size
+    ext = symmetric_extend(x, m, axis)          # length r + 2m
+    even = lax.slice_in_dim(ext, 0, None, stride=2, axis=axis)
+    odd = lax.slice_in_dim(ext, 1, None, stride=2, axis=axis)
+    n4 = r // 4
+    ya = _corr(even, ha[::-1], n4, axis, offset=1, stride=2)
+    yb = _corr(odd, hb[::-1], n4, axis, offset=1, stride=2)
+    if float(np.sum(ha * hb)) > 0:
+        return _interleave((ya, yb), axis)
+    return _interleave((yb, ya), axis)
+
+
+@functools.lru_cache(maxsize=None)
+def _dfilt_jit(habytes: bytes, hbbytes: bytes, axis: int):
+    ha = np.frombuffer(habytes, dtype=np.float64)
+    hb = np.frombuffer(hbbytes, dtype=np.float64)
+    return jax.jit(functools.partial(_dfilt_impl, ha=ha, hb=hb, axis=axis))
+
+
+def dfilt_axis(x, ha, hb, axis: int):
+    """Dual-tree decimate-by-2 filter along *axis*.
+
+    *ha* operates on one polyphase branch and *hb* on the other; outputs are
+    interleaved with parity chosen by the (static) sign of ``sum(ha*hb)``.
+    Requires the axis length to be a multiple of 4 and even-length filters
+    (reference: ``numpy/lowlevel.py:82-154``).
+    """
+    ha, hb = _as_taps(ha), _as_taps(hb)
+    r = jnp.shape(x)[axis]
+    if r % 4 != 0:
+        raise ValueError("Length of axis %d must be a multiple of 4" % axis)
+    if ha.shape != hb.shape:
+        raise ValueError("Shapes of ha and hb must be the same")
+    if ha.size % 2 != 0:
+        raise ValueError("Lengths of ha and hb must be even")
+    return _dfilt_jit(ha.tobytes(), hb.tobytes(), axis)(x)
+
+
+def _ifilt_impl(x, ha: np.ndarray, hb: np.ndarray, axis: int):
+    x = _asfloat(x)
+    axis = _norm_axis(axis, x.ndim)
+    r = x.shape[axis]
+    m = ha.size
+    m2 = m // 2
+
+    ext = symmetric_extend(x, m2, axis)         # length r + 2*m2
+    # Phases holding even / odd *extended* indices e = p - m2:
+    ev = lax.slice_in_dim(ext, m2 % 2, None, stride=2, axis=axis)
+    od = lax.slice_in_dim(ext, (m2 + 1) % 2, None, stride=2, axis=axis)
+
+    ha_e, ha_o = ha[0::2][::-1], ha[1::2][::-1]   # reversed even/odd-index taps
+    hb_e, hb_o = hb[0::2][::-1], hb[1::2][::-1]
+    n2 = r // 2
+    pos = float(np.sum(ha * hb)) > 0
+
+    if m2 % 2 == 0:
+        if pos:
+            rows = (_corr(ev, ha_o, n2, axis, 0), _corr(od, hb_o, n2, axis, 0),
+                    _corr(ev, ha_e, n2, axis, 1), _corr(od, hb_e, n2, axis, 1))
+        else:
+            rows = (_corr(od, ha_o, n2, axis, 0), _corr(ev, hb_o, n2, axis, 0),
+                    _corr(od, ha_e, n2, axis, 1), _corr(ev, hb_e, n2, axis, 1))
+    else:
+        if pos:
+            rows = (_corr(ev, ha_e, n2, axis, 0), _corr(od, hb_e, n2, axis, 1),
+                    _corr(ev, ha_o, n2, axis, 0), _corr(od, hb_o, n2, axis, 1))
+        else:
+            rows = (_corr(od, ha_e, n2, axis, 1), _corr(ev, hb_e, n2, axis, 0),
+                    _corr(od, ha_o, n2, axis, 1), _corr(ev, hb_o, n2, axis, 0))
+    return _interleave(rows, axis)
+
+
+@functools.lru_cache(maxsize=None)
+def _ifilt_jit(habytes: bytes, hbbytes: bytes, axis: int):
+    ha = np.frombuffer(habytes, dtype=np.float64)
+    hb = np.frombuffer(hbbytes, dtype=np.float64)
+    return jax.jit(functools.partial(_ifilt_impl, ha=ha, hb=hb, axis=axis))
+
+
+def ifilt_axis(x, ha, hb, axis: int):
+    """Dual-tree interpolate-by-2 filter along *axis* (output is twice the
+    input length).  Requires even axis length and even-length filters
+    (reference: ``numpy/lowlevel.py:156-260``)."""
+    ha, hb = _as_taps(ha), _as_taps(hb)
+    r = jnp.shape(x)[axis]
+    if r % 2 != 0:
+        raise ValueError("Length of axis %d must be a multiple of 2" % axis)
+    if ha.shape != hb.shape:
+        raise ValueError("Shapes of ha and hb must be the same")
+    if ha.size % 2 != 0:
+        raise ValueError("Lengths of ha and hb must be even")
+    return _ifilt_jit(ha.tobytes(), hb.tobytes(), axis)(x)
+
+
+# ---------------------------------------------------------------------------
+# column/row aliases (column = second-to-last axis, row = last axis)
+# ---------------------------------------------------------------------------
+
+def _col_axis(x):
+    """Reference layout: 1-D signals are columns, so for 1-D/2-D inputs the
+    filter axis is 0; batched [..., H, W] inputs filter axis -2."""
+    return 0 if jnp.ndim(x) <= 2 else -2
+
+
+def colfilter(X, h):
+    """Filter image columns with *h*, no decimation."""
+    return filter_axis(X, h, _col_axis(X))
+
+
+def rowfilter(X, h):
+    """Filter image rows with *h*, no decimation."""
+    return filter_axis(X, h, -1)
+
+
+def coldfilt(X, ha, hb):
+    """Decimate-by-2 dual filter on image columns."""
+    return dfilt_axis(X, ha, hb, _col_axis(X))
+
+
+def rowdfilt(X, ha, hb):
+    """Decimate-by-2 dual filter on image rows."""
+    return dfilt_axis(X, ha, hb, -1)
+
+
+def colifilt(X, ha, hb):
+    """Interpolate-by-2 dual filter on image columns."""
+    return ifilt_axis(X, ha, hb, _col_axis(X))
+
+
+def rowifilt(X, ha, hb):
+    """Interpolate-by-2 dual filter on image rows."""
+    return ifilt_axis(X, ha, hb, -1)

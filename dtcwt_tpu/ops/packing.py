@@ -1,0 +1,84 @@
+"""Quad <-> complex subband packing for the DTCWT.
+
+Behavioral parity surface: ``/root/reference/dtcwt/numpy/transform2d.py``
+(q2c :301-322, c2q :324-350) and ``transform1d.py`` (interleaved packing
+:88,:101, c2q1d :186-196).  Written for batched ``[..., H, W]`` arrays; the
+strided quad shuffles are expressed as slice + stack/reshape so XLA folds
+them into the surrounding filter fusions instead of emitting gathers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+__all__ = ["q2c", "c2q", "q2c1d", "c2q1d", "interleave_axis"]
+
+_SQRT_HALF = np.sqrt(0.5)
+
+
+def _complex_dtype(real_dtype):
+    return jnp.complex64 if real_dtype == jnp.float32 else jnp.complex128
+
+
+def interleave_axis(parts, axis: int):
+    """Interleave same-shape arrays along *axis*: out[k*i+q] = parts[q][i]."""
+    axis = axis if axis >= 0 else axis + parts[0].ndim
+    stacked = jnp.stack(parts, axis=axis + 1)
+    shape = list(parts[0].shape)
+    shape[axis] *= len(parts)
+    return stacked.reshape(shape)
+
+
+def q2c(y):
+    """Convert a real quad-sampled highpass image into the two complex
+    subbands of the dual tree.
+
+    The four corners of each 2x2 quad (a b / c d) combine as
+    ``p = (a + jb)/sqrt(2)``, ``q = (d - jc)/sqrt(2)``; the two oriented
+    subbands are ``p - q`` and ``p + q`` (reference:
+    ``numpy/transform2d.py:301-322``).  Accepts ``[..., H, W]``, returns a
+    pair of ``[..., H/2, W/2]`` complex arrays.
+    """
+    a = y[..., 0::2, 0::2]
+    b = y[..., 0::2, 1::2]
+    c = y[..., 1::2, 0::2]
+    d = y[..., 1::2, 1::2]
+    sc = jnp.asarray(_SQRT_HALF, y.dtype)
+    j = jnp.asarray(1j, _complex_dtype(y.dtype))
+    p = a * sc + j * (b * sc)
+    q = d * sc - j * (c * sc)
+    return p - q, p + q
+
+
+def c2q(w0, w1, g0=1.0, g1=1.0):
+    """Inverse of :func:`q2c`: scale the two complex subbands by (g0, g1)
+    and reassemble the real quad image of twice the height and width
+    (reference: ``numpy/transform2d.py:324-350``)."""
+    rdt = jnp.real(w0).dtype
+    s0 = jnp.asarray(g0, rdt) * jnp.asarray(_SQRT_HALF, rdt)
+    s1 = jnp.asarray(g1, rdt) * jnp.asarray(_SQRT_HALF, rdt)
+    p = w0 * s0 + w1 * s1
+    q = w0 * s0 - w1 * s1
+    # quads: rows (a b) from p, rows (c d) from q.imag/-q.real
+    top = interleave_axis((jnp.real(p), jnp.imag(p)), axis=-1)
+    bot = interleave_axis((jnp.imag(q), -jnp.real(q)), axis=-1)
+    return interleave_axis((top, bot), axis=-2)
+
+
+def q2c1d(y, axis: int = 0):
+    """Pack alternating samples along *axis* into complex values:
+    ``z[i] = y[2i] + j*y[2i+1]`` (reference: ``transform1d.py:88``)."""
+    axis = axis if axis >= 0 else axis + y.ndim
+    idx_even = [slice(None)] * y.ndim
+    idx_odd = [slice(None)] * y.ndim
+    idx_even[axis] = slice(0, None, 2)
+    idx_odd[axis] = slice(1, None, 2)
+    j = jnp.asarray(1j, _complex_dtype(y.dtype))
+    return y[tuple(idx_even)] + j * y[tuple(idx_odd)]
+
+
+def c2q1d(z, axis: int = 0):
+    """Inverse of :func:`q2c1d`: interleave real and imaginary parts along
+    *axis* (reference: ``transform1d.py:186-196``)."""
+    return interleave_axis((jnp.real(z), jnp.imag(z)), axis=axis)

@@ -1,0 +1,248 @@
+"""2-D dual-tree complex wavelet transform (forward + inverse).
+
+Behavioral parity surface: ``/root/reference/dtcwt/numpy/transform2d.py``
+(forward :40-188, inverse :190-295) including the bandpass (rotationally
+symmetric) wavelet variants, odd-size edge duplication (:84-94), per-level
+multiple-of-4 padding (:134-140) and the inverse-side crop rule (:262-268).
+
+TPU-first design notes:
+
+* One functional code path, compiled with ``jax.jit``; works on a single
+  ``[H, W]`` image or arbitrarily batched ``[..., H, W]`` stacks with no
+  layout gymnastics (the reference's transpose-to-reuse-column-filters trick
+  is replaced by axis-parameterised filter primitives).
+* All shape logic (odd-size extension, per-level padding, inverse cropping)
+  runs at trace time: filters are static constants, so the compiled graph is
+  straight-line code per (shape, nlevels) configuration.
+* Levels are unrolled in Python: each level has a different static shape, and
+  there are at most ~log2(min(H,W)) of them.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dtcwt_tpu.coeffs import biort as _biort, qshift as _qshift
+from dtcwt_tpu.ops import fb
+from dtcwt_tpu.ops.packing import q2c, c2q
+from dtcwt_tpu.transforms.pyramid import Pyramid
+
+__all__ = ["Transform2d", "DEFAULT_BIORT", "DEFAULT_QSHIFT"]
+
+DEFAULT_BIORT = "near_sym_a"
+DEFAULT_QSHIFT = "qshift_a"
+
+
+def _flat(v) -> np.ndarray:
+    return np.asarray(v, dtype=np.float64).reshape(-1)
+
+
+def normalize_biort(biort) -> Tuple[np.ndarray, ...]:
+    """Accept a named family or an explicit (h0o, g0o, h1o, g1o[, h2o, g2o])
+    tuple; return flat float64 numpy vectors."""
+    if isinstance(biort, str):
+        biort = _biort(biort)
+    biort = tuple(_flat(v) for v in biort)
+    if len(biort) not in (4, 6):
+        raise ValueError("Biort wavelet must have 6 or 4 components.")
+    return biort
+
+
+def normalize_qshift(qshift) -> Tuple[np.ndarray, ...]:
+    """Accept a named family or an explicit 8/12-tuple of qshift filters;
+    return flat float64 numpy vectors."""
+    if isinstance(qshift, str):
+        qshift = _qshift(qshift)
+    qshift = tuple(_flat(v) for v in qshift)
+    if len(qshift) not in (8, 12):
+        raise ValueError("Qshift wavelet must have 12 or 8 components.")
+    return qshift
+
+
+def _dup_edge(x, axis: int):
+    """Duplicate the trailing sample along *axis* (odd-size fixup)."""
+    last = jax.lax.slice_in_dim(x, x.shape[axis] - 1, x.shape[axis], axis=axis)
+    return jnp.concatenate([x, last], axis=axis)
+
+
+def _pad_multiple4(x, axis: int):
+    """Replicate the first and last samples along *axis* (pre-level pad)."""
+    first = jax.lax.slice_in_dim(x, 0, 1, axis=axis)
+    last = jax.lax.slice_in_dim(x, x.shape[axis] - 1, x.shape[axis], axis=axis)
+    return jnp.concatenate([first, x, last], axis=axis)
+
+
+def _gains(gain_mask, band0: int, band1: int, level: int):
+    if gain_mask is None:
+        return 1.0, 1.0
+    return gain_mask[band0, level], gain_mask[band1, level]
+
+
+class Transform2d:
+    """An n-level 2-D DTCWT parameterised by *biort* (level-1) and *qshift*
+    (level>=2) wavelets — named families or explicit coefficient tuples."""
+
+    def __init__(self, biort=DEFAULT_BIORT, qshift=DEFAULT_QSHIFT):
+        self.biort = normalize_biort(biort)
+        self.qshift = normalize_qshift(qshift)
+        self._fwd = jax.jit(self._forward_impl,
+                            static_argnames=("nlevels", "include_scale"))
+        self._inv = jax.jit(self._inverse_impl)
+
+    # ------------------------------------------------------------------
+    # forward
+    # ------------------------------------------------------------------
+    def forward(self, X, nlevels: int = 3, include_scale: bool = False) -> Pyramid:
+        """Forward transform of a ``[..., H, W]`` real array into a
+        :class:`Pyramid` with 6 oriented complex subbands per level.
+
+        Odd-sized inputs are extended by duplicating the bottom row and/or
+        rightmost column before decomposition (reference semantics,
+        ``numpy/transform2d.py:84-94``).
+        """
+        X = jnp.asarray(X)
+        if X.ndim < 2:
+            raise ValueError("Transform2d.forward needs at least a 2-D input")
+        return self._fwd(X, nlevels=nlevels, include_scale=include_scale)
+
+    def _forward_impl(self, X, *, nlevels: int, include_scale: bool) -> Pyramid:
+        b = self.biort
+        h0o, h1o = b[0], b[2]
+        h2o = b[4] if len(b) == 6 else None
+        q = self.qshift
+        h0a, h0b, h1a, h1b = q[0], q[1], q[4], q[5]
+        h2a, h2b = (q[8], q[9]) if len(q) == 12 else (None, None)
+
+        if not jnp.issubdtype(X.dtype, jnp.inexact):
+            X = X.astype(jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+
+        if X.shape[-2] % 2 != 0:
+            X = _dup_edge(X, -2)
+        if X.shape[-1] % 2 != 0:
+            X = _dup_edge(X, -1)
+
+        if nlevels == 0:
+            return Pyramid(X, (), () if include_scale else None)
+
+        Yh = []
+        Yscale = []
+
+        # Level 1: odd (biort) filters, no decimation before the quad pack.
+        lo = fb.filter_axis(X, h0o, -2)
+        hi = fb.filter_axis(X, h1o, -2)
+        lolo = fb.filter_axis(lo, h0o, -1)
+        band05 = q2c(fb.filter_axis(hi, h0o, -1))
+        band23 = q2c(fb.filter_axis(lo, h1o, -1))
+        if h2o is not None:
+            ba = fb.filter_axis(X, h2o, -2)
+            band14 = q2c(fb.filter_axis(ba, h2o, -1))
+        else:
+            band14 = q2c(fb.filter_axis(hi, h1o, -1))
+        Yh.append(jnp.stack([band05[0], band14[0], band23[0],
+                             band23[1], band14[1], band05[1]], axis=-1))
+        if include_scale:
+            Yscale.append(lolo)
+
+        # Levels >= 2: quarter-shift (even) filters, decimating by 2.
+        for _level in range(1, nlevels):
+            if lolo.shape[-2] % 4 != 0:
+                lolo = _pad_multiple4(lolo, -2)
+            if lolo.shape[-1] % 4 != 0:
+                lolo = _pad_multiple4(lolo, -1)
+            lo = fb.dfilt_axis(lolo, h0b, h0a, -2)
+            hi = fb.dfilt_axis(lolo, h1b, h1a, -2)
+            if h2b is not None:
+                ba = fb.dfilt_axis(lolo, h2b, h2a, -2)
+            lolo = fb.dfilt_axis(lo, h0b, h0a, -1)
+            band05 = q2c(fb.dfilt_axis(hi, h0b, h0a, -1))
+            band23 = q2c(fb.dfilt_axis(lo, h1b, h1a, -1))
+            if h2b is not None:
+                band14 = q2c(fb.dfilt_axis(ba, h2b, h2a, -1))
+            else:
+                band14 = q2c(fb.dfilt_axis(hi, h1b, h1a, -1))
+            Yh.append(jnp.stack([band05[0], band14[0], band23[0],
+                                 band23[1], band14[1], band05[1]], axis=-1))
+            if include_scale:
+                Yscale.append(lolo)
+
+        return Pyramid(lolo, tuple(Yh), tuple(Yscale) if include_scale else None)
+
+    # ------------------------------------------------------------------
+    # inverse
+    # ------------------------------------------------------------------
+    def inverse(self, pyramid: Pyramid, gain_mask=None):
+        """Inverse transform.  *gain_mask* is an optional ``(6, nlevels)``
+        array of per-subband gains (reference: ``transform2d.py:190-295``)."""
+        if gain_mask is None:
+            return self._inv(pyramid, None)
+        return self._inv(pyramid, jnp.asarray(gain_mask))
+
+    def _inverse_impl(self, pyramid: Pyramid, gain_mask):
+        b = self.biort
+        g0o, g1o = b[1], b[3]
+        g2o = b[5] if len(b) == 6 else None
+        q = self.qshift
+        g0a, g0b, g1a, g1b = q[2], q[3], q[6], q[7]
+        g2a, g2b = (q[10], q[11]) if len(q) == 12 else (None, None)
+
+        Yh = pyramid.highpasses
+        Z = jnp.asarray(pyramid.lowpass)
+        nlevels = len(Yh)
+
+        for level in range(nlevels - 1, 0, -1):
+            g_lh = _gains(gain_mask, 0, 5, level)
+            g_hl = _gains(gain_mask, 2, 3, level)
+            g_hh = _gains(gain_mask, 1, 4, level)
+            yh = Yh[level]
+            lh = c2q(yh[..., 0], yh[..., 5], *g_lh)
+            hl = c2q(yh[..., 2], yh[..., 3], *g_hl)
+            hh = c2q(yh[..., 1], yh[..., 4], *g_hh)
+
+            y1 = fb.ifilt_axis(Z, g0b, g0a, -2) + fb.ifilt_axis(lh, g1b, g1a, -2)
+            if g2b is not None:
+                y2 = fb.ifilt_axis(hl, g0b, g0a, -2)
+                y2bp = fb.ifilt_axis(hh, g2b, g2a, -2)
+                Z = (fb.ifilt_axis(y1, g0b, g0a, -1)
+                     + fb.ifilt_axis(y2, g1b, g1a, -1)
+                     + fb.ifilt_axis(y2bp, g2b, g2a, -1))
+            else:
+                y2 = fb.ifilt_axis(hl, g0b, g0a, -2) + fb.ifilt_axis(hh, g1b, g1a, -2)
+                Z = fb.ifilt_axis(y1, g0b, g0a, -1) + fb.ifilt_axis(y2, g1b, g1a, -1)
+
+            # Crop rows/cols that exist only because the forward pass padded
+            # this level to a multiple of 4 (reference: :262-271).
+            want = tuple(2 * s for s in Yh[level - 1].shape[-3:-1])
+            if Z.shape[-2] != want[0]:
+                Z = Z[..., 1:-1, :]
+            if Z.shape[-1] != want[1]:
+                Z = Z[..., :, 1:-1]
+            if Z.shape[-2:] != want:
+                raise ValueError("Sizes of highpasses are not valid for the"
+                                 " inverse transform")
+
+        if nlevels >= 1:
+            g_lh = _gains(gain_mask, 0, 5, 0)
+            g_hl = _gains(gain_mask, 2, 3, 0)
+            g_hh = _gains(gain_mask, 1, 4, 0)
+            yh = Yh[0]
+            lh = c2q(yh[..., 0], yh[..., 5], *g_lh)
+            hl = c2q(yh[..., 2], yh[..., 3], *g_hl)
+            hh = c2q(yh[..., 1], yh[..., 4], *g_hh)
+
+            y1 = fb.filter_axis(Z, g0o, -2) + fb.filter_axis(lh, g1o, -2)
+            if g2o is not None:
+                y2 = fb.filter_axis(hl, g0o, -2)
+                y2bp = fb.filter_axis(hh, g2o, -2)
+                Z = (fb.filter_axis(y1, g0o, -1)
+                     + fb.filter_axis(y2, g1o, -1)
+                     + fb.filter_axis(y2bp, g2o, -1))
+            else:
+                y2 = fb.filter_axis(hl, g0o, -2) + fb.filter_axis(hh, g1o, -2)
+                Z = fb.filter_axis(y1, g0o, -1) + fb.filter_axis(y2, g1o, -1)
+
+        return Z
