@@ -167,14 +167,33 @@ def filter_axis(x, h, axis: int):
 def _dfilt_impl(x, ha: np.ndarray, hb: np.ndarray, axis: int):
     x = _asfloat(x)
     axis = _norm_axis(axis, x.ndim)
+    # TPU: per-tap stride-2 access along the minor (lane) axis is ~40x slower
+    # than along sublanes; route the last axis through a transpose instead.
+    # The optimization_barriers stop XLA from fusing the transpose back into
+    # the strided polyphase ops (which reintroduces the slow access pattern).
+    if x.ndim >= 2 and axis == x.ndim - 1:
+        xt = lax.optimization_barrier(jnp.swapaxes(x, -1, -2))
+        y = lax.optimization_barrier(_dfilt_impl(xt, ha, hb, x.ndim - 2))
+        return jnp.swapaxes(y, -1, -2)
     r = x.shape[axis]
     m = ha.size
-    ext = symmetric_extend(x, m, axis)          # length r + 2m
-    even = lax.slice_in_dim(ext, 0, None, stride=2, axis=axis)
-    odd = lax.slice_in_dim(ext, 1, None, stride=2, axis=axis)
+    ext = symmetric_extend(x, m, axis)          # length r + 2m (mult. of 4)
+    # Quarter-phase decomposition: with E[n]=ext[2n], O[n]=ext[2n+1],
+    #   Ya[i] = sum_k rev(ha)[k] E[2i+1+k],  Yb[i] = sum_k rev(hb)[k] O[2i+1+k]
+    # splitting the tap index k by parity turns every per-tap slice into a
+    # CONTIGUOUS slice of a quarter-phase stream Q_p[n] = ext[4n+p]:
+    #   Ya[i] = sum_u rev(ha)[2u] Q2[i+u] + sum_u rev(ha)[2u+1] Q0[i+u+1]
+    #   Yb[i] = sum_u rev(hb)[2u] Q3[i+u] + sum_u rev(hb)[2u+1] Q1[i+u+1]
+    # (XLA/TPU lowers stride-2 per-tap slices to gathers ~20x slower than
+    # contiguous shifts; the four stride-4 phase extractions happen once.)
+    quarters = [lax.slice_in_dim(ext, p, None, stride=4, axis=axis)
+                for p in range(4)]
     n4 = r // 4
-    ya = _corr(even, ha[::-1], n4, axis, offset=1, stride=2)
-    yb = _corr(odd, hb[::-1], n4, axis, offset=1, stride=2)
+    har, hbr = ha[::-1], hb[::-1]
+    ya = (_corr(quarters[2], har[0::2], n4, axis, offset=0)
+          + _corr(quarters[0], har[1::2], n4, axis, offset=1))
+    yb = (_corr(quarters[3], hbr[0::2], n4, axis, offset=0)
+          + _corr(quarters[1], hbr[1::2], n4, axis, offset=1))
     if float(np.sum(ha * hb)) > 0:
         return _interleave((ya, yb), axis)
     return _interleave((yb, ya), axis)
@@ -209,6 +228,11 @@ def dfilt_axis(x, ha, hb, axis: int):
 def _ifilt_impl(x, ha: np.ndarray, hb: np.ndarray, axis: int):
     x = _asfloat(x)
     axis = _norm_axis(axis, x.ndim)
+    # See _dfilt_impl: keep the strided polyphase work on the sublane axis.
+    if x.ndim >= 2 and axis == x.ndim - 1:
+        xt = lax.optimization_barrier(jnp.swapaxes(x, -1, -2))
+        y = lax.optimization_barrier(_ifilt_impl(xt, ha, hb, x.ndim - 2))
+        return jnp.swapaxes(y, -1, -2)
     r = x.shape[axis]
     m = ha.size
     m2 = m // 2

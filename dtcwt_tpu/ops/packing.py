@@ -40,10 +40,15 @@ def q2c(y):
     ``numpy/transform2d.py:301-322``).  Accepts ``[..., H, W]``, returns a
     pair of ``[..., H/2, W/2]`` complex arrays.
     """
-    a = y[..., 0::2, 0::2]
-    b = y[..., 0::2, 1::2]
-    c = y[..., 1::2, 0::2]
-    d = y[..., 1::2, 1::2]
+    # Split one axis at a time: XLA/TPU lowers single-axis stride-2 slices to
+    # fast tiled copies, while compound two-axis strided slices become
+    # gathers (~50x slower at 4096^2, measured on v5e).
+    ev = y[..., 0::2, :]
+    od = y[..., 1::2, :]
+    a = ev[..., 0::2]
+    b = ev[..., 1::2]
+    c = od[..., 0::2]
+    d = od[..., 1::2]
     sc = jnp.asarray(_SQRT_HALF, y.dtype)
     j = jnp.asarray(1j, _complex_dtype(y.dtype))
     p = a * sc + j * (b * sc)
