@@ -63,6 +63,7 @@ from dtcwt_tpu.utils import reflect
 __all__ = [
     "colfilter", "rowfilter", "coldfilt", "rowdfilt", "colifilt", "rowifilt",
     "filter_axis", "dfilt_axis", "ifilt_axis", "symmetric_extend",
+    "filter_from_ext", "dfilt_from_ext", "ifilt_from_ext",
 ]
 
 
@@ -137,15 +138,22 @@ def _interleave(parts, axis: int):
 # primitives
 # ---------------------------------------------------------------------------
 
+def filter_from_ext(ext, h, axis: int):
+    """:func:`filter_axis` on an already-extended buffer (extension width
+    ``len(h)//2`` each side of *axis*) — the building block shared by the
+    single-device path and the halo-exchanged sharded path."""
+    h = _as_taps(h)
+    axis = _norm_axis(axis, jnp.ndim(ext))
+    m = h.size
+    n_out = ext.shape[axis] - m + 1
+    return _corr(ext, h[::-1], n_out, axis)
+
+
 def _filter_impl(x, h: np.ndarray, axis: int):
     x = _asfloat(x)
     axis = _norm_axis(axis, x.ndim)
-    m = h.size
-    m2 = m // 2
-    r = x.shape[axis]
-    ext = symmetric_extend(x, m2, axis)
-    n_out = r + 2 * m2 - m + 1
-    return _corr(ext, h[::-1], n_out, axis)
+    ext = symmetric_extend(x, h.size // 2, axis)
+    return filter_from_ext(ext, h, axis)
 
 
 @functools.lru_cache(maxsize=None)
@@ -175,9 +183,17 @@ def _dfilt_impl(x, ha: np.ndarray, hb: np.ndarray, axis: int):
         xt = lax.optimization_barrier(jnp.swapaxes(x, -1, -2))
         y = lax.optimization_barrier(_dfilt_impl(xt, ha, hb, x.ndim - 2))
         return jnp.swapaxes(y, -1, -2)
-    r = x.shape[axis]
+    ext = symmetric_extend(x, ha.size, axis)    # width m each side
+    return dfilt_from_ext(ext, ha, hb, axis)
+
+
+def dfilt_from_ext(ext, ha, hb, axis: int):
+    """:func:`dfilt_axis` on an already-extended buffer (extension width
+    ``len(ha)`` each side; extended length must be a multiple of 4)."""
+    ha, hb = _as_taps(ha), _as_taps(hb)
+    axis = _norm_axis(axis, jnp.ndim(ext))
     m = ha.size
-    ext = symmetric_extend(x, m, axis)          # length r + 2m (mult. of 4)
+    r = ext.shape[axis] - 2 * m
     # Quarter-phase decomposition: with E[n]=ext[2n], O[n]=ext[2n+1],
     #   Ya[i] = sum_k rev(ha)[k] E[2i+1+k],  Yb[i] = sum_k rev(hb)[k] O[2i+1+k]
     # splitting the tap index k by parity turns every per-tap slice into a
@@ -233,11 +249,18 @@ def _ifilt_impl(x, ha: np.ndarray, hb: np.ndarray, axis: int):
         xt = lax.optimization_barrier(jnp.swapaxes(x, -1, -2))
         y = lax.optimization_barrier(_ifilt_impl(xt, ha, hb, x.ndim - 2))
         return jnp.swapaxes(y, -1, -2)
-    r = x.shape[axis]
+    ext = symmetric_extend(x, ha.size // 2, axis)
+    return ifilt_from_ext(ext, ha, hb, axis)
+
+
+def ifilt_from_ext(ext, ha, hb, axis: int):
+    """:func:`ifilt_axis` on an already-extended buffer (extension width
+    ``len(ha)//2`` each side of *axis*)."""
+    ha, hb = _as_taps(ha), _as_taps(hb)
+    axis = _norm_axis(axis, jnp.ndim(ext))
     m = ha.size
     m2 = m // 2
-
-    ext = symmetric_extend(x, m2, axis)         # length r + 2*m2
+    r = ext.shape[axis] - 2 * m2
     # Phases holding even / odd *extended* indices e = p - m2:
     ev = lax.slice_in_dim(ext, m2 % 2, None, stride=2, axis=axis)
     od = lax.slice_in_dim(ext, (m2 + 1) % 2, None, stride=2, axis=axis)

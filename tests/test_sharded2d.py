@@ -1,0 +1,80 @@
+"""Sharded 2-D transform == single-device transform, on a virtual 8-device
+CPU mesh (2 data x 4 rows).  This is the multi-chip correctness lever called
+for in SURVEY.md §4 ("shard_map tests on a mesh of fake devices, asserting
+halo-exchange parity with the single-device path")."""
+
+import numpy as np
+import pytest
+import jax
+
+from dtcwt_tpu import Transform2d
+from dtcwt_tpu.parallel import ShardedTransform2d, make_mesh
+
+RNG = np.random.RandomState(3)
+
+
+def _mesh(data=2, rows=4):
+    devs = jax.devices()
+    assert len(devs) >= data * rows
+    return make_mesh((data, rows), ("data", "rows"), devs[:data * rows])
+
+
+@pytest.mark.parametrize("biort,qshift", [
+    ("near_sym_a", "qshift_a"),
+    ("near_sym_b_bp", "qshift_b_bp"),
+])
+def test_sharded_forward_matches_single(biort, qshift):
+    mesh = _mesh()
+    X = RNG.randn(4, 256, 128)
+    st = ShardedTransform2d(mesh, biort=biort, qshift=qshift)
+    t = Transform2d(biort=biort, qshift=qshift)
+    ps = st.forward(X, nlevels=3)
+    p = t.forward(X, nlevels=3)
+    np.testing.assert_allclose(np.asarray(ps.lowpass), np.asarray(p.lowpass),
+                               rtol=0, atol=1e-12)
+    for a, b in zip(ps.highpasses, p.highpasses):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-12)
+
+
+def test_sharded_roundtrip():
+    mesh = _mesh()
+    X = RNG.randn(2, 256, 64)
+    st = ShardedTransform2d(mesh)
+    pyr = st.forward(X, nlevels=3)
+    rec = np.asarray(st.inverse(pyr))
+    assert np.abs(rec - X).max() < 1e-12
+
+
+def test_sharded_gather_fallback_on_deep_levels():
+    """With 6 levels on 256 rows the coarse levels can't stay sharded over 4
+    row-shards; the plan gathers and the result still matches exactly."""
+    mesh = _mesh()
+    X = RNG.randn(2, 256, 256)
+    st = ShardedTransform2d(mesh)
+    t = Transform2d()
+    ps = st.forward(X, nlevels=6)
+    p = t.forward(X, nlevels=6)
+    np.testing.assert_allclose(np.asarray(ps.lowpass), np.asarray(p.lowpass),
+                               rtol=0, atol=1e-12)
+    for a, b in zip(ps.highpasses, p.highpasses):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-12)
+    rec = np.asarray(st.inverse(ps))
+    assert np.abs(rec - X).max() < 1e-11
+
+
+def test_sharded_grad_flows():
+    """AD through the sharded forward (the 'training step' shape)."""
+    mesh = _mesh()
+    X = RNG.randn(2, 128, 64).astype(np.float64)
+    st = ShardedTransform2d(mesh)
+
+    def loss(x):
+        p = st._fwd_built(x.shape, x.dtype, 2)(x)
+        return sum(jax.numpy.sum(jax.numpy.abs(h) ** 2)
+                   for h in p.highpasses) + jax.numpy.sum(p.lowpass ** 2)
+
+    g = jax.grad(loss)(jax.numpy.asarray(X))
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).max() > 0
