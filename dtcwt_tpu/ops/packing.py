@@ -12,7 +12,8 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-__all__ = ["q2c", "c2q", "q2c1d", "c2q1d", "interleave_axis"]
+__all__ = ["q2c", "c2q", "q2c1d", "c2q1d", "cube2c", "c2cube",
+           "interleave_axis"]
 
 _SQRT_HALF = np.sqrt(0.5)
 
@@ -69,6 +70,74 @@ def c2q(w0, w1, g0=1.0, g1=1.0):
     top = interleave_axis((jnp.real(p), jnp.imag(p)), axis=-1)
     bot = interleave_axis((jnp.imag(q), -jnp.real(q)), axis=-1)
     return interleave_axis((top, bot), axis=-2)
+
+
+def _split2(y, axis: int):
+    """Even/odd split along one axis (single-axis strided slices only)."""
+    idx_e = [slice(None)] * y.ndim
+    idx_o = [slice(None)] * y.ndim
+    idx_e[axis] = slice(0, None, 2)
+    idx_o[axis] = slice(1, None, 2)
+    return y[tuple(idx_e)], y[tuple(idx_o)]
+
+
+def cube2c(y):
+    """Convert a real octet-sampled 3-D highpass volume ``[..., 2P, 2Q, 2R]``
+    into its four complex directional subbands, each ``[..., P, Q, R]``,
+    stacked on a new trailing axis.
+
+    Implements eqs. (6)-(9) of Chen & Kingsbury, "Efficient Registration of
+    Nonrigid 3-D Bodies", IEEE TIP 21(1), 2012 (reference:
+    ``numpy/transform3d.py:532-579``).  Corner extraction is done one axis at
+    a time (TPU: compound multi-axis strided slices lower to slow gathers).
+    """
+    e0, o0 = _split2(y, y.ndim - 3)
+    e0e1, e0o1 = _split2(e0, y.ndim - 2)
+    o0e1, o0o1 = _split2(o0, y.ndim - 2)
+    A, E = _split2(e0e1, y.ndim - 1)
+    B, F = _split2(e0o1, y.ndim - 1)
+    C, G = _split2(o0e1, y.ndim - 1)
+    D, H = _split2(o0o1, y.ndim - 1)
+
+    half = jnp.asarray(0.5, y.dtype)
+    j = jnp.asarray(1j, _complex_dtype(y.dtype))
+
+    p = (A - G - D - F) * half + j * ((B - H + C + E) * half)
+    q = (A - G + D + F) * half + j * ((-B + H + C + E) * half)
+    r = (A + G + D - F) * half + j * ((B + H - C + E) * half)
+    s = (A + G - D + F) * half + j * ((-B - H - C + E) * half)
+    return jnp.stack([p, q, r, s], axis=-1)
+
+
+def c2cube(z):
+    """Inverse of :func:`cube2c`: four complex subbands ``[..., P, Q, R, 4]``
+    back to the real octet volume ``[..., 2P, 2Q, 2R]`` (reference:
+    ``numpy/transform3d.py:581-619``)."""
+    p, q, r, s = (z[..., i] for i in range(4))
+    pr, pi = jnp.real(p), jnp.imag(p)
+    qr, qi = jnp.real(q), jnp.imag(q)
+    rr, ri = jnp.real(r), jnp.imag(r)
+    sr, si = jnp.real(s), jnp.imag(s)
+
+    half = jnp.asarray(0.5, pr.dtype)
+    # corners indexed (i, j, k) = (dim-3, dim-2, dim-1) parity
+    c000 = (pr + qr + rr + sr) * half
+    c101 = (-pr - qr + rr + sr) * half
+    c110 = (-pr + qr + rr - sr) * half
+    c011 = (-pr + qr - rr + sr) * half
+    c010 = (pi - qi + ri - si) * half
+    c111 = (-pi + qi + ri - si) * half
+    c100 = (pi + qi - ri - si) * half
+    c001 = (pi + qi + ri + si) * half
+
+    # interleave k, then j, then i (single-axis interleaves)
+    c00 = interleave_axis((c000, c001), axis=-1)
+    c01 = interleave_axis((c010, c011), axis=-1)
+    c10 = interleave_axis((c100, c101), axis=-1)
+    c11 = interleave_axis((c110, c111), axis=-1)
+    c0 = interleave_axis((c00, c01), axis=-2)
+    c1 = interleave_axis((c10, c11), axis=-2)
+    return interleave_axis((c0, c1), axis=-3)
 
 
 def q2c1d(y, axis: int = 0):

@@ -1,0 +1,292 @@
+"""3-D dual-tree complex wavelet transform (forward + inverse).
+
+Behavioral parity surface: ``/root/reference/dtcwt/numpy/transform3d.py``
+(forward :37-131, inverse :133-206, _level1_xfm :208-289, _level2_xfm
+:317-383, _level1_ifm :385-440, _level2_ifm :460-526, no-highpass variants
+:291-315/:442-458), including ``ext_mode`` 4/8 divisibility + edge-repeat
+padding, ``discard_level_1`` (28 directional subbands -> 1:1 redundancy) and
+the inverse-side crop rules.
+
+TPU-first redesign: the reference loops over 2-D planes in Python, calling
+column filters per slice (its hottest code path).  Here each level is three
+whole-volume separable axis passes over ``[..., D, H, W]`` (the filter
+primitives are axis-parameterised and batched), so one jit-compiled program
+covers any batch with no Python-level plane loops.  The reference's "work
+array" double-size scratch is dropped: its even-filter padding turns out to
+be vestigial (the padded samples are never consumed by later passes), so the
+transform is a pure separable filter tree plus the octet<->complex packing.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dtcwt_tpu.ops import fb
+from dtcwt_tpu.ops.packing import cube2c, c2cube
+from dtcwt_tpu.transforms.pyramid import Pyramid
+from dtcwt_tpu.transforms.transform2d import (
+    DEFAULT_BIORT, DEFAULT_QSHIFT, normalize_biort, normalize_qshift)
+
+__all__ = ["Transform3d"]
+
+# octant order of the 28 highpass directions (reference transform3d.py:
+# :278-289).  Letters index (dim-2 half, dim-3 half, dim-1 half) as in the
+# reference comment; tuples are (i, j, k) = halves of (dim-3, dim-2, dim-1).
+_OCTANTS = (
+    (0, 1, 0),   # HLL
+    (1, 0, 0),   # LHL
+    (1, 1, 0),   # HHL
+    (0, 0, 1),   # LLH
+    (0, 1, 1),   # HLH
+    (1, 0, 1),   # LHH
+    (1, 1, 1),   # HHH
+)
+
+
+def _repeat_edges(x, axis: int, n: int):
+    """Append *n* copies of the first/last sample at each end of *axis*."""
+    first = jax.lax.slice_in_dim(x, 0, 1, axis=axis)
+    last = jax.lax.slice_in_dim(x, x.shape[axis] - 1, x.shape[axis], axis=axis)
+    parts = [first] * n + [x] + [last] * n
+    return jnp.concatenate(parts, axis=axis)
+
+
+def _crop(x, axis: int, n: int):
+    return jax.lax.slice_in_dim(x, n, x.shape[axis] - n, axis=axis)
+
+
+class Transform3d:
+    """An n-level 3-D DTCWT with 28 directional subbands per level.
+
+    :param ext_mode: 4 or 8 — the divisibility contract / edge-repeat
+        padding mode (see reference docstring, ``transform3d.py:60-67``).
+    """
+
+    def __init__(self, biort=DEFAULT_BIORT, qshift=DEFAULT_QSHIFT,
+                 ext_mode: int = 4):
+        self.biort = normalize_biort(biort)
+        self.qshift = normalize_qshift(qshift)
+        if ext_mode not in (4, 8):
+            raise ValueError("ext_mode must be one of 4 or 8")
+        self.ext_mode = ext_mode
+        self._fwd = jax.jit(self._forward_impl,
+                            static_argnames=("nlevels", "include_scale",
+                                             "discard_level_1"))
+        self._inv = jax.jit(self._inverse_impl)
+
+    # ------------------------------------------------------------------
+    # forward
+    # ------------------------------------------------------------------
+    def forward(self, X, nlevels: int = 3, include_scale: bool = False,
+                discard_level_1: bool = False) -> Pyramid:
+        """Forward transform of a ``[..., D, H, W]`` real volume.  Each
+        highpass level is ``[..., D', H', W', 28]`` complex; with
+        ``discard_level_1`` the first entry is ``None`` (1:1 redundancy)."""
+        X = jnp.asarray(X)
+        if X.ndim < 3:
+            raise ValueError("Transform3d.forward needs at least a 3-D input")
+        div = 2 if self.ext_mode == 4 else 4
+        for d in (-3, -2, -1):
+            if X.shape[d] % div != 0:
+                raise ValueError(
+                    "Input shape should be a multiple of %d in each direction"
+                    " when ext_mode == %d" % (div, self.ext_mode))
+        return self._fwd(X, nlevels=nlevels, include_scale=include_scale,
+                         discard_level_1=discard_level_1)
+
+    def _forward_impl(self, X, *, nlevels, include_scale, discard_level_1):
+        b = self.biort
+        h0o, h1o = b[0], b[2]
+        q = self.qshift
+        h0a, h0b, h1a, h1b = q[0], q[1], q[4], q[5]
+
+        if not jnp.issubdtype(X.dtype, jnp.inexact):
+            X = X.astype(jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+
+        Yl = X
+        Yh = []
+        Yscale = []
+        for level in range(nlevels):
+            if level == 0 and discard_level_1:
+                Yl = self._level1_lowpass_only(Yl, h0o)
+                Yh.append(None)
+            elif level == 0:
+                Yl, hp = self._level1_fwd(Yl, h0o, h1o)
+                Yh.append(hp)
+            else:
+                Yl, hp = self._level2_fwd(Yl, h0a, h0b, h1a, h1b)
+                Yh.append(hp)
+            if include_scale:
+                Yscale.append(Yl)
+        return Pyramid(Yl, tuple(Yh), tuple(Yscale) if include_scale else None)
+
+    @staticmethod
+    def _level1_fwd(X, h0o, h1o):
+        # Separable tree along dims (-1, -2, -3); branch index 0 = lowpass.
+        # (The reference's double-size work array and its even-filter edge
+        # pads are not needed: the padded samples are never consumed.)
+        t2 = [fb.filter_axis(X, h0o, -1), fb.filter_axis(X, h1o, -1)]
+        t21 = [[fb.filter_axis(v, h0o, -2), fb.filter_axis(v, h1o, -2)]
+               for v in t2]
+        oct_ = {}
+        for j in range(2):          # dim -2 half
+            for k in range(2):      # dim -1 half
+                v = t21[k][j]
+                oct_[(0, j, k)] = fb.filter_axis(v, h0o, -3)
+                oct_[(1, j, k)] = fb.filter_axis(v, h1o, -3)
+
+        even = h0o.size % 2 == 0
+        lll = oct_[(0, 0, 0)]
+        if even:
+            # highpass octants drop the extra trailing sample the even-length
+            # filters produce (reference keeps the x-ranges only,
+            # transform3d.py:236-241,278-289); the lowpass keeps it.
+            def trim(v):
+                for ax in (-3, -2, -1):
+                    v = jax.lax.slice_in_dim(v, 0, v.shape[ax] - 1, axis=ax)
+                return v
+        else:
+            def trim(v):
+                return v
+        hp = jnp.concatenate([cube2c(trim(oct_[o])) for o in _OCTANTS],
+                             axis=-1)
+        return lll, hp
+
+    @staticmethod
+    def _level1_lowpass_only(X, h0o):
+        if h0o.size % 2 == 0:
+            raise ValueError("discard_level_1 requires odd-length level-1"
+                             " filters")
+        # reference order: dims 2, 1, 0 (transform3d.py:304-313)
+        out = fb.filter_axis(X, h0o, -1)
+        out = fb.filter_axis(out, h0o, -2)
+        out = fb.filter_axis(out, h0o, -3)
+        return out
+
+    def _level2_fwd(self, X, h0a, h0b, h1a, h1b):
+        div = self.ext_mode
+        rep = 1 if div == 4 else 2
+        for ax in (-3, -2, -1):
+            if X.shape[ax] % div != 0:
+                X = _repeat_edges(X, ax, rep)
+        t2 = [fb.dfilt_axis(X, h0b, h0a, -1), fb.dfilt_axis(X, h1b, h1a, -1)]
+        t21 = [[fb.dfilt_axis(v, h0b, h0a, -2), fb.dfilt_axis(v, h1b, h1a, -2)]
+               for v in t2]
+        oct_ = {}
+        for j in range(2):
+            for k in range(2):
+                v = t21[k][j]
+                oct_[(0, j, k)] = fb.dfilt_axis(v, h0b, h0a, -3)
+                oct_[(1, j, k)] = fb.dfilt_axis(v, h1b, h1a, -3)
+        lll = oct_[(0, 0, 0)]
+        hp = jnp.concatenate([cube2c(oct_[o]) for o in _OCTANTS], axis=-1)
+        return lll, hp
+
+    # ------------------------------------------------------------------
+    # inverse
+    # ------------------------------------------------------------------
+    def inverse(self, pyramid: Pyramid):
+        """Inverse transform.  A ``None`` first highpass entry (from
+        ``discard_level_1``) is treated as zero."""
+        return self._inv(pyramid)
+
+    def _inverse_impl(self, pyramid: Pyramid):
+        b = self.biort
+        g0o, g1o = b[1], b[3]
+        q = self.qshift
+        g0a, g0b, g1a, g1b = q[2], q[3], q[6], q[7]
+
+        Yh = pyramid.highpasses
+        Yl = jnp.asarray(pyramid.lowpass)
+        nlevels = len(Yh)
+
+        for level in range(nlevels - 1, 0, -1):
+            if Yh[level - 1] is not None:
+                prev_shape = Yh[level - 1].shape[-4:-1]
+            else:
+                prev_shape = tuple(2 * s for s in Yh[level].shape[-4:-1])
+            Yl = self._level2_inv(Yl, Yh[level], g0a, g0b, g1a, g1b,
+                                  prev_shape)
+        if nlevels >= 1:
+            if Yh[0] is None:
+                Yl = self._level1_inv_lowpass_only(Yl, g0o)
+            else:
+                Yl = self._level1_inv(Yl, Yh[0], g0o, g1o)
+        return Yl
+
+    @staticmethod
+    def _octants(Yh):
+        """Split a 28-band level into the 7 real octet volumes."""
+        out = {}
+        for n, o in enumerate(_OCTANTS):
+            out[o] = c2cube(Yh[..., 4 * n:4 * n + 4])
+        return out
+
+    @staticmethod
+    def _synth(oct_, g0f, g1f, ifilt):
+        """Separable synthesis over dims (-2, -3, -1) — the reference pass
+        order (transform3d.py:425-435, :485-495)."""
+        U = {}
+        for i in range(2):
+            for k in range(2):
+                U[(i, k)] = (ifilt(oct_[(i, 0, k)], g0f, -2)
+                             + ifilt(oct_[(i, 1, k)], g1f, -2))
+        V = {}
+        for k in range(2):
+            V[k] = ifilt(U[(0, k)], g0f, -3) + ifilt(U[(1, k)], g1f, -3)
+        return ifilt(V[0], g0f, -1) + ifilt(V[1], g1f, -1)
+
+    def _level2_inv(self, Yl, Yh, g0a, g0b, g1a, g1b, prev_shape):
+        oct_ = self._octants(Yh)
+        oct_[(0, 0, 0)] = Yl
+
+        def ifilt(v, gf, ax):
+            ga, gb = gf
+            return fb.ifilt_axis(v, gb, ga, ax)
+
+        out = self._synth(oct_, (g0a, g0b), (g1a, g1b), ifilt)
+
+        crop = 1 if self.ext_mode == 4 else 2
+        curr = Yh.shape[-4:-1]
+        for d, ax in enumerate((-3, -2, -1)):
+            if 2 * curr[d] != prev_shape[d]:
+                out = _crop(out, ax, crop)
+        return out
+
+    @staticmethod
+    def _level1_inv(Yl, Yh, g0o, g1o):
+        oct_ = Transform3d._octants(Yh)
+        even = g0o.size % 2 == 0
+        if even:
+            # drop the lowpass's extra trailing sample per dim (reference
+            # x-ranges, transform3d.py:408-413)
+            for ax in (-3, -2, -1):
+                Yl = jax.lax.slice_in_dim(Yl, 0, Yl.shape[ax] - 1, axis=ax)
+        oct_[(0, 0, 0)] = Yl
+
+        def ifilt(v, g, ax):
+            return fb.filter_axis(v, g, ax)
+
+        out = Transform3d._synth(oct_, g0o, g1o, ifilt)
+        if even:
+            for ax in (-3, -2, -1):
+                out = jax.lax.slice_in_dim(out, 1, out.shape[ax], axis=ax)
+        return out
+
+    @staticmethod
+    def _level1_inv_lowpass_only(Yl, g0o):
+        # Reference order: dims 1, 0, 2 (transform3d.py:450-457).  Note the
+        # reference has a missing transpose in its third pass (:456 assigns
+        # a [dim2, dim0] result into a [dim0, dim2] slot, silently
+        # transposing each slice on cube-shaped volumes); we implement the
+        # mathematically correct separable synthesis — its own behavioral
+        # gate (median recon error < 1e-3, test_xfm3.py:152-159) passes
+        # either way.
+        out = fb.filter_axis(Yl, g0o, -2)
+        out = fb.filter_axis(out, g0o, -3)
+        out = fb.filter_axis(out, g0o, -1)
+        return out
