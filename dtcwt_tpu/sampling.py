@@ -1,0 +1,217 @@
+"""Rescaling / re-sampling of low- and highpass subbands, including the
+phase-unwrap variants for complex highpass coefficients.
+
+Behavioral parity surface: ``/root/reference/dtcwt/sampling.py`` (sample
+:105-129, rescale :131-165, phase tables :27-34, _phase_image :167-190,
+sample_highpass :192-222, rescale_highpass :224-278, upsample :280-391).
+
+Conventions (as in the reference): integer coordinate (x, y) is the *centre*
+of pixel ``im[y, x]``; out-of-range samples reflect symmetrically with
+repeated end samples.  All samplers are pure jnp (gather-based) and work on
+real or complex images with arbitrary trailing channel axes; they are
+differentiable and can be jitted/vmapped inside larger pipelines (the
+registration module runs them inside one compiled program).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from dtcwt_tpu.utils import reflect
+
+__all__ = (
+    "sample", "sample_highpass",
+    "rescale", "rescale_highpass",
+    "upsample", "upsample_highpass",
+    "DTHETA_DX_2D", "DTHETA_DY_2D",
+)
+
+_W0 = -3 * np.pi / 2.15
+_W1 = -np.pi / 2.15
+
+#: Expected per-pixel phase advance of each 2-D subband in x
+DTHETA_DX_2D = np.array((_W1, _W0, _W0, _W0, _W0, _W1))
+#: Expected per-pixel phase advance of each 2-D subband in y
+DTHETA_DY_2D = np.array((_W0, _W0, _W1, -_W1, -_W0, -_W0))
+
+
+def _sample_clipped(im, xs, ys):
+    """Gather ``im[y, x, ...]`` with symmetric-reflect index folding."""
+    h, w = im.shape[0], im.shape[1]
+    sym_xs = reflect(xs, -0.5, w - 0.5).astype(jnp.int32)
+    sym_ys = reflect(ys, -0.5, h - 0.5).astype(jnp.int32)
+    return im[sym_ys, sym_xs]
+
+
+def _bcast_weight(weight, im_ndim):
+    """Append channel axes so an (H, W) weight scales (H, W, C...) samples."""
+    extra = im_ndim - 2
+    return weight.reshape(weight.shape + (1,) * extra) if extra else weight
+
+
+def _sample_nearest(im, xs, ys):
+    return _sample_clipped(im, jnp.round(xs), jnp.round(ys))
+
+
+def _sample_bilinear(im, xs, ys):
+    xs, ys = jnp.asarray(xs), jnp.asarray(ys)
+    im = jnp.atleast_2d(jnp.asarray(im))
+    if xs.shape != ys.shape:
+        raise ValueError("Shape of xs and ys must match")
+    floor_xs, floor_ys = jnp.floor(xs), jnp.floor(ys)
+    frac_xs = _bcast_weight(xs - floor_xs, im.ndim)
+    frac_ys = _bcast_weight(ys - floor_ys, im.ndim)
+    lower = ((1.0 - frac_xs) * _sample_clipped(im, floor_xs, floor_ys)
+             + frac_xs * _sample_clipped(im, floor_xs + 1, floor_ys))
+    upper = ((1.0 - frac_xs) * _sample_clipped(im, floor_xs, floor_ys + 1)
+             + frac_xs * _sample_clipped(im, floor_xs + 1, floor_ys + 1))
+    return ((1.0 - frac_ys) * lower + frac_ys * upper).astype(im.dtype)
+
+
+def _lanczos(x, a=3.0):
+    return jnp.sinc(x) * jnp.sinc(x / a)
+
+
+def _sample_lanczos(im, xs, ys):
+    xs, ys = jnp.asarray(xs), jnp.asarray(ys)
+    im = jnp.atleast_2d(jnp.asarray(im))
+    if xs.shape != ys.shape:
+        raise ValueError("Shape of xs and ys must match")
+    floor_xs, floor_ys = jnp.floor(xs), jnp.floor(ys)
+    frac_xs, frac_ys = xs - floor_xs, ys - floor_ys
+
+    a = 3
+    S = None
+    for dx in range(-a + 1, a + 1):
+        Lx = _lanczos(frac_xs - dx)
+        for dy in range(-a + 1, a + 1):
+            Ly = _lanczos(frac_ys - dy)
+            w = _bcast_weight(Lx * Ly, im.ndim)
+            contrib = w * _sample_clipped(im, floor_xs + dx, floor_ys + dy)
+            S = contrib if S is None else S + contrib
+    return S
+
+
+def sample(im, xs, ys, method=None):
+    """Sample *im* at fractional centre-of-pixel coordinates (xs, ys) using
+    ``'lanczos'`` (default), ``'bilinear'`` or ``'nearest'`` interpolation."""
+    method = method or "lanczos"
+    if method == "bilinear":
+        return _sample_bilinear(im, xs, ys)
+    elif method == "lanczos":
+        return _sample_lanczos(im, xs, ys)
+    elif method == "nearest":
+        return _sample_nearest(im, xs, ys)
+    raise NotImplementedError(
+        'Sampling method "{0}" is not implemented.'.format(method))
+
+
+def _rescale_grid(src_shape, dst_shape):
+    sh, sw = src_shape[:2]
+    dh, dw = dst_shape[:2]
+    dxs, dys = np.meshgrid(np.arange(dw), np.arange(dh))
+    sxs = (float(sw) / float(dw)) * (dxs + 0.5) - 0.5
+    sys = (float(sh) / float(dh)) * (dys + 0.5) - 0.5
+    return sxs, sys
+
+
+def rescale(im, shape, method=None):
+    """Resample *im* so that its (half-pixel-inclusive) extent maps onto an
+    array of size *shape*."""
+    sxs, sys = _rescale_grid(im.shape, shape)
+    return sample(im, sxs, sys, method)
+
+
+def _phase_image(xs, ys, unwrap=True, sbs=None):
+    """exp(-+j(w_x x + w_y y)) phase ramps for the selected subbands,
+    stacked on a trailing axis (reference: sampling.py:167-190)."""
+    sbs = np.arange(6) if sbs is None else np.asarray(sbs)
+    xs = jnp.asarray(xs)
+    ys = jnp.asarray(ys)
+    slices = []
+    for sb in sbs:
+        ph = DTHETA_DX_2D[sb] * xs + DTHETA_DY_2D[sb] * ys
+        slices.append(jnp.exp((-1j if unwrap else 1j) * ph))
+    return jnp.stack(slices, axis=-1)
+
+
+def sample_highpass(im, xs, ys, method=None, sbs=None):
+    """As :func:`sample` for complex highpass subband stacks ``[H, W, 6]``:
+    unwrap each subband's expected phase ramp to ~DC, sample, re-wrap.
+    *sbs* selects/reorders subbands."""
+    sbs = np.arange(6) if sbs is None else np.asarray(sbs)
+    X, Y = np.meshgrid(np.arange(im.shape[1]), np.arange(im.shape[0]))
+    im_unwrap = im[:, :, sbs] * _phase_image(X, Y, True, sbs)
+    im_sampled = sample(im_unwrap, xs, ys, method)
+    return _phase_image(xs, ys, False, sbs) * im_sampled
+
+
+def rescale_highpass(im, shape, method=None, sbs=None):
+    """As :func:`rescale` with the highpass phase unwrap/re-wrap."""
+    sbs = np.arange(6) if sbs is None else np.asarray(sbs)
+    sxs, sys = _rescale_grid(im.shape, shape)
+    X, Y = np.meshgrid(np.arange(im.shape[1]), np.arange(im.shape[0]))
+    im_unwrap = im[:, :, sbs] * _phase_image(X, Y, True, sbs)
+    im_sampled = sample(im_unwrap, sxs, sys, method)
+    return im_sampled * _phase_image(sxs, sys, False, sbs)
+
+
+def _upsample_columns(X, method=None):
+    """Double the column count by interleaving two shifted interpolation
+    convolutions (A at x-0.25, B at x+0.25; reference: sampling.py:280-336)."""
+    method = method or "lanczos"
+    X = jnp.atleast_2d(jnp.asarray(X))
+    M = X.shape[1]
+
+    if method == "lanczos":
+        a = 3.0
+        sample_offsets = np.arange(-a, a + 1)
+        l_as = np.sinc(-0.25 - sample_offsets) * np.sinc((-0.25 - sample_offsets) / a)
+        l_bs = np.sinc(0.25 - sample_offsets) * np.sinc((0.25 - sample_offsets) / a)
+    elif method == "nearest":
+        sample_offsets, l_as, l_bs = [0], [1.0], [1.0]
+    elif method == "bilinear":
+        sample_offsets = [-1, 0, 1]
+        l_as = [0.25, 0.75, 0.0]
+        l_bs = [0.0, 0.75, 0.25]
+    else:
+        raise ValueError("Unknown interpolation mode: {0}".format(method))
+
+    int_columns = np.arange(M, dtype=np.float64)
+    A = None
+    B = None
+    for di, l_a, l_b in zip(sample_offsets, l_as, l_bs):
+        cols = reflect(int_columns + di, -0.5, M - 0.5).astype(np.int64)
+        gathered = jnp.take(X, cols, axis=1)
+        ta = gathered * jnp.asarray(l_a, jnp.real(X).dtype)
+        tb = gathered * jnp.asarray(l_b, jnp.real(X).dtype)
+        A = ta if A is None else A + ta
+        B = tb if B is None else B + tb
+    stacked = jnp.stack([A, B], axis=2)
+    return stacked.reshape(X.shape[:1] + (2 * M,) + X.shape[2:])
+
+
+def upsample(image, method=None):
+    """Upsample rows and columns by a factor of two (trailing axes kept)."""
+    image = jnp.atleast_2d(jnp.asarray(image))
+
+    def _t(X):
+        axes = list(range(X.ndim))
+        axes[0], axes[1] = 1, 0
+        return jnp.transpose(X, axes)
+
+    return _upsample_columns(_t(_upsample_columns(_t(image), method)), method)
+
+
+def upsample_highpass(im, method=None):
+    """As :func:`upsample` for complex subband stacks, with the phase
+    unwrap/re-wrap around the interpolation."""
+    im = jnp.atleast_2d(jnp.asarray(im))
+    dxs, dys = np.meshgrid(np.arange(im.shape[1] * 2), np.arange(im.shape[0] * 2))
+    sxs = 0.5 * (dxs + 0.5) - 0.5
+    sys = 0.5 * (dys + 0.5) - 0.5
+    X, Y = np.meshgrid(np.arange(im.shape[1]), np.arange(im.shape[0]))
+    im_unwrap = im * _phase_image(X, Y, True)
+    im_sampled = upsample(im_unwrap, method)
+    return im_sampled * _phase_image(sxs, sys, False)

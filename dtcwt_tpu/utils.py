@@ -78,9 +78,9 @@ def drawedge(theta, r, w, N):
     rr = -np.array([np.cos(thetar), np.sin(thetar)]) * (np.asarray(r, np.float64) - centre)
     w = max(1.0, float(w))
     ramp = np.arange(N, dtype=np.float64) - (N + 1) / 2.0
-    hgrad = -np.sin(thetar) * np.ones((N, 1))
-    vgrad = -np.cos(thetar) * np.ones((1, N))
-    plane = (hgrad * ramp - rr[0]) + ((ramp[:, None] * vgrad.T).T - rr[1])
+    # plane[i, j] = -sin(theta)*ramp[j] - r0  +  -cos(theta)*ramp[i] - r1
+    plane = (-np.sin(thetar) * ramp[None, :] - rr[0]) \
+        + (-np.cos(thetar) * ramp[:, None] - rr[1])
     return 0.5 + 0.5 * np.sin(np.clip(plane * (np.pi / w), -np.pi / 2, np.pi / 2))
 
 

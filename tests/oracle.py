@@ -37,6 +37,42 @@ def load_reference():
     import dtcwt as ref_dtcwt  # noqa: F401
     import dtcwt.numpy.lowlevel  # noqa: F401
     import dtcwt.numpy  # noqa: F401
+
+    # numpy 2 changed batched linalg.solve semantics: solve(A, b) with
+    # b.ndim == A.ndim - 1 is no longer "stack of vectors".  The reference's
+    # solvetransform relies on the old behaviour; restore it (identical
+    # math) so the oracle still runs.
+    import dtcwt.registration as _rreg
+
+    def _solvetransform(Qtilde_vec):
+        Q = np.zeros(Qtilde_vec.shape[:-1] + (36,))
+        Q[..., _rreg.Q_TRIU_FLAT_INDICES] = Qtilde_vec[..., :21]
+        q = Qtilde_vec[..., -6:]
+        Q = np.reshape(Q, Qtilde_vec.shape[:-1] + (6, 6))
+        return np.linalg.solve(Q, -q[..., None])[..., 0]
+
+    _rreg.solvetransform = _solvetransform
+
+    # numpy 2 requires tuple (not list) multi-axis indices; the reference's
+    # _boxfilter indexes with a list (registration.py:433-442).  Same math.
+    import dtcwt.utils as _rutils
+
+    def _boxfilter(X, kernel_size):
+        if kernel_size % 2 == 0:
+            raise ValueError("Kernel size must be odd")
+        for axis_idx in range(2):
+            slices = [slice(None)] * len(X.shape)
+            out = X
+            for delta in range(1, 1 + (kernel_size - 1) // 2):
+                for sgn in (1, -1):
+                    slices[axis_idx] = _rutils.reflect(
+                        np.arange(X.shape[axis_idx]) + sgn * delta,
+                        -0.5, X.shape[axis_idx] - 0.5).astype(int)
+                    out = out + X[tuple(slices)]
+            X = out / kernel_size
+        return X
+
+    _rreg._boxfilter = _boxfilter
     return ref_dtcwt
 
 

@@ -1,0 +1,144 @@
+"""API surface: compat wrappers, backend stack shim, coeffs errors, utils,
+keypoints (reference tests: test_coeffs.py, test_switchbackends.py,
+test_utils.py, test_import.py)."""
+
+import numpy as np
+import pytest
+
+import dtcwt_tpu
+from dtcwt_tpu import biort, qshift, compat, utils
+from dtcwt_tpu.keypoint import find_keypoints
+
+from . import oracle
+
+ref = oracle.load_reference()
+
+
+def test_import_surface():
+    for name in ("Transform1d", "Transform2d", "Transform3d", "Pyramid",
+                 "biort", "qshift", "push_backend", "pop_backend",
+                 "preserve_backend_stack", "backend_name"):
+        assert hasattr(dtcwt_tpu, name), name
+
+
+def test_coeffs_shapes_and_errors():
+    h0o, g0o, h1o, g1o = biort("near_sym_a")
+    assert h0o.shape == (5, 1) and h1o.shape == (7, 1)
+    assert len(biort("near_sym_b_bp")) == 6
+    assert len(qshift("qshift_b_bp")) == 12
+    with pytest.raises(IOError):
+        biort("this-does-not-exist")
+    with pytest.raises(IOError):
+        qshift("this-does-not-exist")
+    with pytest.raises(ValueError):
+        biort("qshift_a")
+    with pytest.raises(ValueError):
+        qshift("near_sym_a")
+
+
+def test_coeffs_match_reference():
+    from dtcwt.coeffs import biort as rbiort, qshift as rqshift
+    for name in dtcwt_tpu.BIORT_NAMES:
+        for a, b in zip(biort(name), rbiort(name)):
+            np.testing.assert_array_equal(np.asarray(a), b)
+    for name in dtcwt_tpu.QSHIFT_NAMES:
+        for a, b in zip(qshift(name), rqshift(name)):
+            np.testing.assert_array_equal(np.asarray(a), b)
+
+
+def test_backend_stack():
+    assert dtcwt_tpu.backend_name == "tpu"
+    dtcwt_tpu.push_backend("numpy")
+    assert dtcwt_tpu.backend_name == "numpy"
+    dtcwt_tpu.pop_backend()
+    assert dtcwt_tpu.backend_name == "tpu"
+    with pytest.raises(IndexError):
+        dtcwt_tpu.pop_backend()
+    with pytest.raises(KeyError):
+        dtcwt_tpu.push_backend("not-a-backend")
+    # exception safety
+    try:
+        with dtcwt_tpu.preserve_backend_stack():
+            dtcwt_tpu.push_backend("tf")
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert dtcwt_tpu.backend_name == "tpu"
+
+
+def test_compat_1d_2d_3d():
+    rng = np.random.RandomState(0)
+    x1 = rng.randn(64)
+    Yl, Yh = compat.dtwavexfm(x1, 3)
+    z = np.asarray(compat.dtwaveifm(Yl, Yh))
+    assert np.abs(z - x1).max() < 1e-12
+
+    x2 = rng.randn(64, 64)
+    Yl, Yh, Yscale = compat.dtwavexfm2(x2, 3, include_scale=True)
+    assert len(Yscale) == 3
+    z = np.asarray(compat.dtwaveifm2(Yl, Yh))
+    assert np.abs(z - x2).max() < 1e-12
+    assert compat.dtwavexfm2b is compat.dtwavexfm2
+
+    x3 = rng.randn(16, 16, 16)
+    Yl, Yh = compat.dtwavexfm3(x3, 2)
+    z = np.asarray(compat.dtwaveifm3(Yl, Yh))
+    assert np.abs(z - x3).max() < 1e-12
+
+
+def test_reflect_matches_reference():
+    from dtcwt.utils import reflect as rreflect
+    x = np.arange(-20, 60, dtype=np.float64)
+    np.testing.assert_array_equal(
+        np.asarray(utils.reflect(x, -0.5, 9.5)), rreflect(x, -0.5, 9.5))
+
+
+def test_drawedge_drawcirc_match_reference():
+    from dtcwt.utils import drawedge as rde, drawcirc as rdc
+    got = utils.drawedge(30, np.array([32, 32]), 4, 64)
+    want = rde(30, np.array([32, 32]), 4, 64)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+    got = utils.drawcirc(20, 4, 2, -3, 64)
+    want = rdc(20, 4, 2, -3, 64)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+
+
+def test_unpack():
+    from dtcwt_tpu import Pyramid, Transform2d
+    p = Transform2d().forward(np.random.RandomState(1).randn(32, 32), 2,
+                              include_scale=True)
+    yl, yh, ys = utils.unpack(p)
+    assert yh is p.highpasses and ys is p.scales
+    p2 = Pyramid(p.lowpass, p.highpasses)
+    assert len(list(utils.unpack(p2))) == 2
+
+
+def test_find_keypoints():
+    img = utils.drawcirc(20, 4, 0, 0, 128) + \
+        0.01 * np.random.RandomState(7).randn(128, 128)
+    from dtcwt_tpu import Transform2d
+    pyr = Transform2d().forward(img, nlevels=4)
+    for method in ("fauqueur", "bendale", "kingsbury"):
+        kps = find_keypoints(pyr.highpasses, method=method, max_points=10)
+        assert kps.shape[1] == 4
+        assert kps.shape[0] <= 10
+        # energies sorted descending
+        assert np.all(np.diff(kps[:, 3]) <= 1e-12)
+        # keypoints are inside the image
+        assert kps[:, 0].min() >= -0.5 and kps[:, 0].max() <= 127.5
+    with pytest.raises(ValueError):
+        find_keypoints(pyr.highpasses, method="nope")
+
+
+def test_find_keypoints_matches_reference():
+    oracle._install_numpy_shims()
+    if not hasattr(np, "product"):
+        np.product = np.prod
+    import dtcwt.keypoint as rkp
+    img = utils.drawcirc(20, 4, 0, 0, 128)
+    from dtcwt_tpu import Transform2d
+    pyr = Transform2d().forward(img, nlevels=4)
+    hp = tuple(np.asarray(h) for h in pyr.highpasses)
+    want = rkp.find_keypoints(hp, max_points=20)
+    got = find_keypoints(pyr.highpasses, max_points=20)
+    np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-9)
