@@ -59,6 +59,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from dtcwt_tpu.utils import reflect
+from dtcwt_tpu.ops import engine
 
 __all__ = [
     "colfilter", "rowfilter", "coldfilt", "rowdfilt", "colifilt", "rowifilt",
@@ -169,6 +170,11 @@ def filter_axis(x, h, axis: int):
     length + 1 for even-length *h* (reference: ``numpy/lowlevel.py:47-80``).
     """
     h = _as_taps(h)
+    if engine.use_pallas():
+        from dtcwt_tpu.ops import pallas_fb
+        y = pallas_fb.filter_axis(jnp.asarray(x), h, axis)
+        if y is not None:
+            return y
     return _filter_jit(h.tobytes(), axis)(x)
 
 
@@ -238,6 +244,11 @@ def dfilt_axis(x, ha, hb, axis: int):
         raise ValueError("Shapes of ha and hb must be the same")
     if ha.size % 2 != 0:
         raise ValueError("Lengths of ha and hb must be even")
+    if engine.use_pallas():
+        from dtcwt_tpu.ops import pallas_fb
+        y = pallas_fb.dfilt_axis(jnp.asarray(x), ha, hb, axis)
+        if y is not None:
+            return y
     return _dfilt_jit(ha.tobytes(), hb.tobytes(), axis)(x)
 
 
@@ -306,6 +317,11 @@ def ifilt_axis(x, ha, hb, axis: int):
         raise ValueError("Shapes of ha and hb must be the same")
     if ha.size % 2 != 0:
         raise ValueError("Lengths of ha and hb must be even")
+    if engine.use_pallas():
+        from dtcwt_tpu.ops import pallas_fb
+        y = pallas_fb.ifilt_axis(jnp.asarray(x), ha, hb, axis)
+        if y is not None:
+            return y
     return _ifilt_jit(ha.tobytes(), hb.tobytes(), axis)(x)
 
 

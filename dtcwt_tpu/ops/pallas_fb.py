@@ -1,0 +1,556 @@
+"""Pallas TPU kernels for the DTCWT filter-bank primitives.
+
+These are the TPU-native equivalents of the reference's four embedded OpenCL
+kernels (``/root/reference/dtcwt/opencl/lowlevel.py:384-654``):
+
+==================  =========================================================
+OpenCL kernel       Pallas equivalent here
+==================  =========================================================
+``CONVOLVE_KERNEL`` :func:`filter_axis` — non-decimating convolution with the
+                    symmetric-reflect boundary computed *in kernel* on the
+                    VMEM slab (no materialized padding in HBM), reference
+                    semantics ``opencl/lowlevel.py:411-442``.
+``DFILTER_KERNEL``  :func:`dfilt_axis` — decimate-by-2 dual filter; the
+                    reference's per-thread (a,b) output interleave and the
+                    ``ha·hb`` parity flip (``opencl/lowlevel.py:507-509``)
+                    resolve at trace time because filters are static.
+``IFILTER_KERNEL``  :func:`ifilt_axis` — interpolate-by-2 dual filter; the
+                    reference's 4-outputs-per-thread odd/even tap split
+                    (``opencl/lowlevel.py:543-585``) becomes a 4-way phase
+                    interleave of whole row blocks.
+``Q2C_KERNEL``      :func:`q2c_fused` — fused quad→complex packing of the
+                    three highpass filter outputs into all 6 oriented
+                    subbands with the 1/sqrt(2) scale
+                    (``opencl/lowlevel.py:589-654``).
+==================  =========================================================
+
+Kernel design (one shape family, all three filter ops):
+
+* The filtered axis is the **sublane** axis (second-to-minor).  Leading batch
+  dimensions are flattened and become the first grid dimension.
+* The input stays in ``pltpu.ANY`` (compiler-placed, HBM for large arrays).
+  Each grid step DMAs exactly the rows its output tile needs — the tile body
+  plus a halo each side — into a VMEM slab, so the input is read from HBM
+  once per tile with no re-reads per filter tap.
+* Boundary tiles fill their out-of-range halo rows by mirroring rows already
+  resident in the slab (symmetric extension with repeated end samples,
+  reference ``dtcwt/utils.py:136-153``); interior tiles take a single
+  contiguous DMA.  This reproduces the in-register ``reflect()`` of the
+  OpenCL kernels (``opencl/lowlevel.py:384-409``) at tile granularity.
+* The tap loop is unrolled at trace time (filters are static npz constants),
+  so each output tile is a straight-line sum of shifted slab slices on the
+  VPU — no gathers, no strided vector ops.
+
+Mosaic lowering constraints shape three details (probed on v5e):
+
+* VMEM DMA destinations must start at sublane-tile multiples — the slab halo
+  is rounded up to 8 rows and the compute window is a static in-register
+  slice at the (arbitrary, static) misalignment offset.
+* Strided vector slices don't lower, so polyphase streams are extracted by a
+  ``(L, C) -> (L/k, k, C)`` reshape + middle-axis index instead of
+  ``ext[p::k]``.
+* Lane-axis deinterleaves don't lower either; the Q2C kernel takes its
+  inputs pre-split by column parity (a single fast stride-2 slice each in
+  XLA) and handles only the row parity + arithmetic in kernel.
+
+f32/bf16 only (the MXU/VPU datapath); the f64 verification path stays on the
+XLA engine in :mod:`dtcwt_tpu.ops.fb`.  On non-TPU backends the kernels run
+through the Pallas interpreter so the full test suite exercises them on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["filter_axis", "dfilt_axis", "ifilt_axis", "q2c_fused",
+           "supported"]
+
+# Per-tile VMEM budget covering the input slab PLUS the unrolled tap
+# temporaries (Mosaic allocates vector temporaries on a scoped VMEM stack
+# with little reuse, so every live shifted slice counts).  Keep well under
+# the 16 MB/core VMEM: the pallas pipeline double-buffers the output blocks
+# on top of this.
+_TILE_BYTES = 8 * 1024 * 1024
+
+_SUBLANE = 8   # f32 sublane tile; DMA row offsets must be multiples of this
+_LANE = 128    # lane width; manual-DMA kernels need 128-multiple columns
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _as_taps(h) -> np.ndarray:
+    return np.asarray(h, dtype=np.float64).reshape(-1)
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def _flatten_batch(x) -> Tuple[jnp.ndarray, Tuple[int, ...]]:
+    """[..., R, C] -> [B, R, C] plus the original leading shape."""
+    lead = x.shape[:-2]
+    B = int(np.prod(lead, dtype=np.int64)) if lead else 1
+    return x.reshape((B,) + x.shape[-2:]), lead
+
+
+def _pick_tile(n_units: int, rows_per_unit: int, C: int, pad8: int,
+               itemsize: int, temp_rows_per_unit: int) -> Optional[int]:
+    """Largest tile size (in output units) dividing *n_units* whose input
+    slab plus live compute temporaries fit the VMEM budget and whose row
+    count covers the halo; None if no valid tile exists (caller falls back
+    to XLA).  *temp_rows_per_unit* estimates the unrolled-tap temporary rows
+    per output unit (~the total sub-filter tap count)."""
+    budget_rows = max(_TILE_BYTES // max(C * itemsize, 1), 1)
+    best = None
+    for t in (n_units, 512, 384, 256, 192, 128, 96, 64, 48, 32, 16, 8, 4, 2, 1):
+        if t < 1 or t > n_units or n_units % t:
+            continue
+        t_in = t * rows_per_unit
+        if t_in < pad8:
+            continue
+        if t < n_units and t_in % _SUBLANE:
+            continue   # multi-tile DMA offsets must be provably 8-aligned
+        if t_in + 2 * pad8 + t * temp_rows_per_unit <= budget_rows:
+            best = t if best is None else max(best, t)
+            if t == n_units:
+                return t
+    return best
+
+
+def _load_slab(x_hbm, b, scratch, sem, *, tile_idx, n_tiles: int,
+               t_in: int, pad8: int, fill: int, R: int):
+    """DMA the rows tile *tile_idx* needs from ``x_hbm[b]`` into *scratch*
+    (shape ``(t_in + 2*pad8, C)``) and mirror-fill out-of-range halo rows.
+
+    Slab row ``s`` holds input row ``tile_idx*t_in + s - pad8`` with
+    symmetric reflection (repeated end samples) where that index falls
+    outside [0, R).  *pad8* is a multiple of 8 so every DMA destination is
+    sublane-aligned; only *fill* (<= pad8) halo rows nearest the body are
+    mirror-filled, since compute reads just those.  Requires
+    ``pad8 <= t_in <= R``.
+    """
+    g0 = tile_idx * t_in
+
+    def fill_front():
+        for j in range(pad8 - fill, pad8):
+            scratch[j, :] = scratch[2 * pad8 - 1 - j, :]
+
+    def fill_back():
+        for s in range(t_in + pad8, t_in + pad8 + fill):
+            scratch[s, :] = scratch[2 * (t_in + pad8) - 1 - s, :]
+
+    if n_tiles == 1:
+        cp = pltpu.make_async_copy(
+            x_hbm.at[b], scratch.at[pl.ds(pad8, t_in), :], sem)
+        cp.start()
+        cp.wait()
+        if fill:
+            fill_front()
+            fill_back()
+        return
+
+    @pl.when(tile_idx == 0)
+    def _():
+        cp = pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(0, t_in + pad8), :],
+            scratch.at[pl.ds(pad8, t_in + pad8), :], sem)
+        cp.start()
+        cp.wait()
+        if fill:
+            fill_front()
+
+    # t_in and pad8 are multiples of 8 whenever n_tiles > 1 (_pick_tile), so
+    # hint Mosaic that the dynamic source offset is sublane-aligned.
+    src0 = pl.multiple_of(g0 - pad8, _SUBLANE)
+
+    @pl.when(jnp.logical_and(tile_idx > 0, tile_idx < n_tiles - 1))
+    def _():
+        cp = pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(src0, t_in + 2 * pad8), :],
+            scratch.at[:, :], sem)
+        cp.start()
+        cp.wait()
+
+    @pl.when(tile_idx == n_tiles - 1)
+    def _():
+        cp = pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(src0, t_in + pad8), :],
+            scratch.at[pl.ds(0, t_in + pad8), :], sem)
+        cp.start()
+        cp.wait()
+        if fill:
+            fill_back()
+
+
+def _shift_corr(ext, taps: Sequence[float], n_out: int, offset: int = 0):
+    """``Y[i] = sum_k taps[k] * ext[i + offset + k, :]`` as a trace-time-
+    unrolled sum of contiguous shifted slices of the VMEM-resident value."""
+    acc = None
+    for k, t in enumerate(taps):
+        lo = offset + k
+        sl = lax.slice_in_dim(ext, lo, lo + n_out, axis=0)
+        term = sl * jnp.asarray(t, ext.dtype)
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _interleave_rows(parts):
+    """out[len(parts)*i + q] = parts[q][i] along axis 0 (VMEM shuffle)."""
+    n, c = parts[0].shape
+    return jnp.stack(parts, axis=1).reshape(n * len(parts), c)
+
+
+def _phases(win, k: int):
+    """Polyphase streams of a 4/2-aligned window: returns ``[win[p::k]]`` as
+    middle-axis views of a split reshape (strided slices don't lower)."""
+    L, C = win.shape
+    w = win.reshape(L // k, k, C)
+    return [w[:, p, :] for p in range(k)]
+
+
+# ---------------------------------------------------------------------------
+# CONVOLVE: non-decimating filter along the sublane axis
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _build_filter(B: int, R: int, C: int, hbytes: bytes, dtype_str: str):
+    h = np.frombuffer(hbytes, dtype=np.float64)
+    m = h.size
+    if m % 2 == 0:
+        return None           # even-tap colfilter (R+1 outputs) -> XLA path
+    pad = m // 2
+    pad8 = _round_up(max(pad, 1), _SUBLANE)
+    dtype = jnp.dtype(dtype_str)
+    tr = _pick_tile(R, 1, C, pad8, dtype.itemsize,
+                    temp_rows_per_unit=m + 2)
+    if tr is None or pad8 > R:
+        return None
+    n_tiles = R // tr
+    hrev = tuple(float(v) for v in h[::-1])
+    off = pad8 - pad          # static slab offset of the compute window
+
+    def kernel(x_hbm, o_ref, scratch, sem):
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        _load_slab(x_hbm, b, scratch, sem, tile_idx=i, n_tiles=n_tiles,
+                   t_in=tr, pad8=pad8, fill=pad, R=R)
+        ext = lax.slice_in_dim(scratch[:, :], off, off + tr + 2 * pad, axis=0)
+        o_ref[0] = _shift_corr(ext, hrev, tr)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(B, n_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec((1, tr, C), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, R, C), dtype),
+        scratch_shapes=[pltpu.VMEM((tr + 2 * pad8, C), dtype),
+                        pltpu.SemaphoreType.DMA(())],
+        interpret=_interpret(),
+    )
+    return call
+
+
+def filter_axis(x, h, axis: int):
+    """Pallas non-decimating filter along *axis*; returns None if this shape
+    or filter is outside the kernel's envelope (caller falls back to XLA)."""
+    h = _as_taps(h)
+    if not _supported_array(x, axis):
+        return None
+    x3, lead = _flatten_batch(_to_sublane(x, axis))
+    if not _interpret() and x3.shape[-1] % _LANE:
+        return None
+    call = _build_filter(x3.shape[0], x3.shape[1], x3.shape[2],
+                         h.tobytes(), str(x3.dtype))
+    if call is None:
+        return None
+    y = call(x3)
+    return _from_sublane(y.reshape(lead + y.shape[-2:]), x.ndim, axis)
+
+
+# ---------------------------------------------------------------------------
+# DFILTER: decimate-by-2 dual filter along the sublane axis
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _build_dfilt(B: int, R: int, C: int, habytes: bytes, hbbytes: bytes,
+                 dtype_str: str):
+    ha = np.frombuffer(habytes, dtype=np.float64)
+    hb = np.frombuffer(hbbytes, dtype=np.float64)
+    m = ha.size
+    if m % 2 or R % 4:
+        return None
+    pad8 = _round_up(m, _SUBLANE)
+    dtype = jnp.dtype(dtype_str)
+    n_quads = R // 4            # output pairs; 4 input rows per output pair
+    tq = _pick_tile(n_quads, 4, C, pad8, dtype.itemsize,
+                    temp_rows_per_unit=2 * m + 4)
+    if tq is None or pad8 > R:
+        return None
+    n_tiles = n_quads // tq
+    har, hbr = ha[::-1], hb[::-1]
+    ha_e = tuple(float(v) for v in har[0::2])
+    ha_o = tuple(float(v) for v in har[1::2])
+    hb_e = tuple(float(v) for v in hbr[0::2])
+    hb_o = tuple(float(v) for v in hbr[1::2])
+    pos = bool(np.sum(ha * hb) > 0)
+    off = pad8 - m            # window start: extended index 4*q0 (phase 0)
+
+    def kernel(x_hbm, o_ref, scratch, sem):
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        _load_slab(x_hbm, b, scratch, sem, tile_idx=i, n_tiles=n_tiles,
+                   t_in=4 * tq, pad8=pad8, fill=m, R=R)
+        win = lax.slice_in_dim(scratch[:, :], off, off + 4 * tq + 2 * m,
+                               axis=0)
+        # Quarter-phase streams of the extended signal (see ops/fb.py):
+        #   Ya[i] = sum_u rev(ha)[2u] Q2[i+u] + sum_u rev(ha)[2u+1] Q0[i+u+1]
+        #   Yb[i] = sum_u rev(hb)[2u] Q3[i+u] + sum_u rev(hb)[2u+1] Q1[i+u+1]
+        q = _phases(win, 4)
+        ya = (_shift_corr(q[2], ha_e, tq, offset=0)
+              + _shift_corr(q[0], ha_o, tq, offset=1))
+        yb = (_shift_corr(q[3], hb_e, tq, offset=0)
+              + _shift_corr(q[1], hb_o, tq, offset=1))
+        o_ref[0] = _interleave_rows((ya, yb) if pos else (yb, ya))
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(B, n_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec((1, 2 * tq, C), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, R // 2, C), dtype),
+        scratch_shapes=[pltpu.VMEM((4 * tq + 2 * pad8, C), dtype),
+                        pltpu.SemaphoreType.DMA(())],
+        interpret=_interpret(),
+    )
+    return call
+
+
+def dfilt_axis(x, ha, hb, axis: int):
+    """Pallas decimate-by-2 dual filter along *axis* (None -> XLA fallback)."""
+    ha, hb = _as_taps(ha), _as_taps(hb)
+    if not _supported_array(x, axis):
+        return None
+    x3, lead = _flatten_batch(_to_sublane(x, axis))
+    if not _interpret() and x3.shape[-1] % _LANE:
+        return None
+    call = _build_dfilt(x3.shape[0], x3.shape[1], x3.shape[2],
+                        ha.tobytes(), hb.tobytes(), str(x3.dtype))
+    if call is None:
+        return None
+    y = call(x3)
+    return _from_sublane(y.reshape(lead + y.shape[-2:]), x.ndim, axis)
+
+
+# ---------------------------------------------------------------------------
+# IFILTER: interpolate-by-2 dual filter along the sublane axis
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _build_ifilt(B: int, R: int, C: int, habytes: bytes, hbbytes: bytes,
+                 dtype_str: str):
+    ha = np.frombuffer(habytes, dtype=np.float64)
+    hb = np.frombuffer(hbbytes, dtype=np.float64)
+    m = ha.size
+    if m % 2 or R % 2:
+        return None
+    m2 = m // 2
+    pad8 = _round_up(max(m2, 1), _SUBLANE)
+    dtype = jnp.dtype(dtype_str)
+    n_quads = R // 2            # output quads; 2 input rows per output quad
+    tq = _pick_tile(n_quads, 2, C, pad8, dtype.itemsize,
+                    temp_rows_per_unit=2 * m + 8)
+    if tq is None or pad8 > R:
+        return None
+    n_tiles = n_quads // tq
+    ha_e = tuple(float(v) for v in ha[0::2][::-1])
+    ha_o = tuple(float(v) for v in ha[1::2][::-1])
+    hb_e = tuple(float(v) for v in hb[0::2][::-1])
+    hb_o = tuple(float(v) for v in hb[1::2][::-1])
+    pos = bool(np.sum(ha * hb) > 0)
+    off = pad8 - m2           # window start: extended index 2*q0 (phase 0)
+
+    def kernel(x_hbm, o_ref, scratch, sem):
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        _load_slab(x_hbm, b, scratch, sem, tile_idx=i, n_tiles=n_tiles,
+                   t_in=2 * tq, pad8=pad8, fill=m2, R=R)
+        win = lax.slice_in_dim(scratch[:, :], off, off + 2 * tq + 2 * m2,
+                               axis=0)
+        # Phases holding even / odd *extended* indices (see ops/fb.py):
+        ph = _phases(win, 2)
+        ev, od = ph[m2 % 2], ph[(m2 + 1) % 2]
+        n2 = tq
+        if m2 % 2 == 0:
+            if pos:
+                rows = (_shift_corr(ev, ha_o, n2, 0), _shift_corr(od, hb_o, n2, 0),
+                        _shift_corr(ev, ha_e, n2, 1), _shift_corr(od, hb_e, n2, 1))
+            else:
+                rows = (_shift_corr(od, ha_o, n2, 0), _shift_corr(ev, hb_o, n2, 0),
+                        _shift_corr(od, ha_e, n2, 1), _shift_corr(ev, hb_e, n2, 1))
+        else:
+            if pos:
+                rows = (_shift_corr(ev, ha_e, n2, 0), _shift_corr(od, hb_e, n2, 1),
+                        _shift_corr(ev, ha_o, n2, 0), _shift_corr(od, hb_o, n2, 1))
+            else:
+                rows = (_shift_corr(od, ha_e, n2, 1), _shift_corr(ev, hb_e, n2, 0),
+                        _shift_corr(od, ha_o, n2, 1), _shift_corr(ev, hb_o, n2, 0))
+        o_ref[0] = _interleave_rows(rows)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(B, n_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec((1, 4 * tq, C), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 2 * R, C), dtype),
+        scratch_shapes=[pltpu.VMEM((2 * tq + 2 * pad8, C), dtype),
+                        pltpu.SemaphoreType.DMA(())],
+        interpret=_interpret(),
+    )
+    return call
+
+
+def ifilt_axis(x, ha, hb, axis: int):
+    """Pallas interpolate-by-2 dual filter along *axis* (None -> fallback)."""
+    ha, hb = _as_taps(ha), _as_taps(hb)
+    if not _supported_array(x, axis):
+        return None
+    x3, lead = _flatten_batch(_to_sublane(x, axis))
+    if not _interpret() and x3.shape[-1] % _LANE:
+        return None
+    call = _build_ifilt(x3.shape[0], x3.shape[1], x3.shape[2],
+                        ha.tobytes(), hb.tobytes(), str(x3.dtype))
+    if call is None:
+        return None
+    y = call(x3)
+    return _from_sublane(y.reshape(lead + y.shape[-2:]), x.ndim, axis)
+
+
+# ---------------------------------------------------------------------------
+# Q2C: fused quad -> complex packing of all six oriented subbands
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _build_q2c(B: int, R: int, C2: int, dtype_str: str):
+    """Kernel over column-parity-pre-split inputs: six (B, R, C2) arrays
+    (even/odd columns of lohi/hilo/hihi); outputs (B, 6, R/2, C2) re and im."""
+    if R % 2:
+        return None
+    dtype = jnp.dtype(dtype_str)
+    tr = _pick_tile(R // 2, 2, C2, 0, dtype.itemsize,
+                    temp_rows_per_unit=28)
+    if tr is None:
+        return None
+    n_tiles = (R // 2) // tr
+    sc = float(np.sqrt(0.5))
+
+    def kernel(le, lo, he, ho, ge, go, re_ref, im_ref):
+        for s, (ev_ref, od_ref) in enumerate(((le, lo), (he, ho), (ge, go))):
+            # Row-parity split via reshape (2tr, C2) -> (tr, 2, C2):
+            # quad corners a=ev-row/ev-col, b=ev/od, c=od/ev, d=od/od.
+            evr = ev_ref[0].reshape(tr, 2, C2)
+            odr = od_ref[0].reshape(tr, 2, C2)
+            a, c = evr[:, 0, :], evr[:, 1, :]
+            b, d = odr[:, 0, :], odr[:, 1, :]
+            # p = (a + jb)/sqrt2, q = (d - jc)/sqrt2; subbands (p-q, p+q).
+            re_ref[0, 2 * s] = (a - d) * sc
+            im_ref[0, 2 * s] = (b + c) * sc
+            re_ref[0, 2 * s + 1] = (a + d) * sc
+            im_ref[0, 2 * s + 1] = (b - c) * sc
+
+    in_spec = pl.BlockSpec((1, 2 * tr, C2), lambda b, i: (b, i, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, 6, tr, C2), lambda b, i: (b, 0, i, 0),
+                            memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=(B, n_tiles),
+        in_specs=[in_spec] * 6,
+        out_specs=(out_spec, out_spec),
+        out_shape=(jax.ShapeDtypeStruct((B, 6, R // 2, C2), dtype),
+                   jax.ShapeDtypeStruct((B, 6, R // 2, C2), dtype)),
+        interpret=_interpret(),
+    )
+    return call
+
+
+def q2c_fused(lohi, hilo, hihi):
+    """Fused quad→complex pack of the three real highpass images into the six
+    oriented complex subbands, stacked on the trailing axis.
+
+    Subband order and the p/q combination match the reference
+    (``numpy/transform2d.py:112-130`` + ``q2c`` :301-322): returns
+    ``[..., H/2, W/2, 6]`` complex.  Returns None outside the envelope.
+    """
+    if lohi.ndim < 2 or lohi.shape != hilo.shape or hilo.shape != hihi.shape:
+        return None
+    if lohi.dtype not in (jnp.float32, jnp.bfloat16):
+        return None
+    if lohi.shape[-1] % 2 or lohi.shape[-2] % 2:
+        return None
+    a3, lead = _flatten_batch(lohi)
+    b3, _ = _flatten_batch(hilo)
+    c3, _ = _flatten_batch(hihi)
+    B, R, C = a3.shape
+    call = _build_q2c(B, R, C // 2, str(a3.dtype))
+    if call is None:
+        return None
+    # Column-parity pre-split in XLA: single-axis lane stride-2 slices lower
+    # to fast tiled copies (lane deinterleave inside Mosaic does not lower).
+    cols = []
+    for arr in (a3, b3, c3):
+        cols.append(arr[:, :, 0::2])
+        cols.append(arr[:, :, 1::2])
+    re, im = call(*cols)
+    # (B, 6, H/2, W/2) -> [..., H/2, W/2, 6] complex, band order
+    # (15, 45, 75, 105, 135, 165) deg from pairs (lohi, hihi, hilo).
+    z = lax.complex(re.astype(jnp.float32), im.astype(jnp.float32))
+    order = jnp.asarray([0, 4, 2, 3, 5, 1])   # pair-major -> degree order
+    z = jnp.moveaxis(z[:, order], 1, -1)
+    return z.reshape(lead + z.shape[-3:])
+
+
+# ---------------------------------------------------------------------------
+# envelope checks + axis routing
+# ---------------------------------------------------------------------------
+
+def _supported_array(x, axis: int) -> bool:
+    if x.ndim < 2:
+        return False
+    axis = axis if axis >= 0 else axis + x.ndim
+    if axis not in (x.ndim - 2, x.ndim - 1):
+        return False
+    if x.dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    return True
+
+
+def _to_sublane(x, axis: int):
+    axis = axis if axis >= 0 else axis + x.ndim
+    if axis == x.ndim - 2:
+        return x
+    return jnp.swapaxes(x, -1, -2)
+
+
+def _from_sublane(y, ndim: int, axis: int):
+    axis = axis if axis >= 0 else axis + ndim
+    if axis == ndim - 2:
+        return y
+    return jnp.swapaxes(y, -1, -2)
+
+
+def supported(x, axis: int) -> bool:
+    """Cheap static check used by the dispatch layer."""
+    return _supported_array(jnp.asarray(x), axis)

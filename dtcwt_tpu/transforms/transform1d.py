@@ -15,7 +15,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from dtcwt_tpu.ops import fb
+from dtcwt_tpu.ops import engine, fb
 from dtcwt_tpu.ops.packing import q2c1d, c2q1d
 from dtcwt_tpu.transforms.pyramid import Pyramid
 from dtcwt_tpu.transforms.transform2d import (
@@ -34,9 +34,9 @@ class Transform1d:
         if len(self.biort) != 4 or len(self.qshift) != 8:
             raise ValueError("1-D transform does not use bandpass variants")
         self._fwd = jax.jit(self._forward_impl,
-                            static_argnames=("nlevels", "include_scale"))
+                            static_argnames=("nlevels", "include_scale", "ek"))
         self._inv = jax.jit(self._inverse_impl,
-                            static_argnames=("ret_flat",))
+                            static_argnames=("ret_flat", "ek"))
 
     # ------------------------------------------------------------------
     def forward(self, X, nlevels: int = 3, include_scale: bool = False) -> Pyramid:
@@ -49,9 +49,11 @@ class Transform1d:
         axis = 0 if X.ndim <= 2 else -2
         if X.shape[axis] % 2 != 0:
             raise ValueError("Size of input X must be a multiple of 2")
-        return self._fwd(X, nlevels=nlevels, include_scale=include_scale)
+        return self._fwd(X, nlevels=nlevels, include_scale=include_scale,
+                         ek=engine.trace_key())
 
-    def _forward_impl(self, X, *, nlevels: int, include_scale: bool) -> Pyramid:
+    def _forward_impl(self, X, *, nlevels: int, include_scale: bool,
+                      ek=None) -> Pyramid:
         h0o, _, h1o, _ = self.biort
         h0a, h0b, _, _, h1a, h1b, _, _ = self.qshift
         axis = 0 if X.ndim <= 2 else -2
@@ -82,15 +84,42 @@ class Transform1d:
         return Pyramid(lo, tuple(Yh), tuple(Yscale) if include_scale else None)
 
     # ------------------------------------------------------------------
+    def forward_channels(self, X, nlevels: int = 3,
+                         include_scale: bool = False) -> Pyramid:
+        """Forward transform of a 3-D batch of matrices whose *columns* (the
+        second dimension) are the signals (reference surface:
+        ``tf/transform1d.py:150-215``).  Inputs of 1 or 2 dimensions should
+        use :meth:`forward`."""
+        X = jnp.asarray(X)
+        if X.ndim != 3:
+            raise ValueError(
+                "Incorrect input shape for the forward_channels method %s. "
+                "For inputs of 1 or 2 dimensions, use the forward method."
+                % (X.shape,))
+        return self.forward(X, nlevels, include_scale)
+
+    def inverse_channels(self, pyramid: Pyramid, gain_mask=None):
+        """Inverse of :meth:`forward_channels` on a 3-D pyramid (reference
+        surface: ``tf/transform1d.py:293-371``)."""
+        low = jnp.asarray(pyramid.lowpass)
+        if low.ndim != 3:
+            raise ValueError(
+                "Incorrect input shape for the inverse_channels method %s. "
+                "For inputs of 1 or 2 dimensions, use the inverse method."
+                % (low.shape,))
+        return self.inverse(pyramid, gain_mask)
+
+    # ------------------------------------------------------------------
     def inverse(self, pyramid: Pyramid, gain_mask=None):
         """Inverse transform.  *gain_mask* is an optional length-``nlevels``
         vector of per-level gains."""
         lowpass = jnp.asarray(pyramid.lowpass)
         ret_flat = lowpass.ndim == 2 and lowpass.shape[-1] == 1
         gm = None if gain_mask is None else jnp.asarray(gain_mask)
-        return self._inv(pyramid, gm, ret_flat=ret_flat)
+        return self._inv(pyramid, gm, ret_flat=ret_flat, ek=engine.trace_key())
 
-    def _inverse_impl(self, pyramid: Pyramid, gain_mask, *, ret_flat: bool):
+    def _inverse_impl(self, pyramid: Pyramid, gain_mask, *, ret_flat: bool,
+                      ek=None):
         _, g0o, _, g1o = self.biort
         _, _, g0a, g0b, _, _, g1a, g1b = self.qshift
 

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from dtcwt_tpu.coeffs import biort as _biort, qshift as _qshift
-from dtcwt_tpu.ops import fb
+from dtcwt_tpu.ops import engine, fb
 from dtcwt_tpu.ops.packing import q2c, c2q
 from dtcwt_tpu.transforms.pyramid import Pyramid
 
@@ -83,6 +83,23 @@ def _gains(gain_mask, band0: int, band1: int, level: int):
     return gain_mask[band0, level], gain_mask[band1, level]
 
 
+def _pack_bands(lohi, hilo, hihi):
+    """Quad->complex pack of the three highpass images into the 6 oriented
+    subbands (order 15/45/75/105/135/165 deg, reference
+    ``numpy/transform2d.py:112-130``).  Uses the fused Pallas Q2C kernel when
+    the engine allows it, else the XLA layout ops."""
+    if engine.use_pallas():
+        from dtcwt_tpu.ops import pallas_fb
+        z = pallas_fb.q2c_fused(lohi, hilo, hihi)
+        if z is not None:
+            return z
+    b05 = q2c(lohi)
+    b23 = q2c(hilo)
+    b14 = q2c(hihi)
+    return jnp.stack([b05[0], b14[0], b23[0], b23[1], b14[1], b05[1]],
+                     axis=-1)
+
+
 class Transform2d:
     """An n-level 2-D DTCWT parameterised by *biort* (level-1) and *qshift*
     (level>=2) wavelets — named families or explicit coefficient tuples."""
@@ -91,8 +108,8 @@ class Transform2d:
         self.biort = normalize_biort(biort)
         self.qshift = normalize_qshift(qshift)
         self._fwd = jax.jit(self._forward_impl,
-                            static_argnames=("nlevels", "include_scale"))
-        self._inv = jax.jit(self._inverse_impl)
+                            static_argnames=("nlevels", "include_scale", "ek"))
+        self._inv = jax.jit(self._inverse_impl, static_argnames=("ek",))
 
     # ------------------------------------------------------------------
     # forward
@@ -108,9 +125,11 @@ class Transform2d:
         X = jnp.asarray(X)
         if X.ndim < 2:
             raise ValueError("Transform2d.forward needs at least a 2-D input")
-        return self._fwd(X, nlevels=nlevels, include_scale=include_scale)
+        return self._fwd(X, nlevels=nlevels, include_scale=include_scale,
+                         ek=engine.trace_key())
 
-    def _forward_impl(self, X, *, nlevels: int, include_scale: bool) -> Pyramid:
+    def _forward_impl(self, X, *, nlevels: int, include_scale: bool,
+                      ek=None) -> Pyramid:
         b = self.biort
         h0o, h1o = b[0], b[2]
         h2o = b[4] if len(b) == 6 else None
@@ -136,15 +155,14 @@ class Transform2d:
         lo = fb.filter_axis(X, h0o, -2)
         hi = fb.filter_axis(X, h1o, -2)
         lolo = fb.filter_axis(lo, h0o, -1)
-        band05 = q2c(fb.filter_axis(hi, h0o, -1))
-        band23 = q2c(fb.filter_axis(lo, h1o, -1))
+        im05 = fb.filter_axis(hi, h0o, -1)
+        im23 = fb.filter_axis(lo, h1o, -1)
         if h2o is not None:
             ba = fb.filter_axis(X, h2o, -2)
-            band14 = q2c(fb.filter_axis(ba, h2o, -1))
+            im14 = fb.filter_axis(ba, h2o, -1)
         else:
-            band14 = q2c(fb.filter_axis(hi, h1o, -1))
-        Yh.append(jnp.stack([band05[0], band14[0], band23[0],
-                             band23[1], band14[1], band05[1]], axis=-1))
+            im14 = fb.filter_axis(hi, h1o, -1)
+        Yh.append(_pack_bands(im05, im23, im14))
         if include_scale:
             Yscale.append(lolo)
 
@@ -159,18 +177,84 @@ class Transform2d:
             if h2b is not None:
                 ba = fb.dfilt_axis(lolo, h2b, h2a, -2)
             lolo = fb.dfilt_axis(lo, h0b, h0a, -1)
-            band05 = q2c(fb.dfilt_axis(hi, h0b, h0a, -1))
-            band23 = q2c(fb.dfilt_axis(lo, h1b, h1a, -1))
+            im05 = fb.dfilt_axis(hi, h0b, h0a, -1)
+            im23 = fb.dfilt_axis(lo, h1b, h1a, -1)
             if h2b is not None:
-                band14 = q2c(fb.dfilt_axis(ba, h2b, h2a, -1))
+                im14 = fb.dfilt_axis(ba, h2b, h2a, -1)
             else:
-                band14 = q2c(fb.dfilt_axis(hi, h1b, h1a, -1))
-            Yh.append(jnp.stack([band05[0], band14[0], band23[0],
-                                 band23[1], band14[1], band05[1]], axis=-1))
+                im14 = fb.dfilt_axis(hi, h1b, h1a, -1)
+            Yh.append(_pack_bands(im05, im23, im14))
             if include_scale:
                 Yscale.append(lolo)
 
         return Pyramid(lolo, tuple(Yh), tuple(Yscale) if include_scale else None)
+
+    # ------------------------------------------------------------------
+    # channel/batch layout adapters
+    # ------------------------------------------------------------------
+    _FORMATS_3D = ("nhw", "chw", "hwn", "hwc")
+    _FORMATS_4D = ("nchw", "nhwc")
+
+    @classmethod
+    def _check_format(cls, data_format: str, ndim: int) -> str:
+        fmt = data_format.lower()
+        formats = cls._FORMATS_3D + cls._FORMATS_4D
+        if fmt not in formats:
+            raise ValueError("The data format must be one of: %s" % (formats,))
+        want = 3 if fmt in cls._FORMATS_3D else 4
+        if ndim != want:
+            raise ValueError("%r data format expects a %d-D input, got %d-D"
+                             % (fmt, want, ndim))
+        return fmt
+
+    def forward_channels(self, X, data_format, nlevels: int = 3,
+                         include_scale: bool = False) -> Pyramid:
+        """Forward transform of a batch of multi-channel images, performing
+        the DTCWT independently on each channel.
+
+        *data_format* is one of ``nhw``/``chw``/``hwn``/``hwc`` (3-D inputs)
+        or ``nchw``/``nhwc`` (4-D); outputs keep the batch/channel axes in the
+        same positions as the input (reference surface:
+        ``tf/transform2d.py:179-336``).  Because the core transform is batched
+        over arbitrary leading axes, this is a pure layout adapter — there is
+        no channels-into-batch copy as in the reference (:252-276).
+        """
+        X = jnp.asarray(X)
+        fmt = self._check_format(data_format, X.ndim)
+        if fmt in ("hwn", "hwc"):
+            X = jnp.moveaxis(X, -1, 0)
+        elif fmt == "nhwc":
+            X = jnp.moveaxis(X, -1, 1)
+        p = self.forward(X, nlevels, include_scale)
+        if fmt in ("nhw", "chw", "nchw"):
+            return p
+        src, img_dst, hp_dst = ((0, -1, -2) if fmt in ("hwn", "hwc")
+                                else (1, -1, -2))
+        img = lambda a: jnp.moveaxis(a, src, img_dst)
+        hp = lambda a: jnp.moveaxis(a, src, hp_dst)
+        return Pyramid(img(p.lowpass), tuple(hp(h) for h in p.highpasses),
+                       None if p.scales is None
+                       else tuple(img(s) for s in p.scales))
+
+    def inverse_channels(self, pyramid: Pyramid, data_format, gain_mask=None):
+        """Inverse of :meth:`forward_channels` — *data_format* must match the
+        one used by the forward call (reference: ``tf/transform2d.py:422``)."""
+        low = jnp.asarray(pyramid.lowpass)
+        fmt = self._check_format(data_format, low.ndim)
+        if fmt in ("nhw", "chw", "nchw"):
+            p = pyramid
+        else:
+            # channel axis: -1 in images, -2 in [..., H, W, 6] highpasses
+            ch_dst = 0 if fmt in ("hwn", "hwc") else 1
+            img = lambda a: jnp.moveaxis(jnp.asarray(a), -1, ch_dst)
+            hp = lambda a: jnp.moveaxis(jnp.asarray(a), -2, ch_dst)
+            p = Pyramid(img(low), tuple(hp(h) for h in pyramid.highpasses))
+        Z = self.inverse(p, gain_mask)
+        if fmt in ("hwn", "hwc"):
+            return jnp.moveaxis(Z, 0, -1)
+        if fmt == "nhwc":
+            return jnp.moveaxis(Z, 1, -1)
+        return Z
 
     # ------------------------------------------------------------------
     # inverse
@@ -178,11 +262,10 @@ class Transform2d:
     def inverse(self, pyramid: Pyramid, gain_mask=None):
         """Inverse transform.  *gain_mask* is an optional ``(6, nlevels)``
         array of per-subband gains (reference: ``transform2d.py:190-295``)."""
-        if gain_mask is None:
-            return self._inv(pyramid, None)
-        return self._inv(pyramid, jnp.asarray(gain_mask))
+        gm = None if gain_mask is None else jnp.asarray(gain_mask)
+        return self._inv(pyramid, gm, ek=engine.trace_key())
 
-    def _inverse_impl(self, pyramid: Pyramid, gain_mask):
+    def _inverse_impl(self, pyramid: Pyramid, gain_mask, *, ek=None):
         b = self.biort
         g0o, g1o = b[1], b[3]
         g2o = b[5] if len(b) == 6 else None

@@ -25,7 +25,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from dtcwt_tpu.ops import fb
+from dtcwt_tpu.ops import engine, fb
 from dtcwt_tpu.ops.packing import cube2c, c2cube
 from dtcwt_tpu.transforms.pyramid import Pyramid
 from dtcwt_tpu.transforms.transform2d import (
@@ -75,8 +75,8 @@ class Transform3d:
         self.ext_mode = ext_mode
         self._fwd = jax.jit(self._forward_impl,
                             static_argnames=("nlevels", "include_scale",
-                                             "discard_level_1"))
-        self._inv = jax.jit(self._inverse_impl)
+                                             "discard_level_1", "ek"))
+        self._inv = jax.jit(self._inverse_impl, static_argnames=("ek",))
 
     # ------------------------------------------------------------------
     # forward
@@ -96,9 +96,11 @@ class Transform3d:
                     "Input shape should be a multiple of %d in each direction"
                     " when ext_mode == %d" % (div, self.ext_mode))
         return self._fwd(X, nlevels=nlevels, include_scale=include_scale,
-                         discard_level_1=discard_level_1)
+                         discard_level_1=discard_level_1,
+                         ek=engine.trace_key())
 
-    def _forward_impl(self, X, *, nlevels, include_scale, discard_level_1):
+    def _forward_impl(self, X, *, nlevels, include_scale, discard_level_1,
+                      ek=None):
         b = self.biort
         h0o, h1o = b[0], b[2]
         q = self.qshift
@@ -192,9 +194,9 @@ class Transform3d:
     def inverse(self, pyramid: Pyramid):
         """Inverse transform.  A ``None`` first highpass entry (from
         ``discard_level_1``) is treated as zero."""
-        return self._inv(pyramid)
+        return self._inv(pyramid, ek=engine.trace_key())
 
-    def _inverse_impl(self, pyramid: Pyramid):
+    def _inverse_impl(self, pyramid: Pyramid, *, ek=None):
         b = self.biort
         g0o, g1o = b[1], b[3]
         q = self.qshift

@@ -1,0 +1,138 @@
+"""Pallas kernel parity tests.
+
+The Pallas kernels are the TPU-native equivalents of the reference's four
+OpenCL kernels (``/root/reference/dtcwt/opencl/lowlevel.py:384-654``); these
+tests mirror the reference's OpenCL test strategy (``tests/test_opencl*.py``):
+each accelerated primitive is checked against the portable implementation at
+f32 tolerance (reference bar: 1e-3, ``test_openclxfm2.py:12``; we hold the
+much tighter 1e-4 since the arithmetic is identical).  On CPU hosts the
+kernels run through the Pallas interpreter — the analogue of the reference's
+"skip if no CL device" is not needed.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from dtcwt_tpu.coeffs import biort, qshift
+from dtcwt_tpu.ops import engine, fb, pallas_fb
+from dtcwt_tpu.ops.packing import q2c
+
+TOL = 1e-4
+
+H0O, G0O, H1O, G1O = biort("near_sym_a")
+Q = qshift("qshift_a")
+QD = qshift("qshift_d")   # 18-tap: the longest published qshift family
+
+
+def _err(a, b):
+    a, b = np.asarray(a, np.complex128), np.asarray(b, np.complex128)
+    assert a.shape == b.shape, (a.shape, b.shape)
+    return float(np.abs(a - b).max())
+
+
+@pytest.mark.parametrize("shape", [(64, 96), (2, 64, 96), (36, 128),
+                                   (3, 2, 32, 32), (8, 130)])
+@pytest.mark.parametrize("axis", [-2, -1])
+@pytest.mark.parametrize("h", [H0O, H1O], ids=["h0o", "h1o"])
+def test_filter_matches_xla(shape, axis, h):
+    x = np.random.RandomState(0).randn(*shape).astype(np.float32)
+    ref = fb.filter_axis(jnp.asarray(x, jnp.float64), h, axis)
+    got = pallas_fb.filter_axis(jnp.asarray(x), h, axis)
+    assert got is not None
+    assert _err(got, ref) < TOL
+
+
+@pytest.mark.parametrize("shape", [(64, 96), (2, 64, 96), (16, 128)])
+@pytest.mark.parametrize("axis", [-2, -1])
+@pytest.mark.parametrize("fam", [Q, QD], ids=["qshift_a", "qshift_d"])
+def test_dfilt_matches_xla(shape, axis, fam):
+    x = np.random.RandomState(1).randn(*shape).astype(np.float32)
+    for (ha, hb) in [(fam[1], fam[0]), (fam[5], fam[4])]:
+        ref = fb.dfilt_axis(jnp.asarray(x, jnp.float64), ha, hb, axis)
+        got = pallas_fb.dfilt_axis(jnp.asarray(x), ha, hb, axis)
+        if got is None:
+            # Outside the kernel envelope (filter support exceeds the signal)
+            # -> the dispatch layer falls back to XLA; nothing to compare.
+            assert len(np.asarray(ha)) > x.shape[axis]
+            continue
+        assert _err(got, ref) < TOL
+
+
+@pytest.mark.parametrize("shape", [(64, 96), (2, 64, 96), (16, 128)])
+@pytest.mark.parametrize("axis", [-2, -1])
+@pytest.mark.parametrize("fam", [Q, QD], ids=["qshift_a", "qshift_d"])
+def test_ifilt_matches_xla(shape, axis, fam):
+    x = np.random.RandomState(2).randn(*shape).astype(np.float32)
+    for (ha, hb) in [(fam[2], fam[3]), (fam[6], fam[7])]:
+        ref = fb.ifilt_axis(jnp.asarray(x, jnp.float64), ha, hb, axis)
+        got = pallas_fb.ifilt_axis(jnp.asarray(x), ha, hb, axis)
+        assert got is not None
+        assert _err(got, ref) < TOL
+
+
+@pytest.mark.parametrize("shape", [(64, 96), (2, 32, 64)])
+def test_q2c_fused_matches_xla(shape):
+    rng = np.random.RandomState(3)
+    lohi, hilo, hihi = (rng.randn(*shape).astype(np.float32)
+                        for _ in range(3))
+    b05 = q2c(jnp.asarray(lohi, jnp.float64))
+    b23 = q2c(jnp.asarray(hilo, jnp.float64))
+    b14 = q2c(jnp.asarray(hihi, jnp.float64))
+    ref = jnp.stack([b05[0], b14[0], b23[0], b23[1], b14[1], b05[1]], axis=-1)
+    got = pallas_fb.q2c_fused(jnp.asarray(lohi), jnp.asarray(hilo),
+                              jnp.asarray(hihi))
+    assert got is not None
+    assert _err(got, ref) < TOL
+
+
+def test_f64_falls_back_to_xla():
+    x = jnp.asarray(np.random.RandomState(4).randn(32, 32))
+    assert x.dtype == jnp.float64
+    assert pallas_fb.filter_axis(x, H0O, -2) is None
+
+
+def test_transform2d_pallas_engine_end_to_end():
+    import dtcwt_tpu as dt
+    x = np.random.RandomState(5).rand(3, 128, 96).astype(np.float32)
+    t = dt.Transform2d(biort="near_sym_b", qshift="qshift_b")
+    with engine.engine("xla"):
+        px = t.forward(x, 3, include_scale=True)
+        rx = t.inverse(px)
+    with engine.engine("pallas"):
+        pp = t.forward(x, 3, include_scale=True)
+        rp = t.inverse(pp)
+    assert _err(pp.lowpass, px.lowpass) < TOL
+    for a, b in zip(pp.highpasses, px.highpasses):
+        assert _err(a, b) < TOL
+    for a, b in zip(pp.scales, px.scales):
+        assert _err(a, b) < TOL
+    assert float(np.abs(np.asarray(rp) - x).max()) < 1e-4
+    assert _err(rp, rx) < TOL
+
+
+def test_transform1d_transform3d_pallas_engine():
+    import dtcwt_tpu as dt
+    with engine.engine("pallas"):
+        v = np.random.RandomState(6).rand(256, 4).astype(np.float32)
+        p1 = dt.Transform1d().forward(v, 4)
+        r1 = dt.Transform1d().inverse(p1)
+        assert float(np.abs(np.asarray(r1) - v).max()) < 1e-4
+
+        vol = np.random.RandomState(7).rand(32, 32, 32).astype(np.float32)
+        p3 = dt.Transform3d().forward(vol, 2)
+        r3 = dt.Transform3d().inverse(p3)
+        assert float(np.abs(np.asarray(r3) - vol).max()) < 1e-4
+
+
+def test_engine_api():
+    assert engine.get_engine() in ("auto", "xla", "pallas")
+    prev = engine.get_engine()
+    with engine.engine("pallas"):
+        assert engine.get_engine() == "pallas"
+        assert engine.use_pallas()
+        with engine.engine("xla"):
+            assert not engine.use_pallas()
+    assert engine.get_engine() == prev
+    with pytest.raises(ValueError):
+        engine.set_engine("opencl")
