@@ -76,6 +76,37 @@ def load_reference():
     return ref_dtcwt
 
 
+def summarise_mat(M, apron=8):
+    """Summary matrix: keep the four apron-sized corners exactly, replace
+    edge strips by their means along the interior axis and the interior by
+    its scalar mean — the MATLAB-verification storage scheme (behavioural
+    port of reference ``tests/util.py:47-60``; rationale comment at
+    ``tests/test_againstmatlab.py:15-35``)."""
+    M = np.asarray(M)
+    c = M[apron:-apron, apron:-apron, ...]
+    centre = c.mean(axis=0, keepdims=True).mean(axis=1, keepdims=True)[0, 0]
+    top = M[:apron, apron:-apron, ...].mean(axis=1)
+    bot = M[-apron:, apron:-apron, ...].mean(axis=1)
+    left = M[apron:-apron, :apron, ...].mean(axis=0)
+    right = M[apron:-apron, -apron:, ...].mean(axis=0)
+    return np.vstack((
+        np.hstack((M[:apron, :apron, ...], top[:, None, ...],
+                   M[:apron, -apron:, ...])),
+        np.hstack((left[None, :, ...], centre[None, None, ...],
+                   right[None, :, ...])),
+        np.hstack((M[-apron:, :apron, ...], bot[:, None, ...],
+                   M[-apron:, -apron:, ...])),
+    ))
+
+
+def summarise_cube(M, apron=4):
+    """Per-plane :func:`summarise_mat` over the third axis (reference
+    ``tests/util.py:62-66``)."""
+    M = np.asarray(M)
+    return np.dstack([summarise_mat(M[:, :, i, ...], apron)
+                      for i in range(M.shape[2])])
+
+
 def mandrill():
     """The 512x512 float64 mandrill test image in [0, 1]."""
     with np.load(REFERENCE_PATH + "/tests/mandrill.npz") as f:
