@@ -16,9 +16,10 @@ registration module runs them inside one compiled program).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
-from dtcwt_tpu.utils import reflect
+from dtcwt_tpu.utils import asdevice, reflect
 
 __all__ = (
     "sample", "sample_highpass",
@@ -96,6 +97,7 @@ def _sample_lanczos(im, xs, ys):
 def sample(im, xs, ys, method=None):
     """Sample *im* at fractional centre-of-pixel coordinates (xs, ys) using
     ``'lanczos'`` (default), ``'bilinear'`` or ``'nearest'`` interpolation."""
+    im = asdevice(im)
     method = method or "lanczos"
     if method == "bilinear":
         return _sample_bilinear(im, xs, ys)
@@ -129,10 +131,13 @@ def _phase_image(xs, ys, unwrap=True, sbs=None):
     sbs = np.arange(6) if sbs is None else np.asarray(sbs)
     xs = jnp.asarray(xs)
     ys = jnp.asarray(ys)
+    sign = -1.0 if unwrap else 1.0
     slices = []
     for sb in sbs:
         ph = DTHETA_DX_2D[sb] * xs + DTHETA_DY_2D[sb] * ys
-        slices.append(jnp.exp((-1j if unwrap else 1j) * ph))
+        # exp(sign*j*ph) as cos + j sin: avoids complex scalar constants,
+        # whose host->device transfer is UNIMPLEMENTED on some backends.
+        slices.append(jax.lax.complex(jnp.cos(ph), sign * jnp.sin(ph)))
     return jnp.stack(slices, axis=-1)
 
 
@@ -140,6 +145,7 @@ def sample_highpass(im, xs, ys, method=None, sbs=None):
     """As :func:`sample` for complex highpass subband stacks ``[H, W, 6]``:
     unwrap each subband's expected phase ramp to ~DC, sample, re-wrap.
     *sbs* selects/reorders subbands."""
+    im = asdevice(im)
     sbs = np.arange(6) if sbs is None else np.asarray(sbs)
     X, Y = np.meshgrid(np.arange(im.shape[1]), np.arange(im.shape[0]))
     im_unwrap = im[:, :, sbs] * _phase_image(X, Y, True, sbs)
@@ -149,6 +155,7 @@ def sample_highpass(im, xs, ys, method=None, sbs=None):
 
 def rescale_highpass(im, shape, method=None, sbs=None):
     """As :func:`rescale` with the highpass phase unwrap/re-wrap."""
+    im = asdevice(im)
     sbs = np.arange(6) if sbs is None else np.asarray(sbs)
     sxs, sys = _rescale_grid(im.shape, shape)
     X, Y = np.meshgrid(np.arange(im.shape[1]), np.arange(im.shape[0]))
@@ -207,7 +214,7 @@ def upsample(image, method=None):
 def upsample_highpass(im, method=None):
     """As :func:`upsample` for complex subband stacks, with the phase
     unwrap/re-wrap around the interpolation."""
-    im = jnp.atleast_2d(jnp.asarray(im))
+    im = jnp.atleast_2d(asdevice(im))
     dxs, dys = np.meshgrid(np.arange(im.shape[1] * 2), np.arange(im.shape[0] * 2))
     sxs = 0.5 * (dxs + 0.5) - 0.5
     sys = 0.5 * (dys + 0.5) - 0.5

@@ -59,3 +59,15 @@ class Pyramid:
         return "Pyramid(lowpass={}, highpasses=[{}]{})".format(
             tuple(self.lowpass.shape), hp,
             "" if self.scales is None else ", scales=%d" % len(self.scales))
+
+
+def pyramid_to_device(p: Pyramid) -> Pyramid:
+    """Move a (possibly host-side, possibly complex) pyramid onto the device
+    via :func:`dtcwt_tpu.utils.asdevice` (complex host arrays transfer as
+    real/imag planes on backends without complex DMA support)."""
+    from dtcwt_tpu.utils import asdevice
+    return Pyramid(asdevice(p.lowpass),
+                   tuple(None if h is None else asdevice(h)
+                         for h in p.highpasses),
+                   None if p.scales is None
+                   else tuple(asdevice(s) for s in p.scales))

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from dtcwt_tpu.ops import engine, fb
 from dtcwt_tpu.ops.packing import q2c1d, c2q1d
-from dtcwt_tpu.transforms.pyramid import Pyramid
+from dtcwt_tpu.transforms.pyramid import Pyramid, pyramid_to_device
 from dtcwt_tpu.transforms.transform2d import (
     DEFAULT_BIORT, DEFAULT_QSHIFT, normalize_biort, normalize_qshift,
     _pad_multiple4)
@@ -113,6 +113,7 @@ class Transform1d:
     def inverse(self, pyramid: Pyramid, gain_mask=None):
         """Inverse transform.  *gain_mask* is an optional length-``nlevels``
         vector of per-level gains."""
+        pyramid = pyramid_to_device(pyramid)
         lowpass = jnp.asarray(pyramid.lowpass)
         ret_flat = lowpass.ndim == 2 and lowpass.shape[-1] == 1
         gm = None if gain_mask is None else jnp.asarray(gain_mask)

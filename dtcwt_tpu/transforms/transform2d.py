@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from dtcwt_tpu.coeffs import biort as _biort, qshift as _qshift
 from dtcwt_tpu.ops import engine, fb
 from dtcwt_tpu.ops.packing import q2c, c2q
-from dtcwt_tpu.transforms.pyramid import Pyramid
+from dtcwt_tpu.transforms.pyramid import Pyramid, pyramid_to_device
 
 __all__ = ["Transform2d", "DEFAULT_BIORT", "DEFAULT_QSHIFT"]
 
@@ -263,6 +263,7 @@ class Transform2d:
         """Inverse transform.  *gain_mask* is an optional ``(6, nlevels)``
         array of per-subband gains (reference: ``transform2d.py:190-295``)."""
         gm = None if gain_mask is None else jnp.asarray(gain_mask)
+        pyramid = pyramid_to_device(pyramid)
         return self._inv(pyramid, gm, ek=engine.trace_key())
 
     def _inverse_impl(self, pyramid: Pyramid, gain_mask, *, ek=None):

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from dtcwt_tpu.ops import engine, fb
 from dtcwt_tpu.ops.packing import cube2c, c2cube
-from dtcwt_tpu.transforms.pyramid import Pyramid
+from dtcwt_tpu.transforms.pyramid import Pyramid, pyramid_to_device
 from dtcwt_tpu.transforms.transform2d import (
     DEFAULT_BIORT, DEFAULT_QSHIFT, normalize_biort, normalize_qshift)
 
@@ -194,6 +194,7 @@ class Transform3d:
     def inverse(self, pyramid: Pyramid):
         """Inverse transform.  A ``None`` first highpass entry (from
         ``discard_level_1``) is treated as zero."""
+        pyramid = pyramid_to_device(pyramid)
         return self._inv(pyramid, ek=engine.trace_key())
 
     def _inverse_impl(self, pyramid: Pyramid, *, ek=None):

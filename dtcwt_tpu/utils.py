@@ -18,10 +18,56 @@ except Exception:  # pragma: no cover
 
 __all__ = [
     "reflect", "asfarray", "appropriate_complex_type_for", "as_column_vector",
-    "drawedge", "drawcirc", "unpack",
+    "asnumpy", "asdevice", "drawedge", "drawcirc", "unpack",
     "stacked_2d_matrix_vector_prod", "stacked_2d_vector_matrix_prod",
     "stacked_2d_matrix_matrix_prod",
 ]
+
+_SPLIT_COMPLEX = None
+
+
+def asnumpy(x):
+    """Device array -> numpy, robust to backends whose device-to-host
+    transfer lacks complex support (e.g. remote-TPU tunnels): complex arrays
+    are split into real/imag on device and reassembled on the host.  Plain
+    numpy/host inputs pass through ``np.asarray``."""
+    global _SPLIT_COMPLEX
+    if jnp is None or not hasattr(x, "dtype"):
+        return np.asarray(x)
+    if not np.issubdtype(np.dtype(x.dtype), np.complexfloating):
+        return np.asarray(x)
+    if isinstance(x, np.ndarray):
+        return x
+    # Always split on device: a direct complex transfer is UNIMPLEMENTED on
+    # some backends (remote-TPU tunnels) and attempting it first can poison
+    # the buffer; the split costs one trivial fused kernel elsewhere.
+    import jax
+    if _SPLIT_COMPLEX is None:
+        _SPLIT_COMPLEX = jax.jit(lambda z: (z.real, z.imag))
+    re, im = _SPLIT_COMPLEX(x)
+    return np.asarray(re) + 1j * np.asarray(im)
+
+
+def asdevice(x):
+    """Host array -> device array, robust to backends whose host-to-device
+    transfer lacks complex support (e.g. remote-TPU tunnels): complex hosts
+    arrays are transferred as real/imag planes and recombined on device.
+    Device arrays pass through unchanged."""
+    if jnp is None:
+        return x
+    if isinstance(x, jnp.ndarray) or not hasattr(x, "dtype"):
+        return jnp.asarray(x)
+    x = np.asarray(x)
+    if not np.issubdtype(x.dtype, np.complexfloating):
+        return jnp.asarray(x)
+    # Always transfer complex as two real planes: complex DMA is
+    # UNIMPLEMENTED on some backends (remote-TPU tunnels), transfers are
+    # async so a try/except around jnp.asarray cannot catch it, and the
+    # recombine is one trivial fused op elsewhere.
+    from jax import lax
+    re = jnp.asarray(np.ascontiguousarray(x.real))
+    im = jnp.asarray(np.ascontiguousarray(x.imag))
+    return lax.complex(re, im)
 
 
 def reflect(x, minx, maxx):
