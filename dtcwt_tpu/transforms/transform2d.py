@@ -88,7 +88,7 @@ def _pack_bands(lohi, hilo, hihi):
     subbands (order 15/45/75/105/135/165 deg, reference
     ``numpy/transform2d.py:112-130``).  Uses the fused Pallas Q2C kernel when
     the engine allows it, else the XLA layout ops."""
-    if engine.use_pallas():
+    if engine.use_pallas_q2c():
         from dtcwt_tpu.ops import pallas_fb
         z = pallas_fb.q2c_fused(lohi, hilo, hihi)
         if z is not None:
