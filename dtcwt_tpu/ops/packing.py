@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 import jax.numpy as jnp
+from jax import lax
 
 __all__ = ["q2c", "c2q", "q2c1d", "c2q1d", "cube2c", "c2cube",
            "interleave_axis"]
@@ -50,11 +51,13 @@ def q2c(y):
     b = ev[..., 1::2]
     c = od[..., 0::2]
     d = od[..., 1::2]
+    # Complex values are assembled with lax.complex rather than 1j-scalar
+    # constants: complex host->device constant transfers are UNIMPLEMENTED
+    # on some backends (remote-TPU tunnels), and this also keeps the real
+    # and imaginary pipelines independent for XLA to fuse.
     sc = jnp.asarray(_SQRT_HALF, y.dtype)
-    j = jnp.asarray(1j, _complex_dtype(y.dtype))
-    p = a * sc + j * (b * sc)
-    q = d * sc - j * (c * sc)
-    return p - q, p + q
+    return (lax.complex((a - d) * sc, (b + c) * sc),
+            lax.complex((a + d) * sc, (b - c) * sc))
 
 
 def c2q(w0, w1, g0=1.0, g1=1.0):
@@ -100,12 +103,11 @@ def cube2c(y):
     D, H = _split2(o0o1, y.ndim - 1)
 
     half = jnp.asarray(0.5, y.dtype)
-    j = jnp.asarray(1j, _complex_dtype(y.dtype))
 
-    p = (A - G - D - F) * half + j * ((B - H + C + E) * half)
-    q = (A - G + D + F) * half + j * ((-B + H + C + E) * half)
-    r = (A + G + D - F) * half + j * ((B + H - C + E) * half)
-    s = (A + G - D + F) * half + j * ((-B - H - C + E) * half)
+    p = lax.complex((A - G - D - F) * half, (B - H + C + E) * half)
+    q = lax.complex((A - G + D + F) * half, (-B + H + C + E) * half)
+    r = lax.complex((A + G + D - F) * half, (B + H - C + E) * half)
+    s = lax.complex((A + G - D + F) * half, (-B - H - C + E) * half)
     return jnp.stack([p, q, r, s], axis=-1)
 
 
@@ -148,8 +150,7 @@ def q2c1d(y, axis: int = 0):
     idx_odd = [slice(None)] * y.ndim
     idx_even[axis] = slice(0, None, 2)
     idx_odd[axis] = slice(1, None, 2)
-    j = jnp.asarray(1j, _complex_dtype(y.dtype))
-    return y[tuple(idx_even)] + j * y[tuple(idx_odd)]
+    return lax.complex(y[tuple(idx_even)], y[tuple(idx_odd)])
 
 
 def c2q1d(z, axis: int = 0):

@@ -1,0 +1,262 @@
+"""Fused Pallas kernel for the whole level-1 2-D DTCWT forward stage.
+
+The unfused path runs level 1 as seven separate passes (three column
+filters, four row filters — each with transposes — plus the quad→complex
+pack), every one a full HBM round trip.  This kernel reads the input once
+per tile and emits the level-1 lowpass and all six oriented subbands in a
+single pass:
+
+    X ──col h0o──► lo ──row h0o──► lolo           (kept full-resolution)
+        col h1o──► hi ──row h0o──► im05 ─┐
+                   lo ──row h1o──► im23 ─┼─ q2c ─► 6 complex subbands
+                   hi ──row h1o──► im14 ─┘
+
+(reference semantics: ``/root/reference/dtcwt/numpy/transform2d.py:112-130``
+with ``q2c`` :301-322; the standard 4-filter biorthogonal families only —
+the bandpass variants take the unfused path).
+
+Mosaic-shaped design decisions:
+
+* Everything is computed in **column-parity split space**: the wrapper
+  splits the image into even/odd column planes (one fast XLA stride-2 pass)
+  because lane-axis deinterleaves do not lower inside kernels.  Row
+  convolutions become two-phase polyphase sums over the split planes, and
+  the q2c quad corners fall out directly as (row-parity × plane) selections.
+* The wrapper also pre-extends 64 reflected boundary columns onto each side
+  of each plane (``lax.rev`` does not lower in kernels, and manual-DMA lane
+  offsets must stay 128-aligned).  Under column-parity splitting the
+  symmetric reflection *swaps planes*: the even plane's margins come from
+  the odd plane reversed, and vice versa.
+* Rows are tiled with the same halo-slab DMA + in-kernel mirror fill as
+  :mod:`dtcwt_tpu.ops.pallas_fb`.
+* Mosaic allocates every unrolled tap temporary on its scoped VMEM stack,
+  which caps the tile height.  To keep tiles big the work is staged over a
+  third ("arbitrary", sequential) grid dimension: step 0 DMAs the slabs,
+  runs the column filters into persistent scratch and emits the lowpass;
+  steps 1-3 each run one row-filter band group + quad pack from that
+  scratch, so only one group's tap temporaries are ever live.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dtcwt_tpu.ops.pallas_fb import (
+    _SUBLANE, _LANE, _flatten_batch, _interpret, _load_slab, _round_up)
+
+__all__ = ["fwd_level1"]
+
+_MARGIN = 64              # reflected boundary columns per side (split units)
+_TILE_BYTES = 14 * 1024 * 1024
+
+
+def _corr_rows(ext, taps, n_out: int, offset: int):
+    """Valid correlation along the sublane axis at static offset."""
+    acc = None
+    for k, t in enumerate(taps):
+        sl = lax.slice_in_dim(ext, offset + k, offset + k + n_out, axis=0)
+        term = sl * jnp.asarray(t, ext.dtype)
+        acc = term if acc is None else acc + term
+    return acc
+
+
+@functools.lru_cache(maxsize=None)
+def _build_level1(B: int, R: int, C2: int, h0bytes: bytes, h1bytes: bytes,
+                  dtype_str: str):
+    """C2 = C // 2 (split-plane width, a multiple of 128)."""
+    h0 = np.frombuffer(h0bytes, dtype=np.float64)
+    h1 = np.frombuffer(h1bytes, dtype=np.float64)
+    m0, m1 = h0.size, h1.size
+    if m0 % 2 == 0 or m1 % 2 == 0:
+        return None
+    p0, p1 = m0 // 2, m1 // 2
+    if max(p0, p1) > _MARGIN:
+        return None
+    pad_r = max(p0, p1)
+    pad8 = _round_up(pad_r, _SUBLANE)
+    W = C2 + 2 * _MARGIN                    # buffer width (multiple of 128)
+    dtype = jnp.dtype(dtype_str)
+
+    # Tile rows: scoped-VMEM stack = 2 slabs + 4 persistent column-filter
+    # planes + the live tap temporaries of the busiest stage.
+    temp_rows = 2 * (m0 + m1) + 2 * max(m0, m1) + 8
+    budget_rows = max(_TILE_BYTES // (W * dtype.itemsize), 1)
+    tr = None
+    # tr//2 is a block sublane dim, so tr must be a multiple of 16 (or R).
+    for t in (R, 512, 256, 128, 96, 64, 48, 32, 16):
+        if t > R or R % t:
+            continue
+        if t % 16 and not (t == R and (t // 2) % _SUBLANE == 0):
+            continue
+        if t < pad8:
+            continue
+        if 6 * t + 4 * pad8 + t * temp_rows <= budget_rows:
+            tr = t
+            break
+    if tr is None or pad8 > R:
+        return None
+    n_tiles = R // tr
+
+    h0r = tuple(float(v) for v in h0[::-1])
+    h1r = tuple(float(v) for v in h1[::-1])
+    sc = float(np.sqrt(0.5))
+
+    def row_conv_split(y_e, y_o, h: np.ndarray, pad_c: int):
+        """Polyphase lane convolution of the interleaved signal represented
+        by split planes (y_e, y_o), returning the (even, odd) output-column
+        planes over the central C2 lanes.
+
+        With ext[c] the lane-extended interleaved row and hr = h reversed:
+            Y[c]   = sum_d hr[pad_c + d] * ext[c + d]
+            Y_e[j] = Y[2j]:   d=2u -> y_e[j+u],  d=2u+1 -> y_o[j+u]
+            Y_o[j] = Y[2j+1]: d=2u -> y_o[j+u],  d=2u+1 -> y_e[j+u+1]
+        (buffer lane j+u sits at position j + MARGIN + u).
+        """
+        hr = h[::-1]
+        out_e = None
+        out_o = None
+        n = C2
+        for idx in range(h.size):
+            d = idx - pad_c
+            t = jnp.asarray(float(hr[idx]), y_e.dtype)
+            if d % 2 == 0:
+                u = d // 2
+                se = lax.slice_in_dim(y_e, _MARGIN + u, _MARGIN + u + n,
+                                      axis=1) * t
+                so = lax.slice_in_dim(y_o, _MARGIN + u, _MARGIN + u + n,
+                                      axis=1) * t
+            else:
+                u = (d - 1) // 2
+                se = lax.slice_in_dim(y_o, _MARGIN + u, _MARGIN + u + n,
+                                      axis=1) * t
+                so = lax.slice_in_dim(y_e, _MARGIN + u + 1,
+                                      _MARGIN + u + 1 + n, axis=1) * t
+            out_e = se if out_e is None else out_e + se
+            out_o = so if out_o is None else out_o + so
+        return out_e, out_o
+
+    # Band groups: (column-filter source plane pair, row filter), producing
+    # the band pairs (0,5), (1,4), (2,3) in that order.
+    groups = ((1, h0, p0), (1, h1, p1), (0, h1, p1))   # (hi/lo, h, pad)
+
+    def kernel(xe_hbm, xo_hbm, lolo_e_ref, lolo_o_ref, re_ref, im_ref,
+               se, so, cols, sem_e, sem_o):
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        k = pl.program_id(2)
+
+        @pl.when(k == 0)
+        def _():
+            _load_slab(xe_hbm, b, se, sem_e, tile_idx=i, n_tiles=n_tiles,
+                       t_in=tr, pad8=pad8, fill=pad_r, R=R)
+            _load_slab(xo_hbm, b, so, sem_o, tile_idx=i, n_tiles=n_tiles,
+                       t_in=tr, pad8=pad8, fill=pad_r, R=R)
+            exte = lax.slice_in_dim(se[:, :], pad8 - pad_r,
+                                    pad8 + pad_r + tr, axis=0)
+            exto = lax.slice_in_dim(so[:, :], pad8 - pad_r,
+                                    pad8 + pad_r + tr, axis=0)
+            # Column (sublane) filters into persistent scratch; offsets
+            # align shorter filters inside the max-halo window.
+            cols[0] = _corr_rows(exte, h0r, tr, pad_r - p0)   # lo_e
+            cols[1] = _corr_rows(exto, h0r, tr, pad_r - p0)   # lo_o
+            cols[2] = _corr_rows(exte, h1r, tr, pad_r - p1)   # hi_e
+            cols[3] = _corr_rows(exto, h1r, tr, pad_r - p1)   # hi_o
+            ll_e, ll_o = row_conv_split(cols[0], cols[1], h0, p0)
+            lolo_e_ref[0] = ll_e
+            lolo_o_ref[0] = ll_o
+
+        for g, (src, h, pc) in enumerate(groups):
+            @pl.when(k == g + 1)
+            def _(src=src, h=h, pc=pc, g=g):
+                y_e, y_o = row_conv_split(cols[2 * src], cols[2 * src + 1],
+                                          h, pc)
+                # Row-parity split via a sublane split reshape: quad corners
+                # a = even/even, b = even/odd, c = odd/even, d = odd/odd.
+                ye2 = y_e.reshape(tr // 2, 2, C2)
+                yo2 = y_o.reshape(tr // 2, 2, C2)
+                a, c = ye2[:, 0, :], ye2[:, 1, :]
+                bq, d = yo2[:, 0, :], yo2[:, 1, :]
+                # p = (a + jb)/sqrt2, q = (d - jc)/sqrt2; bands (p-q, p+q).
+                re_ref[0, 0, 0] = (a - d) * sc
+                im_ref[0, 0, 0] = (bq + c) * sc
+                re_ref[0, 0, 1] = (a + d) * sc
+                im_ref[0, 0, 1] = (bq - c) * sc
+
+    in_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+    lolo_spec = pl.BlockSpec((1, tr, C2), lambda b, i, k: (b, i, 0),
+                             memory_space=pltpu.VMEM)
+    band_spec = pl.BlockSpec(
+        (1, 1, 2, tr // 2, C2),
+        lambda b, i, k: (b, jnp.maximum(k - 1, 0), 0, i, 0),
+        memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=(B, n_tiles, 4),
+        in_specs=[in_spec, in_spec],
+        out_specs=(lolo_spec, lolo_spec, band_spec, band_spec),
+        out_shape=(jax.ShapeDtypeStruct((B, R, C2), dtype),
+                   jax.ShapeDtypeStruct((B, R, C2), dtype),
+                   jax.ShapeDtypeStruct((B, 3, 2, R // 2, C2), dtype),
+                   jax.ShapeDtypeStruct((B, 3, 2, R // 2, C2), dtype)),
+        scratch_shapes=[pltpu.VMEM((tr + 2 * pad8, W), dtype),
+                        pltpu.VMEM((tr + 2 * pad8, W), dtype),
+                        pltpu.VMEM((4, tr, W), dtype),
+                        pltpu.SemaphoreType.DMA(()),
+                        pltpu.SemaphoreType.DMA(())],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+        interpret=_interpret(),
+    )
+    return call
+
+
+def fwd_level1(X, h0o, h1o) -> Optional[Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Fused level-1 forward.  *X* is ``[..., R, C]`` real (R, C even; C/2 a
+    multiple of 128 on hardware so the split planes stay lane-aligned);
+    returns ``(lolo [..., R, C], Yh1 [..., R/2, C/2, 6] complex)`` or None
+    when the shape/filters are outside the kernel envelope.
+    """
+    h0 = np.asarray(h0o, np.float64).reshape(-1)
+    h1 = np.asarray(h1o, np.float64).reshape(-1)
+    if X.ndim < 2 or X.dtype not in (jnp.float32, jnp.bfloat16):
+        return None
+    R, C = X.shape[-2], X.shape[-1]
+    if R % 2 or C % 2:
+        return None
+    if not _interpret() and (C // 2) % _LANE:
+        return None
+    if C // 2 < _MARGIN * 2:
+        return None
+    x3, lead = _flatten_batch(X)
+    call = _build_level1(x3.shape[0], R, C // 2, h0.tobytes(), h1.tobytes(),
+                         str(x3.dtype))
+    if call is None:
+        return None
+
+    # Column-parity split + 64-column reflected margins (planes swap under
+    # reflection: X[-1]=X[0] is even-index, landing in the odd plane's
+    # margin and vice versa).
+    xe, xo = x3[:, :, 0::2], x3[:, :, 1::2]
+    xe_ext = jnp.concatenate([xo[:, :, _MARGIN - 1::-1], xe,
+                              xo[:, :, :-_MARGIN - 1:-1]], axis=2)
+    xo_ext = jnp.concatenate([xe[:, :, _MARGIN - 1::-1], xo,
+                              xe[:, :, :-_MARGIN - 1:-1]], axis=2)
+
+    lolo_e, lolo_o, re, im = call(xe_ext, xo_ext)
+
+    lolo = jnp.stack([lolo_e, lolo_o], axis=-1).reshape(x3.shape)
+    # (B, 3, 2, R/2, C2): groups x (p-q, p+q) -> band order 0..5.
+    z = lax.complex(re.astype(jnp.float32), im.astype(jnp.float32))
+    z = z.reshape(z.shape[0], 6, R // 2, C // 2)
+    order = jnp.asarray([0, 2, 4, 5, 3, 1])   # (05,14,23) pairs -> degrees
+    yh1 = jnp.moveaxis(z[:, order], 1, -1)    # (B, R/2, C/2, 6)
+    return (lolo.reshape(lead + lolo.shape[-2:]),
+            yh1.reshape(lead + yh1.shape[-3:]))

@@ -152,17 +152,27 @@ class Transform2d:
         Yscale = []
 
         # Level 1: odd (biort) filters, no decimation before the quad pack.
-        lo = fb.filter_axis(X, h0o, -2)
-        hi = fb.filter_axis(X, h1o, -2)
-        lolo = fb.filter_axis(lo, h0o, -1)
-        im05 = fb.filter_axis(hi, h0o, -1)
-        im23 = fb.filter_axis(lo, h1o, -1)
-        if h2o is not None:
-            ba = fb.filter_axis(X, h2o, -2)
-            im14 = fb.filter_axis(ba, h2o, -1)
+        # The Pallas engine fuses the whole level (three column filters, four
+        # row filters and the quad pack) into one kernel when in envelope.
+        fused = None
+        if h2o is None and engine.use_pallas():
+            from dtcwt_tpu.ops import pallas_level1
+            fused = pallas_level1.fwd_level1(X, h0o, h1o)
+        if fused is not None:
+            lolo, yh1 = fused
+            Yh.append(yh1)
         else:
-            im14 = fb.filter_axis(hi, h1o, -1)
-        Yh.append(_pack_bands(im05, im23, im14))
+            lo = fb.filter_axis(X, h0o, -2)
+            hi = fb.filter_axis(X, h1o, -2)
+            lolo = fb.filter_axis(lo, h0o, -1)
+            im05 = fb.filter_axis(hi, h0o, -1)
+            im23 = fb.filter_axis(lo, h1o, -1)
+            if h2o is not None:
+                ba = fb.filter_axis(X, h2o, -2)
+                im14 = fb.filter_axis(ba, h2o, -1)
+            else:
+                im14 = fb.filter_axis(hi, h1o, -1)
+            Yh.append(_pack_bands(im05, im23, im14))
         if include_scale:
             Yscale.append(lolo)
 

@@ -86,6 +86,40 @@ def test_q2c_fused_matches_xla(shape):
     assert _err(got, ref) < TOL
 
 
+@pytest.mark.parametrize("fam", ["near_sym_a", "near_sym_b"])
+@pytest.mark.parametrize("shape", [(256, 256), (2, 128, 256)])
+def test_fused_level1_matches_xla(fam, shape):
+    from dtcwt_tpu.ops import pallas_level1
+    h0o, _, h1o, _ = biort(fam)
+    x = np.random.RandomState(7).rand(*shape).astype(np.float32)
+    got = pallas_level1.fwd_level1(jnp.asarray(x), h0o, h1o)
+    assert got is not None
+    lolo_g, yh_g = got
+    with engine.engine("xla"):
+        X = jnp.asarray(x, jnp.float64)
+        lo = fb.filter_axis(X, h0o, -2)
+        hi = fb.filter_axis(X, h1o, -2)
+        lolo = fb.filter_axis(lo, h0o, -1)
+        b05 = q2c(fb.filter_axis(hi, h0o, -1))
+        b23 = q2c(fb.filter_axis(lo, h1o, -1))
+        b14 = q2c(fb.filter_axis(hi, h1o, -1))
+        yh = jnp.stack([b05[0], b14[0], b23[0], b23[1], b14[1], b05[1]],
+                       axis=-1)
+    assert _err(lolo_g, lolo) < TOL
+    assert _err(yh_g, yh) < TOL
+
+
+def test_fused_level1_out_of_envelope():
+    from dtcwt_tpu.ops import pallas_level1
+    h0o, _, h1o, _ = biort("near_sym_a")
+    # odd size -> None (the transform extends before calling the kernel)
+    assert pallas_level1.fwd_level1(
+        jnp.zeros((65, 128), jnp.float32), h0o, h1o) is None
+    # f64 -> None
+    assert pallas_level1.fwd_level1(
+        jnp.zeros((64, 512), jnp.float64), h0o, h1o) is None
+
+
 def test_f64_falls_back_to_xla():
     x = jnp.asarray(np.random.RandomState(4).randn(32, 32))
     assert x.dtype == jnp.float64
