@@ -182,6 +182,15 @@ class Transform2d:
                 lolo = _pad_multiple4(lolo, -2)
             if lolo.shape[-1] % 4 != 0:
                 lolo = _pad_multiple4(lolo, -1)
+            if h2b is None and engine.use_pallas():
+                from dtcwt_tpu.ops import pallas_level2
+                fused = pallas_level2.fwd_level2(lolo, h0a, h0b, h1a, h1b)
+                if fused is not None:
+                    lolo, yh = fused
+                    Yh.append(yh)
+                    if include_scale:
+                        Yscale.append(lolo)
+                    continue
             lo = fb.dfilt_axis(lolo, h0b, h0a, -2)
             hi = fb.dfilt_axis(lolo, h1b, h1a, -2)
             if h2b is not None:
