@@ -109,6 +109,30 @@ def test_fused_level1_matches_xla(fam, shape):
     assert _err(yh_g, yh) < TOL
 
 
+@pytest.mark.parametrize("fam", ["qshift_a", "qshift_b", "qshift_d"])
+@pytest.mark.parametrize("shape", [(256, 256), (2, 64, 384)])
+def test_fused_level2_matches_xla(fam, shape):
+    from dtcwt_tpu.ops import pallas_level2
+    q = qshift(fam)
+    h0a, h0b, h1a, h1b = q[0], q[1], q[4], q[5]
+    x = np.random.RandomState(8).rand(*shape).astype(np.float32)
+    got = pallas_level2.fwd_level2(jnp.asarray(x), h0a, h0b, h1a, h1b)
+    assert got is not None
+    lolo_g, yh_g = got
+    with engine.engine("xla"):
+        X = jnp.asarray(x, jnp.float64)
+        lo = fb.dfilt_axis(X, h0b, h0a, -2)
+        hi = fb.dfilt_axis(X, h1b, h1a, -2)
+        lolo = fb.dfilt_axis(lo, h0b, h0a, -1)
+        b05 = q2c(fb.dfilt_axis(hi, h0b, h0a, -1))
+        b23 = q2c(fb.dfilt_axis(lo, h1b, h1a, -1))
+        b14 = q2c(fb.dfilt_axis(hi, h1b, h1a, -1))
+        yh = jnp.stack([b05[0], b14[0], b23[0], b23[1], b14[1], b05[1]],
+                       axis=-1)
+    assert _err(lolo_g, lolo) < TOL
+    assert _err(yh_g, yh) < TOL
+
+
 def test_fused_level1_out_of_envelope():
     from dtcwt_tpu.ops import pallas_level1
     h0o, _, h1o, _ = biort("near_sym_a")
