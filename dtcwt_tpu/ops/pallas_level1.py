@@ -218,11 +218,16 @@ def _build_level1(B: int, R: int, C2: int, h0bytes: bytes, h1bytes: bytes,
     return call
 
 
-def fwd_level1(X, h0o, h1o) -> Optional[Tuple[jnp.ndarray, jnp.ndarray]]:
+def fwd_level1(X, h0o, h1o, as_split: bool = False
+               ) -> Optional[Tuple[object, jnp.ndarray]]:
     """Fused level-1 forward.  *X* is ``[..., R, C]`` real (R, C even; C/2 a
     multiple of 128 on hardware so the split planes stay lane-aligned);
     returns ``(lolo [..., R, C], Yh1 [..., R/2, C/2, 6] complex)`` or None
     when the shape/filters are outside the kernel envelope.
+
+    With ``as_split`` the lowpass is returned as its even/odd column planes
+    ``(lolo_e, lolo_o)`` uninterleaved, so a following fused decimating level
+    can consume it without the interleave + re-split round trip.
     """
     h0 = np.asarray(h0o, np.float64).reshape(-1)
     h1 = np.asarray(h1o, np.float64).reshape(-1)
@@ -252,11 +257,14 @@ def fwd_level1(X, h0o, h1o) -> Optional[Tuple[jnp.ndarray, jnp.ndarray]]:
 
     lolo_e, lolo_o, re, im = call(xe_ext, xo_ext)
 
-    lolo = jnp.stack([lolo_e, lolo_o], axis=-1).reshape(x3.shape)
     # (B, 3, 2, R/2, C2): groups x (p-q, p+q) -> band order 0..5.
     z = lax.complex(re.astype(jnp.float32), im.astype(jnp.float32))
     z = z.reshape(z.shape[0], 6, R // 2, C // 2)
     order = jnp.asarray([0, 2, 4, 5, 3, 1])   # (05,14,23) pairs -> degrees
     yh1 = jnp.moveaxis(z[:, order], 1, -1)    # (B, R/2, C/2, 6)
-    return (lolo.reshape(lead + lolo.shape[-2:]),
-            yh1.reshape(lead + yh1.shape[-3:]))
+    yh1 = yh1.reshape(lead + yh1.shape[-3:])
+    if as_split:
+        return ((lolo_e.reshape(lead + lolo_e.shape[-2:]),
+                 lolo_o.reshape(lead + lolo_o.shape[-2:])), yh1)
+    lolo = jnp.stack([lolo_e, lolo_o], axis=-1).reshape(x3.shape)
+    return lolo.reshape(lead + lolo.shape[-2:]), yh1

@@ -246,40 +246,58 @@ def _build_level2(B: int, R: int, C4: int, h0abytes: bytes, h0bbytes: bytes,
     return call
 
 
-def fwd_level2(X, h0a, h0b, h1a, h1b) -> Optional[Tuple[jnp.ndarray,
-                                                        jnp.ndarray]]:
+def fwd_level2(X, h0a, h0b, h1a, h1b, pair=None, as_split: bool = False
+               ) -> Optional[Tuple[object, jnp.ndarray]]:
     """Fused level->=2 forward stage.  *X* is ``[..., R, C]`` real with R, C
     multiples of 4 (C/4 a multiple of 128 on hardware); filter arguments
     follow the transform's call order ``dfilt(x, h0b, h0a)`` /
     ``dfilt(x, h1b, h1a)``.  Returns ``(lolo [..., R/2, C/2],
     Yh [..., R/4, C/4, 6] complex)`` or None outside the envelope.
+
+    *pair* optionally supplies the input as its even/odd column planes (the
+    uninterleaved lowpass of an upstream fused level) in place of *X*; with
+    ``as_split`` the output lowpass is likewise returned as planes.
     """
     h0a = np.asarray(h0a, np.float64).reshape(-1)
     h0b = np.asarray(h0b, np.float64).reshape(-1)
     h1a = np.asarray(h1a, np.float64).reshape(-1)
     h1b = np.asarray(h1b, np.float64).reshape(-1)
-    if X.ndim < 2 or X.dtype not in (jnp.float32, jnp.bfloat16):
-        return None
-    R, C = X.shape[-2], X.shape[-1]
+    if pair is not None:
+        e, o = pair
+        if e.ndim < 2 or e.dtype not in (jnp.float32, jnp.bfloat16):
+            return None
+        R, C = e.shape[-2], e.shape[-1] * 2
+    else:
+        if X.ndim < 2 or X.dtype not in (jnp.float32, jnp.bfloat16):
+            return None
+        R, C = X.shape[-2], X.shape[-1]
     if R % 4 or C % 4:
         return None
     if not _interpret() and (C // 4) % _LANE:
         return None
     if C // 4 < _MARGIN:
         return None
-    x3, lead = _flatten_batch(X)
+    if pair is not None:
+        e3, lead = _flatten_batch(e)
+        o3, _ = _flatten_batch(o)
+        x3 = None
+    else:
+        x3, lead = _flatten_batch(X)
     # The transform calls dfilt(x, ha=h_b, hb=h_a): branch a runs the *b*
     # filter (see ops/fb.py dfilt_from_ext).
-    call = _build_level2(x3.shape[0], R, C // 4, h0b.tobytes(),
+    B = e3.shape[0] if x3 is None else x3.shape[0]
+    dtype_str = str((e3 if x3 is None else x3).dtype)
+    call = _build_level2(B, R, C // 4, h0b.tobytes(),
                          h0a.tobytes(), h1b.tobytes(), h1a.tobytes(),
-                         str(x3.dtype))
+                         dtype_str)
     if call is None:
         return None
 
     # Quarter-phase lane split (two stride-2 passes) + 64-phase-column
     # reflected margins; reflection mirror-swaps phases p <-> 3-p.
-    e, o = x3[:, :, 0::2], x3[:, :, 1::2]
-    ph = [e[:, :, 0::2], o[:, :, 0::2], e[:, :, 1::2], o[:, :, 1::2]]
+    if x3 is not None:
+        e3, o3 = x3[:, :, 0::2], x3[:, :, 1::2]
+    ph = [e3[:, :, 0::2], o3[:, :, 0::2], e3[:, :, 1::2], o3[:, :, 1::2]]
     g = _MARGIN
     ext = []
     for p in range(4):
@@ -290,11 +308,14 @@ def fwd_level2(X, h0a, h0b, h1a, h1b) -> Optional[Tuple[jnp.ndarray,
 
     lolo_e, lolo_o, re, im = call(*ext)
 
-    lolo = jnp.stack([lolo_e, lolo_o], axis=-1).reshape(
-        x3.shape[0], R // 2, C // 2)
     z = lax.complex(re.astype(jnp.float32), im.astype(jnp.float32))
     z = z.reshape(z.shape[0], 6, R // 4, C // 4)
     order = jnp.asarray([0, 2, 4, 5, 3, 1])   # (05,14,23) pairs -> degrees
     yh = jnp.moveaxis(z[:, order], 1, -1)
-    return (lolo.reshape(lead + lolo.shape[-2:]),
-            yh.reshape(lead + yh.shape[-3:]))
+    yh = yh.reshape(lead + yh.shape[-3:])
+    if as_split:
+        return ((lolo_e.reshape(lead + lolo_e.shape[-2:]),
+                 lolo_o.reshape(lead + lolo_o.shape[-2:])), yh)
+    lolo = jnp.stack([lolo_e, lolo_o], axis=-1).reshape(
+        B, R // 2, C // 2)
+    return lolo.reshape(lead + lolo.shape[-2:]), yh

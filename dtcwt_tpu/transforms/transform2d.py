@@ -83,6 +83,13 @@ def _gains(gain_mask, band0: int, band1: int, level: int):
     return gain_mask[band0, level], gain_mask[band1, level]
 
 
+def _interleave_cols(pair):
+    """Rejoin even/odd column planes: out[..., 2j] = e[..., j] etc."""
+    e, o = pair
+    out_shape = e.shape[:-1] + (2 * e.shape[-1],)
+    return jnp.stack([e, o], axis=-1).reshape(out_shape)
+
+
 def _pack_bands(lohi, hilo, hihi):
     """Quad->complex pack of the three highpass images into the 6 oriented
     subbands (order 15/45/75/105/135/165 deg, reference
@@ -154,13 +161,22 @@ class Transform2d:
         # Level 1: odd (biort) filters, no decimation before the quad pack.
         # The Pallas engine fuses the whole level (three column filters, four
         # row filters and the quad pack) into one kernel when in envelope.
+        # Between consecutive fused levels the lowpass stays as its even/odd
+        # column planes, skipping an interleave + re-split HBM round trip
+        # (unless include_scale needs the materialised lowpass per level).
+        pair = None
         fused = None
         if h2o is None and engine.use_pallas():
             from dtcwt_tpu.ops import pallas_level1
-            fused = pallas_level1.fwd_level1(X, h0o, h1o)
+            fused = pallas_level1.fwd_level1(
+                X, h0o, h1o, as_split=not include_scale and nlevels > 1)
         if fused is not None:
-            lolo, yh1 = fused
+            lp, yh1 = fused
             Yh.append(yh1)
+            if isinstance(lp, tuple):
+                pair, lolo = lp, None
+            else:
+                lolo = lp
         else:
             lo = fb.filter_axis(X, h0o, -2)
             hi = fb.filter_axis(X, h1o, -2)
@@ -178,19 +194,36 @@ class Transform2d:
 
         # Levels >= 2: quarter-shift (even) filters, decimating by 2.
         for _level in range(1, nlevels):
-            if lolo.shape[-2] % 4 != 0:
-                lolo = _pad_multiple4(lolo, -2)
-            if lolo.shape[-1] % 4 != 0:
-                lolo = _pad_multiple4(lolo, -1)
+            if pair is not None:
+                if pair[0].shape[-2] % 4 != 0:
+                    pair = (_pad_multiple4(pair[0], -2),
+                            _pad_multiple4(pair[1], -2))
+                if (2 * pair[0].shape[-1]) % 4 != 0:
+                    # Column padding shifts the column parity; rejoin first.
+                    lolo, pair = _interleave_cols(pair), None
+            if pair is None:
+                if lolo.shape[-2] % 4 != 0:
+                    lolo = _pad_multiple4(lolo, -2)
+                if lolo.shape[-1] % 4 != 0:
+                    lolo = _pad_multiple4(lolo, -1)
             if h2b is None and engine.use_pallas():
                 from dtcwt_tpu.ops import pallas_level2
-                fused = pallas_level2.fwd_level2(lolo, h0a, h0b, h1a, h1b)
+                keep_split = (not include_scale) and _level < nlevels - 1
+                fused = pallas_level2.fwd_level2(lolo, h0a, h0b, h1a, h1b,
+                                                 pair=pair,
+                                                 as_split=keep_split)
                 if fused is not None:
-                    lolo, yh = fused
+                    lp, yh = fused
                     Yh.append(yh)
+                    if isinstance(lp, tuple):
+                        pair, lolo = lp, None
+                    else:
+                        lolo, pair = lp, None
                     if include_scale:
                         Yscale.append(lolo)
                     continue
+            if pair is not None:
+                lolo, pair = _interleave_cols(pair), None
             lo = fb.dfilt_axis(lolo, h0b, h0a, -2)
             hi = fb.dfilt_axis(lolo, h1b, h1a, -2)
             if h2b is not None:
@@ -206,6 +239,8 @@ class Transform2d:
             if include_scale:
                 Yscale.append(lolo)
 
+        if pair is not None:
+            lolo = _interleave_cols(pair)
         return Pyramid(lolo, tuple(Yh), tuple(Yscale) if include_scale else None)
 
     # ------------------------------------------------------------------
