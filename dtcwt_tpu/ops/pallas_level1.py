@@ -98,7 +98,8 @@ def _build_level1(B: int, R: int, C2: int, h0bytes: bytes, h1bytes: bytes,
             continue
         if t < pad8:
             continue
-        if 6 * t + 4 * pad8 + t * temp_rows <= budget_rows:
+        # 2x double-buffered slabs + 4 persistent column planes + temps
+        if 8 * t + 8 * pad8 + t * temp_rows <= budget_rows:
             tr = t
             break
     if tr is None or pad8 > R:
@@ -147,31 +148,108 @@ def _build_level1(B: int, R: int, C2: int, h0bytes: bytes, h1bytes: bytes,
     # the band pairs (0,5), (1,4), (2,3) in that order.
     groups = ((1, h0, p0), (1, h1, p1), (0, h1, p1))   # (hi/lo, h, pad)
 
+    total = B * n_tiles
+
+    def _slab_dma(x_hbm, slab, sem, t, start: bool):
+        """Start (or wait on) the slab DMA for linear tile *t* into *slab*.
+        The wait replays the same branch structure so the copy descriptors
+        (and hence the semaphore byte counts) match the issue exactly."""
+        b = t // n_tiles
+        i = t % n_tiles
+        g0 = i * tr
+
+        def op(cp):
+            cp.start() if start else cp.wait()
+
+        if n_tiles == 1:
+            op(pltpu.make_async_copy(
+                x_hbm.at[b], slab.at[pl.ds(pad8, tr), :], sem))
+            return
+
+        @pl.when(i == 0)
+        def _():
+            op(pltpu.make_async_copy(
+                x_hbm.at[b, pl.ds(0, tr + pad8), :],
+                slab.at[pl.ds(pad8, tr + pad8), :], sem))
+
+        src0 = pl.multiple_of(g0 - pad8, _SUBLANE)
+
+        @pl.when(jnp.logical_and(i > 0, i < n_tiles - 1))
+        def _():
+            op(pltpu.make_async_copy(
+                x_hbm.at[b, pl.ds(src0, tr + 2 * pad8), :],
+                slab.at[:, :], sem))
+
+        @pl.when(i == n_tiles - 1)
+        def _():
+            op(pltpu.make_async_copy(
+                x_hbm.at[b, pl.ds(src0, tr + pad8), :],
+                slab.at[pl.ds(0, tr + pad8), :], sem))
+
+    def _fills(slab, i):
+        """Mirror-fill the out-of-range halo rows of a landed slab."""
+        @pl.when(i == 0)
+        def _():
+            for j in range(pad8 - pad_r, pad8):
+                slab[j, :] = slab[2 * pad8 - 1 - j, :]
+
+        @pl.when(i == n_tiles - 1)
+        def _():
+            for s in range(tr + pad8, tr + pad8 + pad_r):
+                slab[s, :] = slab[2 * (tr + pad8) - 1 - s, :]
+
     def kernel(xe_hbm, xo_hbm, lolo_e_ref, lolo_o_ref, re_ref, im_ref,
-               se, so, cols, sem_e, sem_o):
+               se, so, cols, sems):
         b = pl.program_id(0)
         i = pl.program_id(1)
         k = pl.program_id(2)
 
         @pl.when(k == 0)
         def _():
-            _load_slab(xe_hbm, b, se, sem_e, tile_idx=i, n_tiles=n_tiles,
-                       t_in=tr, pad8=pad8, fill=pad_r, R=R)
-            _load_slab(xo_hbm, b, so, sem_o, tile_idx=i, n_tiles=n_tiles,
-                       t_in=tr, pad8=pad8, fill=pad_r, R=R)
-            exte = lax.slice_in_dim(se[:, :], pad8 - pad_r,
-                                    pad8 + pad_r + tr, axis=0)
-            exto = lax.slice_in_dim(so[:, :], pad8 - pad_r,
-                                    pad8 + pad_r + tr, axis=0)
-            # Column (sublane) filters into persistent scratch; offsets
-            # align shorter filters inside the max-halo window.
-            cols[0] = _corr_rows(exte, h0r, tr, pad_r - p0)   # lo_e
-            cols[1] = _corr_rows(exto, h0r, tr, pad_r - p0)   # lo_o
-            cols[2] = _corr_rows(exte, h1r, tr, pad_r - p1)   # hi_e
-            cols[3] = _corr_rows(exto, h1r, tr, pad_r - p1)   # hi_o
-            ll_e, ll_o = row_conv_split(cols[0], cols[1], h0, p0)
-            lolo_e_ref[0] = ll_e
-            lolo_o_ref[0] = ll_o
+            t = b * n_tiles + i
+
+            # Double-buffered input slabs: tile t uses buffer t % 2; its DMA
+            # was issued during tile t-1 (tile 0 issues its own here), and
+            # tile t+1's DMA is issued right after the wait so it overlaps
+            # this tile's column stage and band steps.
+            def stage(buf):
+                @pl.when(t == 0)
+                def _():
+                    _slab_dma(xe_hbm, se.at[buf], sems.at[buf, 0], t, True)
+                    _slab_dma(xo_hbm, so.at[buf], sems.at[buf, 1], t, True)
+                _slab_dma(xe_hbm, se.at[buf], sems.at[buf, 0], t, False)
+                _slab_dma(xo_hbm, so.at[buf], sems.at[buf, 1], t, False)
+
+                @pl.when(t + 1 < total)
+                def _():
+                    _slab_dma(xe_hbm, se.at[1 - buf],
+                              sems.at[1 - buf, 0], t + 1, True)
+                    _slab_dma(xo_hbm, so.at[1 - buf],
+                              sems.at[1 - buf, 1], t + 1, True)
+                _fills(se.at[buf], i)
+                _fills(so.at[buf], i)
+
+                exte = lax.slice_in_dim(se[buf], pad8 - pad_r,
+                                        pad8 + pad_r + tr, axis=0)
+                exto = lax.slice_in_dim(so[buf], pad8 - pad_r,
+                                        pad8 + pad_r + tr, axis=0)
+                # Column (sublane) filters into persistent scratch; offsets
+                # align shorter filters inside the max-halo window.
+                cols[0] = _corr_rows(exte, h0r, tr, pad_r - p0)   # lo_e
+                cols[1] = _corr_rows(exto, h0r, tr, pad_r - p0)   # lo_o
+                cols[2] = _corr_rows(exte, h1r, tr, pad_r - p1)   # hi_e
+                cols[3] = _corr_rows(exto, h1r, tr, pad_r - p1)   # hi_o
+                ll_e, ll_o = row_conv_split(cols[0], cols[1], h0, p0)
+                lolo_e_ref[0] = ll_e
+                lolo_o_ref[0] = ll_o
+
+            @pl.when(t % 2 == 0)
+            def _():
+                stage(0)
+
+            @pl.when(t % 2 == 1)
+            def _():
+                stage(1)
 
         for g, (src, h, pc) in enumerate(groups):
             @pl.when(k == g + 1)
@@ -206,11 +284,10 @@ def _build_level1(B: int, R: int, C2: int, h0bytes: bytes, h1bytes: bytes,
                    jax.ShapeDtypeStruct((B, R, C2), dtype),
                    jax.ShapeDtypeStruct((B, 3, 2, R // 2, C2), dtype),
                    jax.ShapeDtypeStruct((B, 3, 2, R // 2, C2), dtype)),
-        scratch_shapes=[pltpu.VMEM((tr + 2 * pad8, W), dtype),
-                        pltpu.VMEM((tr + 2 * pad8, W), dtype),
+        scratch_shapes=[pltpu.VMEM((2, tr + 2 * pad8, W), dtype),
+                        pltpu.VMEM((2, tr + 2 * pad8, W), dtype),
                         pltpu.VMEM((4, tr, W), dtype),
-                        pltpu.SemaphoreType.DMA(()),
-                        pltpu.SemaphoreType.DMA(())],
+                        pltpu.SemaphoreType.DMA((2, 2))],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
         interpret=_interpret(),
