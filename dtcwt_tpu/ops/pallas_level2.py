@@ -90,8 +90,8 @@ def _build_level2(B: int, R: int, C4: int, h0abytes: bytes, h0bbytes: bytes,
             continue
         if 4 * t < pad8:
             continue
-        # 4 slabs + 16 persisted column-branch planes + live temporaries
-        if 4 * (4 * t + 2 * pad8) + 16 * t + t * temp_rows <= budget_rows:
+        # 8 double-buffered slabs + 16 column-branch planes + temporaries
+        if 8 * (4 * t + 2 * pad8) + 16 * t + t * temp_rows <= budget_rows:
             tq = t
             break
     if tq is None or pad8 > R or tq % _SUBLANE:
@@ -162,47 +162,123 @@ def _build_level2(B: int, R: int, C4: int, h0abytes: bytes, h0bbytes: bytes,
               (1, (h1a_e, h1a_o, h1b_e, h1b_o), pos1),
               (0, (h1a_e, h1a_o, h1b_e, h1b_o), pos1))
 
+    total = B * n_tiles
+    t_in = 4 * tq
+
+    def _slab_dma(x_hbm, slab, sem, t, start: bool):
+        """Start (or wait on) the slab DMA for linear tile *t*; the wait
+        replays the issue's branch structure so descriptors match."""
+        b = t // n_tiles
+        i = t % n_tiles
+        g0 = i * t_in
+
+        def op(cp):
+            cp.start() if start else cp.wait()
+
+        if n_tiles == 1:
+            op(pltpu.make_async_copy(
+                x_hbm.at[b], slab.at[pl.ds(pad8, t_in), :], sem))
+            return
+
+        @pl.when(i == 0)
+        def _():
+            op(pltpu.make_async_copy(
+                x_hbm.at[b, pl.ds(0, t_in + pad8), :],
+                slab.at[pl.ds(pad8, t_in + pad8), :], sem))
+
+        src0 = pl.multiple_of(g0 - pad8, _SUBLANE)
+
+        @pl.when(jnp.logical_and(i > 0, i < n_tiles - 1))
+        def _():
+            op(pltpu.make_async_copy(
+                x_hbm.at[b, pl.ds(src0, t_in + 2 * pad8), :],
+                slab.at[:, :], sem))
+
+        @pl.when(i == n_tiles - 1)
+        def _():
+            op(pltpu.make_async_copy(
+                x_hbm.at[b, pl.ds(src0, t_in + pad8), :],
+                slab.at[pl.ds(0, t_in + pad8), :], sem))
+
+    def _fills(slab, i):
+        @pl.when(i == 0)
+        def _():
+            for j in range(pad8 - m, pad8):
+                slab[j, :] = slab[2 * pad8 - 1 - j, :]
+
+        @pl.when(i == n_tiles - 1)
+        def _():
+            for s in range(t_in + pad8, t_in + pad8 + m):
+                slab[s, :] = slab[2 * (t_in + pad8) - 1 - s, :]
+
     def kernel(x0, x1, x2, x3, lolo_e_ref, lolo_o_ref, re_ref, im_ref,
                s0, s1, s2, s3, cols, sems):
         b = pl.program_id(0)
         i = pl.program_id(1)
         k = pl.program_id(2)
+        xs = (x0, x1, x2, x3)
         slabs = (s0, s1, s2, s3)
 
         @pl.when(k == 0)
         def _():
-            for p, (xh, sl) in enumerate(zip((x0, x1, x2, x3), slabs)):
-                _load_slab(xh, b, sl, sems.at[p], tile_idx=i,
-                           n_tiles=n_tiles, t_in=4 * tq, pad8=pad8,
-                           fill=m, R=R)
-            # Row quarter-phases of the slab window (starts at ext row 4*q0)
-            # via a sublane split reshape, per lane plane.
-            q_by_plane = []
-            for sl in slabs:
-                win = lax.slice_in_dim(sl[:, :], pad8 - m,
-                                       pad8 - m + 4 * tq + 2 * m, axis=0)
-                w4 = win.reshape(tq + m // 2, 4, W)
-                q_by_plane.append([w4[:, p, :] for p in range(4)])
-            # Column stage: for each lane plane, both filters' both trees.
-            for p in range(4):
-                lo_ev, lo_od = col_trees(q_by_plane[p], h0a_e, h0a_o,
-                                         h0b_e, h0b_o, pos0)
-                hi_ev, hi_od = col_trees(q_by_plane[p], h1a_e, h1a_o,
-                                         h1b_e, h1b_o, pos1)
-                cols[0, p] = lo_ev
-                cols[1, p] = lo_od
-                cols[2, p] = hi_ev
-                cols[3, p] = hi_od
-            # Lowpass: row dual filter of the lo branches; interleave rows
-            # in-kernel (sublane stack), columns stay split for the wrapper.
-            le_e, le_o = row_trees([cols[0, p] for p in range(4)],
-                                   h0a_e, h0a_o, h0b_e, h0b_o, pos0)
-            lo_e, lo_o = row_trees([cols[1, p] for p in range(4)],
-                                   h0a_e, h0a_o, h0b_e, h0b_o, pos0)
-            lolo_e_ref[0] = jnp.stack([le_e, lo_e], axis=1).reshape(
-                2 * tq, C4)
-            lolo_o_ref[0] = jnp.stack([le_o, lo_o], axis=1).reshape(
-                2 * tq, C4)
+            t = b * n_tiles + i
+
+            # Double-buffered input slabs (buffer t % 2); tile t+1's DMAs
+            # are issued right after the wait to overlap this tile's work.
+            def stage(buf):
+                @pl.when(t == 0)
+                def _():
+                    for p in range(4):
+                        _slab_dma(xs[p], slabs[p].at[buf],
+                                  sems.at[buf, p], t, True)
+                for p in range(4):
+                    _slab_dma(xs[p], slabs[p].at[buf],
+                              sems.at[buf, p], t, False)
+
+                @pl.when(t + 1 < total)
+                def _():
+                    for p in range(4):
+                        _slab_dma(xs[p], slabs[p].at[1 - buf],
+                                  sems.at[1 - buf, p], t + 1, True)
+                for p in range(4):
+                    _fills(slabs[p].at[buf], i)
+
+                # Row quarter-phases of the slab window (starts at ext row
+                # 4*q0) via a sublane split reshape, per lane plane.
+                q_by_plane = []
+                for sl in slabs:
+                    win = lax.slice_in_dim(sl[buf], pad8 - m,
+                                           pad8 - m + 4 * tq + 2 * m, axis=0)
+                    w4 = win.reshape(tq + m // 2, 4, W)
+                    q_by_plane.append([w4[:, p, :] for p in range(4)])
+                # Column stage: per lane plane, both filters' both trees.
+                for p in range(4):
+                    lo_ev, lo_od = col_trees(q_by_plane[p], h0a_e, h0a_o,
+                                             h0b_e, h0b_o, pos0)
+                    hi_ev, hi_od = col_trees(q_by_plane[p], h1a_e, h1a_o,
+                                             h1b_e, h1b_o, pos1)
+                    cols[0, p] = lo_ev
+                    cols[1, p] = lo_od
+                    cols[2, p] = hi_ev
+                    cols[3, p] = hi_od
+                # Lowpass: row dual filter of the lo branches; interleave
+                # rows in-kernel, columns stay split for the wrapper.
+                le_e, le_o = row_trees([cols[0, p] for p in range(4)],
+                                       h0a_e, h0a_o, h0b_e, h0b_o, pos0)
+                lo_e, lo_o = row_trees([cols[1, p] for p in range(4)],
+                                       h0a_e, h0a_o, h0b_e, h0b_o, pos0)
+                lolo_e_ref[0] = jnp.stack([le_e, lo_e], axis=1).reshape(
+                    2 * tq, C4)
+                lolo_o_ref[0] = jnp.stack([le_o, lo_o], axis=1).reshape(
+                    2 * tq, C4)
+
+            @pl.when(t % 2 == 0)
+            def _():
+                stage(0)
+
+            @pl.when(t % 2 == 1)
+            def _():
+                stage(1)
 
         for g, (src, taps, pos) in enumerate(groups):
             @pl.when(k == g + 1)
@@ -233,12 +309,12 @@ def _build_level2(B: int, R: int, C4: int, h0abytes: bytes, h0bbytes: bytes,
                    jax.ShapeDtypeStruct((B, R // 2, C4), dtype),
                    jax.ShapeDtypeStruct((B, 3, 2, R // 4, C4), dtype),
                    jax.ShapeDtypeStruct((B, 3, 2, R // 4, C4), dtype)),
-        scratch_shapes=[pltpu.VMEM((4 * tq + 2 * pad8, W), dtype),
-                        pltpu.VMEM((4 * tq + 2 * pad8, W), dtype),
-                        pltpu.VMEM((4 * tq + 2 * pad8, W), dtype),
-                        pltpu.VMEM((4 * tq + 2 * pad8, W), dtype),
+        scratch_shapes=[pltpu.VMEM((2, 4 * tq + 2 * pad8, W), dtype),
+                        pltpu.VMEM((2, 4 * tq + 2 * pad8, W), dtype),
+                        pltpu.VMEM((2, 4 * tq + 2 * pad8, W), dtype),
+                        pltpu.VMEM((2, 4 * tq + 2 * pad8, W), dtype),
                         pltpu.VMEM((4, 4, tq, W), dtype),
-                        pltpu.SemaphoreType.DMA((4,))],
+                        pltpu.SemaphoreType.DMA((2, 4))],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
         interpret=_interpret(),
