@@ -1,0 +1,332 @@
+"""Fused Pallas kernel for the final (level-1) 2-D DTCWT inverse stage.
+
+One kernel evaluates the reconstruction stage with the odd biorthogonal
+synthesis filters (reference ``/root/reference/dtcwt/numpy/transform2d.py``
+:275-293 with ``c2q`` :324-350):
+
+    lh,hl,hh = c2q(band pairs of Yh[0])
+    y1 = colfilter(Z, g0o) + colfilter(lh, g1o)
+    y2 = colfilter(hl, g0o) + colfilter(hh, g1o)
+    X  = rowfilter(y1, g0o) + rowfilter(y2, g1o)
+
+This is the most expensive inverse stage (it runs at full resolution).  As
+in :mod:`pallas_ilevel2`, c2q never materialises: the wrapper hands the
+kernel the quad images' (row-parity x col-parity) planes, the non-decimating
+convolutions split into two-phase polyphase sums wherever an operand lives
+in parity planes, and the only interleaves are a sublane stack in-kernel
+(rows) plus one XLA pass (columns).
+
+Identity gains only (a ``gain_mask`` or bandpass variant falls back).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dtcwt_tpu.ops.pallas_fb import (
+    _SUBLANE, _LANE, _flatten_batch, _interpret, _round_up)
+
+__all__ = ["inv_level1"]
+
+_MARGIN = 64
+_PAD = 16                # halo rows for the full-res (Z) slabs
+_PADQ = 8                # halo rows for the half-res quad-plane slabs
+_TILE_BYTES = 14 * 1024 * 1024
+
+
+@functools.lru_cache(maxsize=None)
+def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
+                   dtype_str: str):
+    """H = full rows, C2 = W/2 column-plane width (x128 on TPU)."""
+    g0 = np.frombuffer(g0bytes, dtype=np.float64)
+    g1 = np.frombuffer(g1bytes, dtype=np.float64)
+    m0, m1 = g0.size, g1.size
+    if m0 % 2 == 0 or m1 % 2 == 0 or H % 2:
+        return None
+    p0, p1 = m0 // 2, m1 // 2
+    pmax = max(p0, p1)
+    if pmax > _PAD or pmax // 2 + 2 > _PADQ or pmax > _MARGIN:
+        return None
+    W = C2 + 2 * _MARGIN
+    dtype = jnp.dtype(dtype_str)
+
+    temp_rows = 3 * (m0 + m1) + 16
+    budget_rows = max(_TILE_BYTES // (W * dtype.itemsize), 1)
+    tr = None
+    for t in (H, 256, 128, 96, 64, 48, 32, 16):
+        if t > H or H % t or t % 16:
+            continue
+        # 2 full-res slabs + 12 half-res slabs + 8 stream planes + temps
+        if (2 * (t + 2 * _PAD) + 12 * (t // 2 + 2 * _PADQ) + 4 * t
+                + t * temp_rows) <= budget_rows:
+            tr = t
+            break
+    if tr is None or _PAD > H or _PADQ > H // 2:
+        return None
+    n_tiles = H // tr
+
+    g0r = tuple(float(v) for v in g0[::-1])
+    g1r = tuple(float(v) for v in g1[::-1])
+
+    def conv_full(slab, taps, pad_f):
+        """Plain sublane correlation of a full-res slab (tr outputs)."""
+        acc = None
+        for k, tv in enumerate(taps):
+            lo = _PAD - pad_f + k
+            sl = lax.slice_in_dim(slab, lo, lo + tr, axis=0)
+            term = sl * jnp.asarray(tv, dtype)
+            acc = term if acc is None else acc + term
+        return acc
+
+    def conv_planes_rows(p0_ref, p1_ref, h: np.ndarray, pad_f: int):
+        """Non-decimating row conv of an interleaved signal held as parity
+        plane slabs; returns (even-row, odd-row) output planes (tr//2 each).
+
+        out[2j+rp] = sum_d h_rev[pad_f+d] I[2j+rp+d]; even d stays in the
+        same-parity plane, odd d crosses to the other with a +-1 shift.
+        """
+        hr = h[::-1]
+        oe = None
+        oo = None
+        n = tr // 2
+        for idx in range(h.size):
+            d = idx - pad_f
+            tv = jnp.asarray(float(hr[idx]), dtype)
+            if d % 2 == 0:
+                u = d // 2
+                se = lax.slice_in_dim(p0_ref, _PADQ + u, _PADQ + u + n,
+                                      axis=0) * tv
+                so = lax.slice_in_dim(p1_ref, _PADQ + u, _PADQ + u + n,
+                                      axis=0) * tv
+            else:
+                u = (d - 1) // 2
+                se = lax.slice_in_dim(p1_ref, _PADQ + u, _PADQ + u + n,
+                                      axis=0) * tv
+                so = lax.slice_in_dim(p0_ref, _PADQ + u + 1,
+                                      _PADQ + u + 1 + n, axis=0) * tv
+            oe = se if oe is None else oe + se
+            oo = so if oo is None else oo + so
+        return oe, oo
+
+    def conv_planes_lanes(c0, c1, h: np.ndarray, pad_f: int):
+        """Same two-phase polyphase sum along lanes; returns the (even-col,
+        odd-col) output planes over the central C2 lanes."""
+        hr = h[::-1]
+        oe = None
+        oo = None
+        n = C2
+        for idx in range(h.size):
+            d = idx - pad_f
+            tv = jnp.asarray(float(hr[idx]), dtype)
+            if d % 2 == 0:
+                u = d // 2
+                se = lax.slice_in_dim(c0, _MARGIN + u, _MARGIN + u + n,
+                                      axis=1) * tv
+                so = lax.slice_in_dim(c1, _MARGIN + u, _MARGIN + u + n,
+                                      axis=1) * tv
+            else:
+                u = (d - 1) // 2
+                se = lax.slice_in_dim(c1, _MARGIN + u, _MARGIN + u + n,
+                                      axis=1) * tv
+                so = lax.slice_in_dim(c0, _MARGIN + u + 1,
+                                      _MARGIN + u + 1 + n, axis=1) * tv
+            oe = se if oe is None else oe + se
+            oo = so if oo is None else oo + so
+        return oe, oo
+
+    def _dma(x_hbm, b, p, slab, sem, i, t_in, pad):
+        """Three-branch halo slab DMA (start+wait) for plane *p*."""
+        g0_ = i * t_in
+        if n_tiles == 1:
+            cp = pltpu.make_async_copy(
+                x_hbm.at[b, p], slab.at[pl.ds(pad, t_in), :], sem)
+            cp.start()
+            cp.wait()
+            return
+
+        @pl.when(i == 0)
+        def _():
+            cp = pltpu.make_async_copy(
+                x_hbm.at[b, p, pl.ds(0, t_in + pad), :],
+                slab.at[pl.ds(pad, t_in + pad), :], sem)
+            cp.start()
+            cp.wait()
+
+        src0 = pl.multiple_of(g0_ - pad, _SUBLANE)
+
+        @pl.when(jnp.logical_and(i > 0, i < n_tiles - 1))
+        def _():
+            cp = pltpu.make_async_copy(
+                x_hbm.at[b, p, pl.ds(src0, t_in + 2 * pad), :],
+                slab.at[:, :], sem)
+            cp.start()
+            cp.wait()
+
+        @pl.when(i == n_tiles - 1)
+        def _():
+            cp = pltpu.make_async_copy(
+                x_hbm.at[b, p, pl.ds(src0, t_in + pad), :],
+                slab.at[pl.ds(0, t_in + pad), :], sem)
+            cp.start()
+            cp.wait()
+
+    def kernel(z_hbm, q_hbm, out_e_ref, out_o_ref, zslabs, qslabs, streams,
+               sems):
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        k = pl.program_id(2)
+
+        @pl.when(k == 0)
+        def _():
+            for p in range(2):
+                _dma(z_hbm, b, p, zslabs.at[p], sems.at[p], i, tr, _PAD)
+            for p in range(12):
+                _dma(q_hbm, b, p, qslabs.at[p], sems.at[2 + p], i,
+                     tr // 2, _PADQ)
+
+            # Mirror fills: Z slabs self-mirror (row reflection stays in
+            # the same column plane); quad slabs swap row-parity partners.
+            @pl.when(i == 0)
+            def _():
+                for p in range(2):
+                    for s_ in range(_PAD):
+                        zslabs[p, s_, :] = zslabs[p, 2 * _PAD - 1 - s_, :]
+                for p in range(12):
+                    q = p ^ 2
+                    for s_ in range(_PADQ):
+                        qslabs[p, s_, :] = qslabs[q, 2 * _PADQ - 1 - s_, :]
+
+            @pl.when(i == n_tiles - 1)
+            def _():
+                for p in range(2):
+                    for s_ in range(tr + _PAD, tr + 2 * _PAD):
+                        zslabs[p, s_, :] = zslabs[
+                            p, 2 * (tr + _PAD) - 1 - s_, :]
+                for p in range(12):
+                    q = p ^ 2
+                    hq = tr // 2
+                    for s_ in range(hq + _PADQ, hq + 2 * _PADQ):
+                        qslabs[p, s_, :] = qslabs[
+                            q, 2 * (hq + _PADQ) - 1 - s_, :]
+
+            # Row stage per column parity: y = colfilter(Z|hl, g0o) +
+            # colfilter(lh|hh, g1o), row-parity split via reshape for the
+            # full-res Z part, polyphase planes for the quad parts.
+            for cp_ in range(2):
+                yz = conv_full(zslabs[cp_], g0r, p0)
+                yz2 = yz.reshape(tr // 2, 2, W)
+                lh_e, lh_o = conv_planes_rows(qslabs[0 + cp_],
+                                              qslabs[2 + cp_], g1, p1)
+                hl_e, hl_o = conv_planes_rows(qslabs[4 + cp_],
+                                              qslabs[6 + cp_], g0, p0)
+                hh_e, hh_o = conv_planes_rows(qslabs[8 + cp_],
+                                              qslabs[10 + cp_], g1, p1)
+                streams[0, 2 * 0 + cp_] = yz2[:, 0, :] + lh_e   # y1 rp0
+                streams[1, 2 * 0 + cp_] = yz2[:, 1, :] + lh_o   # y1 rp1
+                streams[0, 2 + cp_] = hl_e + hh_e               # y2 rp0
+                streams[1, 2 + cp_] = hl_o + hh_o               # y2 rp1
+
+        # Lane stage: one output column parity per grid step; rows of both
+        # parities interleave in-kernel via a sublane stack.
+        for cp_out in range(2):
+            @pl.when(k == cp_out + 1)
+            def _(cp_out=cp_out):
+                outs = []
+                for rp in range(2):
+                    y1e, y1o = (streams[rp, 0], streams[rp, 1])
+                    y2e, y2o = (streams[rp, 2], streams[rp, 3])
+                    a1 = conv_planes_lanes(y1e, y1o, g0, p0)[cp_out]
+                    a2 = conv_planes_lanes(y2e, y2o, g1, p1)[cp_out]
+                    outs.append(a1 + a2)
+                ref = out_e_ref if cp_out == 0 else out_o_ref
+                ref[0] = jnp.stack(outs, axis=1).reshape(tr, C2)
+
+    z_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+    out_spec = pl.BlockSpec((1, tr, C2), lambda b, i, k: (b, i, 0),
+                            memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=(B, n_tiles, 3),
+        in_specs=[z_spec, z_spec],
+        out_specs=(out_spec, out_spec),
+        out_shape=(jax.ShapeDtypeStruct((B, H, C2), dtype),
+                   jax.ShapeDtypeStruct((B, H, C2), dtype)),
+        scratch_shapes=[pltpu.VMEM((2, tr + 2 * _PAD, W), dtype),
+                        pltpu.VMEM((12, tr // 2 + 2 * _PADQ, W), dtype),
+                        pltpu.VMEM((2, 4, tr // 2, W), dtype),
+                        pltpu.SemaphoreType.DMA((14,))],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+        interpret=_interpret(),
+    )
+    return call
+
+
+def inv_level1(Z, yh, g0o, g1o) -> Optional[jnp.ndarray]:
+    """Fused level-1 inverse.  *Z* is the ``[..., H, W]`` real lowpass, *yh*
+    the ``[..., H/2, W/2, 6]`` complex level-1 highpasses; returns the
+    reconstructed ``[..., H, W]`` image or None outside the envelope."""
+    g0 = np.asarray(g0o, np.float64).reshape(-1)
+    g1 = np.asarray(g1o, np.float64).reshape(-1)
+    if Z.ndim < 2 or Z.dtype not in (jnp.float32, jnp.bfloat16):
+        return None
+    if not jnp.issubdtype(yh.dtype, jnp.complexfloating):
+        return None
+    H, Wd = Z.shape[-2], Z.shape[-1]
+    if H % 2 or Wd % 2:
+        return None
+    if yh.shape[-3:] != (H // 2, Wd // 2, 6):
+        return None
+    C2 = Wd // 2
+    if not _interpret() and C2 % _LANE:
+        return None
+    if C2 < _MARGIN:
+        return None
+    z3, lead = _flatten_batch(Z)
+    yh3 = yh.reshape((z3.shape[0],) + yh.shape[-3:])
+
+    call = _build_ilevel1(z3.shape[0], H, C2, g0.tobytes(), g1.tobytes(),
+                          str(z3.dtype))
+    if call is None:
+        return None
+
+    s = np.sqrt(0.5).astype(np.float32)
+
+    def quad_planes(i0, i1):
+        w0, w1 = yh3[..., i0], yh3[..., i1]
+        return ((jnp.real(w0) + jnp.real(w1)) * s,
+                (jnp.imag(w0) + jnp.imag(w1)) * s,
+                (jnp.imag(w0) - jnp.imag(w1)) * s,
+                (jnp.real(w1) - jnp.real(w0)) * s)
+
+    g = _MARGIN
+    # Z column-parity planes with cp-swapped reflected margins.
+    ze, zo = z3[:, :, 0::2], z3[:, :, 1::2]
+    zs = [jnp.concatenate([zo[:, :, g - 1::-1], ze,
+                           zo[:, :, :-g - 1:-1]], axis=2),
+          jnp.concatenate([ze[:, :, g - 1::-1], zo,
+                           ze[:, :, :-g - 1:-1]], axis=2)]
+    zstack = jnp.stack([p.astype(z3.dtype) for p in zs], axis=1)
+
+    # Quad (rp, cp) planes for lh/hl/hh, margins swap cp partners.
+    planes = (list(quad_planes(0, 5)) + list(quad_planes(2, 3))
+              + list(quad_planes(1, 4)))
+    planes = [p.astype(z3.dtype) for p in planes]
+    ext = []
+    for idx, p in enumerate(planes):
+        q = planes[idx ^ 1]
+        ext.append(jnp.concatenate(
+            [q[:, :, g - 1::-1], p, q[:, :, :-g - 1:-1]], axis=2))
+    qstack = jnp.stack(ext, axis=1)
+
+    out_e, out_o = call(zstack, qstack)
+    out = jnp.stack([out_e, out_o], axis=-1).reshape(z3.shape)
+    return out.reshape(lead + out.shape[-2:])

@@ -83,6 +83,20 @@ def _gains(gain_mask, band0: int, band1: int, level: int):
     return gain_mask[band0, level], gain_mask[band1, level]
 
 
+def _crop_to(Z, yh_next):
+    """Crop rows/cols that exist only because the forward pass padded this
+    level to a multiple of 4 (reference: ``numpy/transform2d.py:262-271``)."""
+    want = tuple(2 * s for s in yh_next.shape[-3:-1])
+    if Z.shape[-2] != want[0]:
+        Z = Z[..., 1:-1, :]
+    if Z.shape[-1] != want[1]:
+        Z = Z[..., :, 1:-1]
+    if Z.shape[-2:] != want:
+        raise ValueError("Sizes of highpasses are not valid for the"
+                         " inverse transform")
+    return Z
+
+
 def _interleave_cols(pair):
     """Rejoin even/odd column planes: out[..., 2j] = e[..., j] etc."""
     e, o = pair
@@ -333,6 +347,13 @@ class Transform2d:
         nlevels = len(Yh)
 
         for level in range(nlevels - 1, 0, -1):
+            if gain_mask is None and g2b is None and engine.use_pallas():
+                from dtcwt_tpu.ops import pallas_ilevel2
+                zp = pallas_ilevel2.inv_level2(Z, Yh[level],
+                                               g0a, g0b, g1a, g1b)
+                if zp is not None:
+                    Z = _crop_to(zp, Yh[level - 1])
+                    continue
             g_lh = _gains(gain_mask, 0, 5, level)
             g_hl = _gains(gain_mask, 2, 3, level)
             g_hh = _gains(gain_mask, 1, 4, level)
@@ -352,18 +373,14 @@ class Transform2d:
                 y2 = fb.ifilt_axis(hl, g0b, g0a, -2) + fb.ifilt_axis(hh, g1b, g1a, -2)
                 Z = fb.ifilt_axis(y1, g0b, g0a, -1) + fb.ifilt_axis(y2, g1b, g1a, -1)
 
-            # Crop rows/cols that exist only because the forward pass padded
-            # this level to a multiple of 4 (reference: :262-271).
-            want = tuple(2 * s for s in Yh[level - 1].shape[-3:-1])
-            if Z.shape[-2] != want[0]:
-                Z = Z[..., 1:-1, :]
-            if Z.shape[-1] != want[1]:
-                Z = Z[..., :, 1:-1]
-            if Z.shape[-2:] != want:
-                raise ValueError("Sizes of highpasses are not valid for the"
-                                 " inverse transform")
+            Z = _crop_to(Z, Yh[level - 1])
 
         if nlevels >= 1:
+            if gain_mask is None and g2o is None and engine.use_pallas():
+                from dtcwt_tpu.ops import pallas_ilevel1
+                zp = pallas_ilevel1.inv_level1(Z, Yh[0], g0o, g1o)
+                if zp is not None:
+                    return zp
             g_lh = _gains(gain_mask, 0, 5, 0)
             g_hl = _gains(gain_mask, 2, 3, 0)
             g_hh = _gains(gain_mask, 1, 4, 0)

@@ -12,6 +12,7 @@ kernels run through the Pallas interpreter — the analogue of the reference's
 
 import numpy as np
 import pytest
+import jax
 import jax.numpy as jnp
 
 from dtcwt_tpu.coeffs import biort, qshift
@@ -131,6 +132,54 @@ def test_fused_level2_matches_xla(fam, shape):
                        axis=-1)
     assert _err(lolo_g, lolo) < TOL
     assert _err(yh_g, yh) < TOL
+
+
+@pytest.mark.parametrize("fam", ["qshift_a", "qshift_d"])
+def test_fused_inverse_level2_matches_xla(fam):
+    from dtcwt_tpu.ops import pallas_ilevel2
+    from dtcwt_tpu.ops.packing import c2q
+    q = qshift(fam)
+    g0a, g0b, g1a, g1b = q[2], q[3], q[6], q[7]
+    rng = np.random.RandomState(9)
+    Z = rng.rand(2, 64, 256).astype(np.float32)
+    yhs = (2, 32, 128, 6)
+    yh = jax.lax.complex(jnp.asarray(rng.rand(*yhs).astype(np.float32)),
+                         jnp.asarray(rng.rand(*yhs).astype(np.float32)))
+    got = pallas_ilevel2.inv_level2(jnp.asarray(Z), yh, g0a, g0b, g1a, g1b)
+    assert got is not None
+    with engine.engine("xla"):
+        Zj = jnp.asarray(Z)
+        lh = c2q(yh[..., 0], yh[..., 5])
+        hl = c2q(yh[..., 2], yh[..., 3])
+        hh = c2q(yh[..., 1], yh[..., 4])
+        y1 = fb.ifilt_axis(Zj, g0b, g0a, -2) + fb.ifilt_axis(lh, g1b, g1a, -2)
+        y2 = fb.ifilt_axis(hl, g0b, g0a, -2) + fb.ifilt_axis(hh, g1b, g1a, -2)
+        ref = fb.ifilt_axis(y1, g0b, g0a, -1) + fb.ifilt_axis(y2, g1b, g1a, -1)
+    assert _err(got, ref) < TOL
+
+
+@pytest.mark.parametrize("fam", ["near_sym_a", "near_sym_b"])
+def test_fused_inverse_level1_matches_xla(fam):
+    from dtcwt_tpu.ops import pallas_ilevel1
+    from dtcwt_tpu.ops.packing import c2q
+    b = biort(fam)
+    g0o, g1o = b[1], b[3]
+    rng = np.random.RandomState(10)
+    Z = rng.rand(64, 256).astype(np.float32)
+    yhs = (32, 128, 6)
+    yh = jax.lax.complex(jnp.asarray(rng.rand(*yhs).astype(np.float32)),
+                         jnp.asarray(rng.rand(*yhs).astype(np.float32)))
+    got = pallas_ilevel1.inv_level1(jnp.asarray(Z), yh, g0o, g1o)
+    assert got is not None
+    with engine.engine("xla"):
+        Zj = jnp.asarray(Z)
+        lh = c2q(yh[..., 0], yh[..., 5])
+        hl = c2q(yh[..., 2], yh[..., 3])
+        hh = c2q(yh[..., 1], yh[..., 4])
+        y1 = fb.filter_axis(Zj, g0o, -2) + fb.filter_axis(lh, g1o, -2)
+        y2 = fb.filter_axis(hl, g0o, -2) + fb.filter_axis(hh, g1o, -2)
+        ref = fb.filter_axis(y1, g0o, -1) + fb.filter_axis(y2, g1o, -1)
+    assert _err(got, ref) < TOL
 
 
 def test_fused_level1_out_of_envelope():
