@@ -142,12 +142,13 @@ def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
             oo = so if oo is None else oo + so
         return oe, oo
 
-    def _dma(x_hbm, b, p, slab, sem, i, t_in, pad):
-        """Three-branch halo slab DMA (start+wait) for plane *p*."""
+    def _dma(x_hbm, b, slab, sem, i, t_in, pad):
+        """Three-branch halo slab DMA (start+wait) covering every plane of
+        a stacked input in one strided rectangular copy."""
         g0_ = i * t_in
         if n_tiles == 1:
             cp = pltpu.make_async_copy(
-                x_hbm.at[b, p], slab.at[pl.ds(pad, t_in), :], sem)
+                x_hbm.at[b], slab.at[:, pl.ds(pad, t_in), :], sem)
             cp.start()
             cp.wait()
             return
@@ -155,8 +156,8 @@ def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
         @pl.when(i == 0)
         def _():
             cp = pltpu.make_async_copy(
-                x_hbm.at[b, p, pl.ds(0, t_in + pad), :],
-                slab.at[pl.ds(pad, t_in + pad), :], sem)
+                x_hbm.at[b, :, pl.ds(0, t_in + pad), :],
+                slab.at[:, pl.ds(pad, t_in + pad), :], sem)
             cp.start()
             cp.wait()
 
@@ -165,16 +166,16 @@ def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
         @pl.when(jnp.logical_and(i > 0, i < n_tiles - 1))
         def _():
             cp = pltpu.make_async_copy(
-                x_hbm.at[b, p, pl.ds(src0, t_in + 2 * pad), :],
-                slab.at[:, :], sem)
+                x_hbm.at[b, :, pl.ds(src0, t_in + 2 * pad), :],
+                slab.at[:], sem)
             cp.start()
             cp.wait()
 
         @pl.when(i == n_tiles - 1)
         def _():
             cp = pltpu.make_async_copy(
-                x_hbm.at[b, p, pl.ds(src0, t_in + pad), :],
-                slab.at[pl.ds(0, t_in + pad), :], sem)
+                x_hbm.at[b, :, pl.ds(src0, t_in + pad), :],
+                slab.at[:, pl.ds(0, t_in + pad), :], sem)
             cp.start()
             cp.wait()
 
@@ -186,11 +187,8 @@ def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
 
         @pl.when(k == 0)
         def _():
-            for p in range(2):
-                _dma(z_hbm, b, p, zslabs.at[p], sems.at[p], i, tr, _PAD)
-            for p in range(12):
-                _dma(q_hbm, b, p, qslabs.at[p], sems.at[2 + p], i,
-                     tr // 2, _PADQ)
+            _dma(z_hbm, b, zslabs, sems.at[0], i, tr, _PAD)
+            _dma(q_hbm, b, qslabs, sems.at[1], i, tr // 2, _PADQ)
 
             # Mirror fills: Z slabs self-mirror (row reflection stays in
             # the same column plane); quad slabs swap row-parity partners.
@@ -262,7 +260,7 @@ def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
         scratch_shapes=[pltpu.VMEM((2, tr + 2 * _PAD, W), dtype),
                         pltpu.VMEM((12, tr // 2 + 2 * _PADQ, W), dtype),
                         pltpu.VMEM((2, 4, tr // 2, W), dtype),
-                        pltpu.SemaphoreType.DMA((14,))],
+                        pltpu.SemaphoreType.DMA((2,))],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
         interpret=_interpret(),

@@ -134,41 +134,42 @@ def _build_ilevel2(B: int, L: int, C2: int, g0abytes: bytes, g0bbytes: bytes,
         @pl.when(k == 0)
         def _():
             g0 = i * tq
-            for p in range(16):
-                if n_tiles == 1:
+            # One strided rectangular DMA covers all 16 planes at once —
+            # per-plane copies serialize on DMA latency and dominate the
+            # kernel at small tiles.
+            if n_tiles == 1:
+                cp = pltpu.make_async_copy(
+                    x_hbm.at[b], slabs.at[:, pl.ds(_PAD, tq), :],
+                    sems.at[0])
+                cp.start()
+                cp.wait()
+            else:
+                @pl.when(i == 0)
+                def _():
                     cp = pltpu.make_async_copy(
-                        x_hbm.at[b, p], slabs.at[p, pl.ds(_PAD, tq), :],
-                        sems.at[p])
+                        x_hbm.at[b, :, pl.ds(0, tq + _PAD), :],
+                        slabs.at[:, pl.ds(_PAD, tq + _PAD), :],
+                        sems.at[0])
                     cp.start()
                     cp.wait()
-                else:
-                    @pl.when(i == 0)
-                    def _(p=p):
-                        cp = pltpu.make_async_copy(
-                            x_hbm.at[b, p, pl.ds(0, tq + _PAD), :],
-                            slabs.at[p, pl.ds(_PAD, tq + _PAD), :],
-                            sems.at[p])
-                        cp.start()
-                        cp.wait()
 
-                    src0 = pl.multiple_of(g0 - _PAD, _SUBLANE)
+                src0 = pl.multiple_of(g0 - _PAD, _SUBLANE)
 
-                    @pl.when(jnp.logical_and(i > 0, i < n_tiles - 1))
-                    def _(p=p, src0=src0):
-                        cp = pltpu.make_async_copy(
-                            x_hbm.at[b, p, pl.ds(src0, tq + 2 * _PAD), :],
-                            slabs.at[p], sems.at[p])
-                        cp.start()
-                        cp.wait()
+                @pl.when(jnp.logical_and(i > 0, i < n_tiles - 1))
+                def _():
+                    cp = pltpu.make_async_copy(
+                        x_hbm.at[b, :, pl.ds(src0, tq + 2 * _PAD), :],
+                        slabs.at[:], sems.at[0])
+                    cp.start()
+                    cp.wait()
 
-                    @pl.when(i == n_tiles - 1)
-                    def _(p=p, src0=src0):
-                        cp = pltpu.make_async_copy(
-                            x_hbm.at[b, p, pl.ds(src0, tq + _PAD), :],
-                            slabs.at[p, pl.ds(0, tq + _PAD), :],
-                            sems.at[p])
-                        cp.start()
-                        cp.wait()
+                @pl.when(i == n_tiles - 1)
+                def _():
+                    cp = pltpu.make_async_copy(
+                        x_hbm.at[b, :, pl.ds(src0, tq + _PAD), :],
+                        slabs.at[:, pl.ds(0, tq + _PAD), :], sems.at[0])
+                    cp.start()
+                    cp.wait()
 
             # Mirror fills: slab[s] holds plane[g0 + s - _PAD]; on the
             # first/last tile the halo rows are the parity-swapped
@@ -260,7 +261,7 @@ def _build_ilevel2(B: int, L: int, C2: int, g0abytes: bytes, g0bbytes: bytes,
         out_shape=jax.ShapeDtypeStruct((B, 4, 4, L, C2), dtype),
         scratch_shapes=[pltpu.VMEM((16, tq + 2 * _PAD, W), dtype),
                         pltpu.VMEM((2, 8, tq, W), dtype),
-                        pltpu.SemaphoreType.DMA((16,))],
+                        pltpu.SemaphoreType.DMA((1,))],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
         interpret=_interpret(),
