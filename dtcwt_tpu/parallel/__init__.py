@@ -11,6 +11,7 @@ from dtcwt_tpu.parallel.mesh import make_mesh
 from dtcwt_tpu.parallel.halo import halo_exchange
 from dtcwt_tpu.parallel.transform2d_dist import ShardedTransform2d
 from dtcwt_tpu.parallel.batch import BatchSharded, shard_batch
+from dtcwt_tpu.parallel.transform1d_dist import ShardedTransform1d
 
-__all__ = ["make_mesh", "halo_exchange", "ShardedTransform2d",
-           "BatchSharded", "shard_batch"]
+__all__ = ["make_mesh", "halo_exchange", "ShardedTransform1d",
+           "ShardedTransform2d", "BatchSharded", "shard_batch"]

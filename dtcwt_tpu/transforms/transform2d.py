@@ -146,6 +146,17 @@ class Transform2d:
         X = jnp.asarray(X)
         if X.ndim < 2:
             raise ValueError("Transform2d.forward needs at least a 2-D input")
+        if X.shape[-2] % 2 or X.shape[-1] % 2:
+            # Reference behaviour: warn when silently extending odd sizes
+            # (numpy/transform2d.py:164-183).
+            import logging
+            ext = (X.shape[-2] + X.shape[-2] % 2,
+                   X.shape[-1] + X.shape[-1] % 2)
+            logging.getLogger(__name__).warning(
+                "The image entered is now a %dx%d NOT a %dx%d; odd "
+                "dimensions have their last row/column duplicated prior "
+                "to decomposition.", ext[0], ext[1],
+                X.shape[-2], X.shape[-1])
         return self._fwd(X, nlevels=nlevels, include_scale=include_scale,
                          ek=engine.trace_key())
 

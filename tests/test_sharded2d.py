@@ -19,6 +19,21 @@ def _mesh(data=2, rows=4):
     return make_mesh((data, rows), ("data", "rows"), devs[:data * rows])
 
 
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (4, 2), (2, 4)])
+def test_sharded_determinism_across_mesh_shapes(mesh_shape):
+    """Same global result for every mesh factorization — the functional
+    replacement for a race-detection suite (SURVEY.md §5)."""
+    import dtcwt_tpu as dt
+    mesh = _mesh(*mesh_shape)
+    st = ShardedTransform2d(mesh)
+    x = np.random.RandomState(7).rand(mesh_shape[0] * 2, 64, 64)
+    ps = st.forward(x, nlevels=3)
+    pr = dt.Transform2d().forward(x, nlevels=3)
+    assert np.abs(np.asarray(ps.lowpass) - np.asarray(pr.lowpass)).max() < 1e-12
+    for a, b in zip(ps.highpasses, pr.highpasses):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-12
+
+
 @pytest.mark.parametrize("biort,qshift", [
     ("near_sym_a", "qshift_a"),
     ("near_sym_b_bp", "qshift_b_bp"),
