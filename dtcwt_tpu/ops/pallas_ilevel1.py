@@ -32,7 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from dtcwt_tpu.ops.pallas_fb import (
-    _SUBLANE, _LANE, _flatten_batch, _interpret, _round_up)
+    _SUBLANE, _LANE, _flatten_batch, _interpret)
 
 __all__ = ["inv_level1"]
 

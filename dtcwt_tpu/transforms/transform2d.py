@@ -20,8 +20,7 @@ TPU-first design notes:
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Sequence, Tuple, Union
+from typing import Tuple
 
 import numpy as np
 import jax

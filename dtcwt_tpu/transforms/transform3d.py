@@ -19,7 +19,6 @@ transform is a pure separable filter tree plus the octet<->complex packing.
 
 from __future__ import annotations
 
-import functools
 
 import numpy as np
 import jax

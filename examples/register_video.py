@@ -11,9 +11,9 @@ runtime without any message-passing code:
   hosts (launch one process per host with ``jax.distributed.initialize``);
   each host decodes and registers only its own GOPs over DCN-free local
   work — the analogue of the MPI scatter at reference :144.
-* **Per-host**: the frame pairs of a GOP run as one *batched* registration —
-  the pair axis rides ``vmap`` through the whole estimatereg pipeline, so a
-  GOP is a single compiled program on the chip instead of a Python loop.
+* **Per-host**: each GOP's frames go through ONE batched forward transform;
+  the per-pair registration refinement (a host-side schedule over jitted
+  stages) then reuses the same compiled programs for every pair.
 * **Checkpoint/resume**: each finished GOP is written to its own
   ``<output>.gopNNNN.npz`` part file and skipped on restart — the
   append-only restartable layout the reference got from HDF5 EArrays
