@@ -298,12 +298,17 @@ def inv_level1(Z, yh, g0o, g1o) -> Optional[jnp.ndarray]:
 
     s = np.sqrt(0.5).astype(np.float32)
 
+    # One band transpose, then plane arithmetic on contiguous slices
+    # (minor-axis band indexing lowers to slow gathers on TPU).
+    yhp = jnp.moveaxis(yh3, -1, 1)                 # (B, 6, h, w)
+    rep = jnp.real(yhp).astype(z3.dtype)
+    imp = jnp.imag(yhp).astype(z3.dtype)
+
     def quad_planes(i0, i1):
-        w0, w1 = yh3[..., i0], yh3[..., i1]
-        return ((jnp.real(w0) + jnp.real(w1)) * s,
-                (jnp.imag(w0) + jnp.imag(w1)) * s,
-                (jnp.imag(w0) - jnp.imag(w1)) * s,
-                (jnp.real(w1) - jnp.real(w0)) * s)
+        return ((rep[:, i0] + rep[:, i1]) * s,
+                (imp[:, i0] + imp[:, i1]) * s,
+                (imp[:, i0] - imp[:, i1]) * s,
+                (rep[:, i1] - rep[:, i0]) * s)
 
     g = _MARGIN
     # Z column-parity planes with cp-swapped reflected margins.
