@@ -29,7 +29,7 @@ from dtcwt_tpu.transforms.pyramid import Pyramid
 from dtcwt_tpu.utils import reflect
 
 __all__ = [
-    "estimatereg", "velocityfield", "warp", "warptransform",
+    "estimatereg", "estimatereg_batched", "velocityfield", "warp", "warptransform",
     "warphighpass", "phasegradient", "confidence", "qtildematrices",
     "solvetransform", "normsample", "normsamplehighpass",
     "EXPECTED_SHIFTS",
@@ -247,8 +247,38 @@ def estimatereg(source, reference, regshape=None, levels=None):
     return fn(source, reference)
 
 
+def estimatereg_batched(source, reference, regshape=None, levels=None):
+    """Batched :func:`estimatereg`: *source*/*reference* are Pyramids whose
+    leaves carry a leading pair axis (e.g. every neighbouring frame pair of
+    a video GOP); returns ``[P, N, M, 6]`` affine parameter fields.  The
+    whole pair batch compiles into one vmapped XLA program — the device-side
+    analogue of the reference MPI example's per-worker frame loop
+    (``examples/register_video.py:74-86``)."""
+    nlevels = len(source.highpasses)
+    if regshape is None:
+        avecs_shape = tuple(source.highpasses[3].shape[-3:-1]) + (6,)
+    else:
+        avecs_shape = tuple(regshape[:2]) + (6,)
+    if levels is None:
+        levels = _default_levels(nlevels)
+    levels_key = tuple(tuple(int(l) for l in lv) for lv in levels)
+    shapes_key = tuple(tuple(h.shape[1:]) for h in source.highpasses)
+    fn = _estimatereg_batched_jit(avecs_shape, levels_key, shapes_key)
+    return fn(source, reference)
+
+
+@functools.lru_cache(maxsize=None)
+def _estimatereg_batched_jit(avecs_shape, levels, shapes_key):
+    impl = _estimatereg_impl(avecs_shape, levels)
+    return jax.jit(jax.vmap(impl))
+
+
 @functools.lru_cache(maxsize=None)
 def _estimatereg_jit(avecs_shape, levels, shapes_key):
+    return jax.jit(_estimatereg_impl(avecs_shape, levels))
+
+
+def _estimatereg_impl(avecs_shape, levels):
     def impl(source, reference):
         # Initial global affine estimate from the coarsest level pair.
         Qt = sum(jnp.sum(x, axis=(0, 1))
@@ -272,4 +302,4 @@ def _estimatereg_jit(avecs_shape, levels, shapes_key):
             avecs = avecs + solvetransform(qts)
         return avecs
 
-    return jax.jit(impl)
+    return impl

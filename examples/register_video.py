@@ -56,8 +56,9 @@ def read_frames(path):
 def register_gop(frames, nlevels):
     """Affine parameter fields for every neighbouring pair in one GOP.
 
-    The pair axis is batched: one forward transform of the whole stack, then
-    a vmapped estimatereg over (frames[:-1], frames[1:]) views of it.
+    Fully batched: one forward transform of the whole frame stack, then one
+    vmapped estimatereg over the (frames[:-1], frames[1:]) pair views — a
+    GOP is two compiled programs on the chip, not a Python loop.
     """
     import jax
     import dtcwt_tpu as dt
@@ -65,15 +66,9 @@ def register_gop(frames, nlevels):
 
     t = dt.Transform2d()
     pyr = t.forward(frames, nlevels=nlevels)   # batched [T, ...] transform
-
-    def pair(i0, i1):
-        take = lambda a, i: jax.tree_util.tree_map(lambda x: x[i], a)
-        return reg.estimatereg(take(pyr, i0), take(pyr, i1))
-
-    # estimatereg's refine schedule is host-side python over jitted stages,
-    # so loop pairs here; each iteration reuses the same compiled programs.
-    return np.stack([np.asarray(pair(i, i + 1))
-                     for i in range(frames.shape[0] - 1)])
+    take = lambda sl: jax.tree_util.tree_map(lambda x: x[sl], pyr)
+    av = reg.estimatereg_batched(take(slice(None, -1)), take(slice(1, None)))
+    return np.asarray(av)
 
 
 def main():

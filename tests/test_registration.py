@@ -120,3 +120,25 @@ def test_estimatereg_behavioral_gate():
     avecs = reg.estimatereg(t1, t2)
     warped_f1 = np.asarray(reg.warp(F1, avecs, method="bilinear"))
     assert np.mean(np.abs(warped_f1 - F2)) < np.mean(np.abs(F1 - F2))
+
+
+def test_estimatereg_batched_matches_loop():
+    """Vmapped pair-batched registration equals the per-pair estimator
+    (the device-side analogue of the reference MPI example's worker loop)."""
+    import jax
+    from dtcwt_tpu.registration import estimatereg, estimatereg_batched
+
+    t = Transform2d()
+    frames = np.random.RandomState(11).rand(4, 96, 128)
+    pyr = t.forward(frames, nlevels=4)
+    take = lambda sl: jax.tree_util.tree_map(lambda x: x[sl], pyr)
+    batched = np.asarray(estimatereg_batched(take(slice(None, -1)),
+                                             take(slice(1, None))))
+    singles = []
+    for i in range(3):
+        s_p = jax.tree_util.tree_map(lambda x: x[i], pyr)
+        r_p = jax.tree_util.tree_map(lambda x: x[i + 1], pyr)
+        singles.append(np.asarray(estimatereg(s_p, r_p)))
+    singles = np.stack(singles)
+    assert batched.shape == singles.shape
+    assert np.abs(batched - singles).max() < 1e-10   # f64 under conftest
