@@ -110,7 +110,7 @@ def _pick_tile(n_units: int, rows_per_unit: int, C: int, pad8: int,
     count covers the halo; None if no valid tile exists (caller falls back
     to XLA).  *temp_rows_per_unit* estimates the unrolled-tap temporary rows
     per output unit (~the total sub-filter tap count)."""
-    budget_rows = max(_TILE_BYTES // max(C * itemsize, 1), 1)
+    budget_rows = max(_TILE_BYTES // max(C * max(itemsize, 4), 1), 1)
     best = None
     for t in (n_units, 512, 384, 256, 192, 128, 96, 64, 48, 32, 16, 8, 4, 2, 1):
         if t < 1 or t > n_units or n_units % t:

@@ -59,7 +59,7 @@ def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
     dtype = jnp.dtype(dtype_str)
 
     temp_rows = 3 * (m0 + m1) + 16
-    budget_rows = max(_TILE_BYTES // (W * dtype.itemsize), 1)
+    budget_rows = max(_TILE_BYTES // (W * max(dtype.itemsize, 4)), 1)
     tr = None
     for t in (H, 256, 128, 96, 64, 48, 32, 16):
         if t > H or H % t or t % 16:
@@ -296,7 +296,7 @@ def inv_level1(Z, yh, g0o, g1o) -> Optional[jnp.ndarray]:
     if call is None:
         return None
 
-    s = np.sqrt(0.5).astype(np.float32)
+    s = float(np.sqrt(0.5))   # python float: no dtype promotion
 
     # One band transpose, then plane arithmetic on contiguous slices
     # (minor-axis band indexing lowers to slow gathers on TPU).

@@ -108,7 +108,7 @@ def _build_ilevel2(B: int, L: int, C2: int, g0abytes: bytes, g0bbytes: bytes,
     f1 = bundle(g1a, g1b)      # lh and hh
 
     temp_rows = 16 * m + 24
-    budget_rows = max(_TILE_BYTES // (W * dtype.itemsize), 1)
+    budget_rows = max(_TILE_BYTES // (W * max(dtype.itemsize, 4)), 1)
     tq = None
     for t in (L, 256, 128, 96, 64, 48, 32, 16, 8):
         if t > L or L % t:
@@ -302,7 +302,7 @@ def inv_level2(Z, yh, g0a, g0b, g1a, g1b) -> Optional[jnp.ndarray]:
     if call is None:
         return None
 
-    s = np.sqrt(0.5).astype(np.float32)
+    s = float(np.sqrt(0.5))   # python float: no dtype promotion
 
     # One band transpose, then plane arithmetic on contiguous slices
     # (compound two-axis strided slices and minor-axis band indexing lower

@@ -88,7 +88,7 @@ def _build_level1(B: int, R: int, C2: int, h0bytes: bytes, h1bytes: bytes,
     # Tile rows: scoped-VMEM stack = 2 slabs + 4 persistent column-filter
     # planes + the live tap temporaries of the busiest stage.
     temp_rows = 2 * (m0 + m1) + 2 * max(m0, m1) + 8
-    budget_rows = max(_TILE_BYTES // (W * dtype.itemsize), 1)
+    budget_rows = max(_TILE_BYTES // (W * max(dtype.itemsize, 4)), 1)
     tr = None
     # tr//2 is a block sublane dim, so tr must be a multiple of 16 (or R).
     for t in (R, 512, 256, 128, 96, 64, 48, 32, 16):

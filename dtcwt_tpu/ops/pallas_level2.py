@@ -81,7 +81,7 @@ def _build_level2(B: int, R: int, C4: int, h0abytes: bytes, h0bbytes: bytes,
 
     n_quads = R // 4
     temp_rows = 12 * m + 24
-    budget_rows = max(_TILE_BYTES // (W * dtype.itemsize), 1)
+    budget_rows = max(_TILE_BYTES // (W * max(dtype.itemsize, 4)), 1)
     tq = None
     for t in (n_quads, 256, 128, 96, 64, 48, 32, 16, 8):
         if t > n_quads or n_quads % t:
