@@ -127,8 +127,26 @@ def _pick_tile(n_units: int, rows_per_unit: int, C: int, pad8: int,
     return best
 
 
+def _pick_tiles_2d(n_units: int, rows_per_unit: int, C: int, pad8: int,
+                   itemsize: int, temp_rows_per_unit: int):
+    """(tile_units, lane_tile) for a sublane kernel: widest lane tile whose
+    slab still admits a valid row tile (lane tiles must divide C and stay
+    128-aligned); None if nothing fits."""
+    cands = [C] + [c for c in (32768, 16384, 8192, 4096, 2048, 1024, 512,
+                               256, 128)
+                   if c < C and C % c == 0]
+    for tc in cands:
+        if tc % _LANE and tc != C:
+            continue
+        t = _pick_tile(n_units, rows_per_unit, tc, pad8, itemsize,
+                       temp_rows_per_unit)
+        if t is not None:
+            return t, tc
+    return None, None
+
+
 def _load_slab(x_hbm, b, scratch, sem, *, tile_idx, n_tiles: int,
-               t_in: int, pad8: int, fill: int, R: int):
+               t_in: int, pad8: int, fill: int, R: int, lanes=None):
     """DMA the rows tile *tile_idx* needs from ``x_hbm[b]`` into *scratch*
     (shape ``(t_in + 2*pad8, C)``) and mirror-fill out-of-range halo rows.
 
@@ -149,9 +167,11 @@ def _load_slab(x_hbm, b, scratch, sem, *, tile_idx, n_tiles: int,
         for s in range(t_in + pad8, t_in + pad8 + fill):
             scratch[s, :] = scratch[2 * (t_in + pad8) - 1 - s, :]
 
+    csl = slice(None) if lanes is None else pl.ds(lanes[0], lanes[1])
+
     if n_tiles == 1:
         cp = pltpu.make_async_copy(
-            x_hbm.at[b], scratch.at[pl.ds(pad8, t_in), :], sem)
+            x_hbm.at[b, :, csl], scratch.at[pl.ds(pad8, t_in), :], sem)
         cp.start()
         cp.wait()
         if fill:
@@ -162,7 +182,7 @@ def _load_slab(x_hbm, b, scratch, sem, *, tile_idx, n_tiles: int,
     @pl.when(tile_idx == 0)
     def _():
         cp = pltpu.make_async_copy(
-            x_hbm.at[b, pl.ds(0, t_in + pad8), :],
+            x_hbm.at[b, pl.ds(0, t_in + pad8), csl],
             scratch.at[pl.ds(pad8, t_in + pad8), :], sem)
         cp.start()
         cp.wait()
@@ -176,7 +196,7 @@ def _load_slab(x_hbm, b, scratch, sem, *, tile_idx, n_tiles: int,
     @pl.when(jnp.logical_and(tile_idx > 0, tile_idx < n_tiles - 1))
     def _():
         cp = pltpu.make_async_copy(
-            x_hbm.at[b, pl.ds(src0, t_in + 2 * pad8), :],
+            x_hbm.at[b, pl.ds(src0, t_in + 2 * pad8), csl],
             scratch.at[:, :], sem)
         cp.start()
         cp.wait()
@@ -184,7 +204,7 @@ def _load_slab(x_hbm, b, scratch, sem, *, tile_idx, n_tiles: int,
     @pl.when(tile_idx == n_tiles - 1)
     def _():
         cp = pltpu.make_async_copy(
-            x_hbm.at[b, pl.ds(src0, t_in + pad8), :],
+            x_hbm.at[b, pl.ds(src0, t_in + pad8), csl],
             scratch.at[pl.ds(0, t_in + pad8), :], sem)
         cp.start()
         cp.wait()
@@ -222,6 +242,22 @@ def _phases(win, k: int):
 # CONVOLVE: non-decimating filter along the sublane axis
 # ---------------------------------------------------------------------------
 
+# Filters with at least this many taps route their sublane correlation
+# through the MXU as a banded-matrix matmul: per-tap sublane shifts cost a
+# VMEM relayout each, so shift-accumulate scales linearly with taps while
+# the banded matmul is ~flat (measured 3.3 -> 1.6 ms for a 13-tap colfilter
+# at 4096^2 on v5e).
+_MXU_MIN_TAPS = 9
+
+
+def _banded(rows: int, cols: int, entries) -> np.ndarray:
+    """Dense banded operator: entries is an iterable of (row, col, value)."""
+    A = np.zeros((rows, cols), np.float32)
+    for r, c, v in entries:
+        A[r, c] += v
+    return A
+
+
 @functools.lru_cache(maxsize=None)
 def _build_filter(B: int, R: int, C: int, hbytes: bytes, dtype_str: str):
     h = np.frombuffer(hbytes, dtype=np.float64)
@@ -231,33 +267,56 @@ def _build_filter(B: int, R: int, C: int, hbytes: bytes, dtype_str: str):
     pad = m // 2
     pad8 = _round_up(max(pad, 1), _SUBLANE)
     dtype = jnp.dtype(dtype_str)
-    tr = _pick_tile(R, 1, C, pad8, dtype.itemsize,
-                    temp_rows_per_unit=m + 2)
+    use_mxu = m >= _MXU_MIN_TAPS and not _interpret()
+    tr, tc = _pick_tiles_2d(R, 1, C, pad8, dtype.itemsize,
+                            temp_rows_per_unit=4 if use_mxu else m + 2)
     if tr is None or pad8 > R:
         return None
     n_tiles = R // tr
+    n_ctiles = C // tc
     hrev = tuple(float(v) for v in h[::-1])
     off = pad8 - pad          # static slab offset of the compute window
+    if use_mxu:
+        # out[i] = sum_k hrev[k] * win[i + k], win = slab[off : off+tr+2pad]
+        A = _banded(tr, tr + 2 * pad,
+                    ((i, i + k, hrev[k]) for i in range(tr)
+                     for k in range(m))).astype(dtype)
 
-    def kernel(x_hbm, o_ref, scratch, sem):
+    def kernel(x_hbm, *refs):
+        a_ref = refs[0] if use_mxu else None
+        o_ref, scratch, sem = refs[-3], refs[-2], refs[-1]
         b = pl.program_id(0)
         i = pl.program_id(1)
+        j = pl.program_id(2)
         _load_slab(x_hbm, b, scratch, sem, tile_idx=i, n_tiles=n_tiles,
-                   t_in=tr, pad8=pad8, fill=pad, R=R)
+                   t_in=tr, pad8=pad8, fill=pad, R=R, lanes=(j * tc, tc))
         ext = lax.slice_in_dim(scratch[:, :], off, off + tr + 2 * pad, axis=0)
-        o_ref[0] = _shift_corr(ext, hrev, tr)
+        if use_mxu:
+            o_ref[0] = jnp.dot(a_ref[:, :], ext,
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32
+                               ).astype(dtype)
+        else:
+            o_ref[0] = _shift_corr(ext, hrev, tr)
 
+    in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
+    if use_mxu:
+        in_specs.append(pl.BlockSpec((tr, tr + 2 * pad),
+                                     lambda b, i, j: (0, 0),
+                                     memory_space=pltpu.VMEM))
     call = pl.pallas_call(
         kernel,
-        grid=(B, n_tiles),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_specs=pl.BlockSpec((1, tr, C), lambda b, i: (b, i, 0),
+        grid=(B, n_tiles, n_ctiles),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, tr, tc), lambda b, i, j: (b, i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, R, C), dtype),
-        scratch_shapes=[pltpu.VMEM((tr + 2 * pad8, C), dtype),
+        scratch_shapes=[pltpu.VMEM((tr + 2 * pad8, tc), dtype),
                         pltpu.SemaphoreType.DMA(())],
         interpret=_interpret(),
     )
+    if use_mxu:
+        return lambda x: call(x, A)
     return call
 
 
@@ -275,7 +334,8 @@ def filter_axis(x, h, axis: int):
     if call is None:
         return None
     y = call(x3)
-    return _from_sublane(y.reshape(lead + y.shape[-2:]), x.ndim, axis)
+    return _from_sublane(y.reshape(lead + y.shape[-2:]), x.ndim, axis,
+                         trail=x.shape[-2:])
 
 
 # ---------------------------------------------------------------------------
@@ -292,12 +352,14 @@ def _build_dfilt(B: int, R: int, C: int, habytes: bytes, hbbytes: bytes,
         return None
     pad8 = _round_up(m, _SUBLANE)
     dtype = jnp.dtype(dtype_str)
+    use_mxu = m >= _MXU_MIN_TAPS and not _interpret()
     n_quads = R // 4            # output pairs; 4 input rows per output pair
-    tq = _pick_tile(n_quads, 4, C, pad8, dtype.itemsize,
-                    temp_rows_per_unit=2 * m + 4)
+    tq, tc = _pick_tiles_2d(n_quads, 4, C, pad8, dtype.itemsize,
+                            temp_rows_per_unit=4 if use_mxu else 2 * m + 4)
     if tq is None or pad8 > R:
         return None
     n_tiles = n_quads // tq
+    n_ctiles = C // tc
     har, hbr = ha[::-1], hb[::-1]
     ha_e = tuple(float(v) for v in har[0::2])
     ha_o = tuple(float(v) for v in har[1::2])
@@ -305,14 +367,33 @@ def _build_dfilt(B: int, R: int, C: int, habytes: bytes, hbbytes: bytes,
     hb_o = tuple(float(v) for v in hbr[1::2])
     pos = bool(np.sum(ha * hb) > 0)
     off = pad8 - m            # window start: extended index 4*q0 (phase 0)
+    if use_mxu:
+        # Interleaved rows of the banded decimator over the window (which
+        # starts at extended index 4*q0):  Ya[i] = sum_k rev(ha)[k] *
+        # win[4i + 2 + 2k],  Yb[i] = sum_k rev(hb)[k] * win[4i + 3 + 2k].
+        ra, rb = (0, 1) if pos else (1, 0)
+        A = _banded(2 * tq, 4 * tq + 2 * m,
+                    [(2 * i + ra, 4 * i + 2 + 2 * k, float(har[k]))
+                     for i in range(tq) for k in range(m)]
+                    + [(2 * i + rb, 4 * i + 3 + 2 * k, float(hbr[k]))
+                       for i in range(tq) for k in range(m)]).astype(dtype)
 
-    def kernel(x_hbm, o_ref, scratch, sem):
+    def kernel(x_hbm, *refs):
+        a_ref = refs[0] if use_mxu else None
+        o_ref, scratch, sem = refs[-3], refs[-2], refs[-1]
         b = pl.program_id(0)
         i = pl.program_id(1)
+        j = pl.program_id(2)
         _load_slab(x_hbm, b, scratch, sem, tile_idx=i, n_tiles=n_tiles,
-                   t_in=4 * tq, pad8=pad8, fill=m, R=R)
+                   t_in=4 * tq, pad8=pad8, fill=m, R=R, lanes=(j * tc, tc))
         win = lax.slice_in_dim(scratch[:, :], off, off + 4 * tq + 2 * m,
                                axis=0)
+        if use_mxu:
+            o_ref[0] = jnp.dot(a_ref[:, :], win,
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32
+                               ).astype(dtype)
+            return
         # Quarter-phase streams of the extended signal (see ops/fb.py):
         #   Ya[i] = sum_u rev(ha)[2u] Q2[i+u] + sum_u rev(ha)[2u+1] Q0[i+u+1]
         #   Yb[i] = sum_u rev(hb)[2u] Q3[i+u] + sum_u rev(hb)[2u+1] Q1[i+u+1]
@@ -323,17 +404,24 @@ def _build_dfilt(B: int, R: int, C: int, habytes: bytes, hbbytes: bytes,
               + _shift_corr(q[1], hb_o, tq, offset=1))
         o_ref[0] = _interleave_rows((ya, yb) if pos else (yb, ya))
 
+    in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
+    if use_mxu:
+        in_specs.append(pl.BlockSpec((2 * tq, 4 * tq + 2 * m),
+                                     lambda b, i, j: (0, 0),
+                                     memory_space=pltpu.VMEM))
     call = pl.pallas_call(
         kernel,
-        grid=(B, n_tiles),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_specs=pl.BlockSpec((1, 2 * tq, C), lambda b, i: (b, i, 0),
+        grid=(B, n_tiles, n_ctiles),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 2 * tq, tc), lambda b, i, j: (b, i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, R // 2, C), dtype),
-        scratch_shapes=[pltpu.VMEM((4 * tq + 2 * pad8, C), dtype),
+        scratch_shapes=[pltpu.VMEM((4 * tq + 2 * pad8, tc), dtype),
                         pltpu.SemaphoreType.DMA(())],
         interpret=_interpret(),
     )
+    if use_mxu:
+        return lambda x: call(x, A)
     return call
 
 
@@ -350,7 +438,8 @@ def dfilt_axis(x, ha, hb, axis: int):
     if call is None:
         return None
     y = call(x3)
-    return _from_sublane(y.reshape(lead + y.shape[-2:]), x.ndim, axis)
+    return _from_sublane(y.reshape(lead + y.shape[-2:]), x.ndim, axis,
+                         trail=x.shape[-2:])
 
 
 # ---------------------------------------------------------------------------
@@ -368,57 +457,89 @@ def _build_ifilt(B: int, R: int, C: int, habytes: bytes, hbbytes: bytes,
     m2 = m // 2
     pad8 = _round_up(max(m2, 1), _SUBLANE)
     dtype = jnp.dtype(dtype_str)
+    use_mxu = m >= _MXU_MIN_TAPS and not _interpret()
     n_quads = R // 2            # output quads; 2 input rows per output quad
-    tq = _pick_tile(n_quads, 2, C, pad8, dtype.itemsize,
-                    temp_rows_per_unit=2 * m + 8)
+    tq, tc = _pick_tiles_2d(n_quads, 2, C, pad8, dtype.itemsize,
+                            temp_rows_per_unit=4 if use_mxu else 2 * m + 8)
     if tq is None or pad8 > R:
         return None
     n_tiles = n_quads // tq
+    n_ctiles = C // tc
     ha_e = tuple(float(v) for v in ha[0::2][::-1])
     ha_o = tuple(float(v) for v in ha[1::2][::-1])
     hb_e = tuple(float(v) for v in hb[0::2][::-1])
     hb_o = tuple(float(v) for v in hb[1::2][::-1])
     pos = bool(np.sum(ha * hb) > 0)
     off = pad8 - m2           # window start: extended index 2*q0 (phase 0)
+    par_ev, par_od = m2 % 2, (m2 + 1) % 2
+    # (phase, taps, offset) per output row stream t (out[4i+t]); mirrors the
+    # four parity cases of fb.ifilt_from_ext exactly.
+    if m2 % 2 == 0:
+        if pos:
+            plan = (("ev", ha_o, 0), ("od", hb_o, 0),
+                    ("ev", ha_e, 1), ("od", hb_e, 1))
+        else:
+            plan = (("od", ha_o, 0), ("ev", hb_o, 0),
+                    ("od", ha_e, 1), ("ev", hb_e, 1))
+    else:
+        if pos:
+            plan = (("ev", ha_e, 0), ("od", hb_e, 1),
+                    ("ev", ha_o, 0), ("od", hb_o, 1))
+        else:
+            plan = (("od", ha_e, 1), ("ev", hb_e, 0),
+                    ("od", ha_o, 1), ("ev", hb_o, 0))
+    if use_mxu:
+        # out[4i+t] = sum_k taps[k] * win[2(i + o + k) + par(phase)]
+        entries = []
+        for t, (phase, taps, o) in enumerate(plan):
+            par = par_ev if phase == "ev" else par_od
+            for i in range(tq):
+                for k, v in enumerate(taps):
+                    entries.append((4 * i + t, 2 * (i + o + k) + par,
+                                    float(v)))
+        A = _banded(4 * tq, 2 * tq + 2 * m2, entries).astype(dtype)
 
-    def kernel(x_hbm, o_ref, scratch, sem):
+    def kernel(x_hbm, *refs):
+        a_ref = refs[0] if use_mxu else None
+        o_ref, scratch, sem = refs[-3], refs[-2], refs[-1]
         b = pl.program_id(0)
         i = pl.program_id(1)
+        j = pl.program_id(2)
         _load_slab(x_hbm, b, scratch, sem, tile_idx=i, n_tiles=n_tiles,
-                   t_in=2 * tq, pad8=pad8, fill=m2, R=R)
+                   t_in=2 * tq, pad8=pad8, fill=m2, R=R, lanes=(j * tc, tc))
         win = lax.slice_in_dim(scratch[:, :], off, off + 2 * tq + 2 * m2,
                                axis=0)
+        if use_mxu:
+            o_ref[0] = jnp.dot(a_ref[:, :], win,
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32
+                               ).astype(dtype)
+            return
         # Phases holding even / odd *extended* indices (see ops/fb.py):
         ph = _phases(win, 2)
-        ev, od = ph[m2 % 2], ph[(m2 + 1) % 2]
-        n2 = tq
-        if m2 % 2 == 0:
-            if pos:
-                rows = (_shift_corr(ev, ha_o, n2, 0), _shift_corr(od, hb_o, n2, 0),
-                        _shift_corr(ev, ha_e, n2, 1), _shift_corr(od, hb_e, n2, 1))
-            else:
-                rows = (_shift_corr(od, ha_o, n2, 0), _shift_corr(ev, hb_o, n2, 0),
-                        _shift_corr(od, ha_e, n2, 1), _shift_corr(ev, hb_e, n2, 1))
-        else:
-            if pos:
-                rows = (_shift_corr(ev, ha_e, n2, 0), _shift_corr(od, hb_e, n2, 1),
-                        _shift_corr(ev, ha_o, n2, 0), _shift_corr(od, hb_o, n2, 1))
-            else:
-                rows = (_shift_corr(od, ha_e, n2, 1), _shift_corr(ev, hb_e, n2, 0),
-                        _shift_corr(od, ha_o, n2, 1), _shift_corr(ev, hb_o, n2, 0))
+        phases = {"ev": ph[par_ev], "od": ph[par_od]}
+        rows = tuple(_shift_corr(phases[phase], taps, tq, o)
+                     for (phase, taps, o) in plan)
         o_ref[0] = _interleave_rows(rows)
 
+    in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
+    if use_mxu:
+        in_specs.append(pl.BlockSpec((4 * tq, 2 * tq + 2 * m2),
+                                     lambda b, i, j: (0, 0),
+                                     memory_space=pltpu.VMEM))
     call = pl.pallas_call(
         kernel,
-        grid=(B, n_tiles),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_specs=pl.BlockSpec((1, 4 * tq, C), lambda b, i: (b, i, 0),
+        grid=(B, n_tiles, n_ctiles),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 4 * tq, tc), lambda b, i, j: (b, i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 2 * R, C), dtype),
-        scratch_shapes=[pltpu.VMEM((2 * tq + 2 * pad8, C), dtype),
+        scratch_shapes=[pltpu.VMEM((2 * tq + 2 * pad8, tc), dtype),
                         pltpu.SemaphoreType.DMA(())],
         interpret=_interpret(),
     )
+    if use_mxu:
+        return lambda x: call(x, A)
     return call
 
 
@@ -435,7 +556,8 @@ def ifilt_axis(x, ha, hb, axis: int):
     if call is None:
         return None
     y = call(x3)
-    return _from_sublane(y.reshape(lead + y.shape[-2:]), x.ndim, axis)
+    return _from_sublane(y.reshape(lead + y.shape[-2:]), x.ndim, axis,
+                         trail=x.shape[-2:])
 
 
 # ---------------------------------------------------------------------------
@@ -530,6 +652,8 @@ def _supported_array(x, axis: int) -> bool:
     if x.ndim < 2:
         return False
     axis = axis if axis >= 0 else axis + x.ndim
+    if axis == x.ndim - 3:
+        return x.dtype in (jnp.float32, jnp.bfloat16)
     if axis not in (x.ndim - 2, x.ndim - 1):
         return False
     if x.dtype not in (jnp.float32, jnp.bfloat16):
@@ -538,16 +662,23 @@ def _supported_array(x, axis: int) -> bool:
 
 
 def _to_sublane(x, axis: int):
+    # Route the filtered axis onto the sublane axis: -2 is a no-op, -1 a
+    # transpose, -3 a free merge of the two trailing dims (the filter acts
+    # per (row, col) pair, so [..., D, H, W] -> [..., D, H*W]).
     axis = axis if axis >= 0 else axis + x.ndim
     if axis == x.ndim - 2:
         return x
+    if axis == x.ndim - 3:
+        return x.reshape(x.shape[:-2] + (x.shape[-2] * x.shape[-1],))
     return jnp.swapaxes(x, -1, -2)
 
 
-def _from_sublane(y, ndim: int, axis: int):
+def _from_sublane(y, ndim: int, axis: int, trail=None):
     axis = axis if axis >= 0 else axis + ndim
     if axis == ndim - 2:
         return y
+    if axis == ndim - 3:
+        return y.reshape(y.shape[:-1] + trail)
     return jnp.swapaxes(y, -1, -2)
 
 
