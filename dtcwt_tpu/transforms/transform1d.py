@@ -54,6 +54,16 @@ class Transform1d:
 
     def _forward_impl(self, X, *, nlevels: int, include_scale: bool,
                       ek=None) -> Pyramid:
+        impl = lambda x: self._forward_body(x, nlevels=nlevels,
+                                            include_scale=include_scale)
+        if engine.use_pallas():
+            from dtcwt_tpu.ops.linearize import linear_vjp
+            spec = jax.ShapeDtypeStruct(X.shape, X.dtype)
+            return linear_vjp(impl, spec)(X)
+        return impl(X)
+
+    def _forward_body(self, X, *, nlevels: int,
+                      include_scale: bool) -> Pyramid:
         h0o, _, h1o, _ = self.biort
         h0a, h0b, _, _, h1a, h1b, _, _ = self.qshift
         axis = 0 if X.ndim <= 2 else -2
@@ -121,6 +131,15 @@ class Transform1d:
 
     def _inverse_impl(self, pyramid: Pyramid, gain_mask, *, ret_flat: bool,
                       ek=None):
+        impl = lambda p: self._inverse_body(p, gain_mask, ret_flat=ret_flat)
+        if engine.use_pallas():
+            from dtcwt_tpu.ops.linearize import linear_vjp
+            spec = jax.tree_util.tree_map(
+                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), pyramid)
+            return linear_vjp(impl, spec)(pyramid)
+        return impl(pyramid)
+
+    def _inverse_body(self, pyramid: Pyramid, gain_mask, *, ret_flat: bool):
         _, g0o, _, g1o = self.biort
         _, _, g0a, g0b, _, _, g1a, g1b = self.qshift
 

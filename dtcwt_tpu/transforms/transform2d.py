@@ -161,6 +161,18 @@ class Transform2d:
 
     def _forward_impl(self, X, *, nlevels: int, include_scale: bool,
                       ek=None) -> Pyramid:
+        impl = lambda x: self._forward_body(x, nlevels=nlevels,
+                                            include_scale=include_scale)
+        if engine.use_pallas():
+            # Pallas kernels have no autodiff rule; the transform is linear,
+            # so grads go through the XLA path's linear transpose.
+            from dtcwt_tpu.ops.linearize import linear_vjp
+            spec = jax.ShapeDtypeStruct(X.shape, X.dtype)
+            return linear_vjp(impl, spec)(X)
+        return impl(X)
+
+    def _forward_body(self, X, *, nlevels: int,
+                      include_scale: bool) -> Pyramid:
         b = self.biort
         h0o, h1o = b[0], b[2]
         h2o = b[4] if len(b) == 6 else None
@@ -345,6 +357,15 @@ class Transform2d:
         return self._inv(pyramid, gm, ek=engine.trace_key())
 
     def _inverse_impl(self, pyramid: Pyramid, gain_mask, *, ek=None):
+        impl = lambda p: self._inverse_body(p, gain_mask)
+        if engine.use_pallas():
+            from dtcwt_tpu.ops.linearize import linear_vjp
+            spec = jax.tree_util.tree_map(
+                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), pyramid)
+            return linear_vjp(impl, spec)(pyramid)
+        return impl(pyramid)
+
+    def _inverse_body(self, pyramid: Pyramid, gain_mask):
         b = self.biort
         g0o, g1o = b[1], b[3]
         g2o = b[5] if len(b) == 6 else None

@@ -100,6 +100,16 @@ class Transform3d:
 
     def _forward_impl(self, X, *, nlevels, include_scale, discard_level_1,
                       ek=None):
+        impl = lambda x: self._forward_body(
+            x, nlevels=nlevels, include_scale=include_scale,
+            discard_level_1=discard_level_1)
+        if engine.use_pallas():
+            from dtcwt_tpu.ops.linearize import linear_vjp
+            spec = jax.ShapeDtypeStruct(X.shape, X.dtype)
+            return linear_vjp(impl, spec)(X)
+        return impl(X)
+
+    def _forward_body(self, X, *, nlevels, include_scale, discard_level_1):
         b = self.biort
         h0o, h1o = b[0], b[2]
         q = self.qshift
@@ -197,6 +207,15 @@ class Transform3d:
         return self._inv(pyramid, ek=engine.trace_key())
 
     def _inverse_impl(self, pyramid: Pyramid, *, ek=None):
+        impl = lambda p: self._inverse_body(p)
+        if engine.use_pallas():
+            from dtcwt_tpu.ops.linearize import linear_vjp
+            spec = jax.tree_util.tree_map(
+                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), pyramid)
+            return linear_vjp(impl, spec)(pyramid)
+        return impl(pyramid)
+
+    def _inverse_body(self, pyramid: Pyramid):
         b = self.biort
         g0o, g1o = b[1], b[3]
         q = self.qshift
