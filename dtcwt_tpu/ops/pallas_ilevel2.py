@@ -126,7 +126,35 @@ def _build_ilevel2(B: int, L: int, C2: int, g0abytes: bytes, g0bbytes: bytes,
     sh_ev = m2 // 2                 # plane shift of the ev phase
     sh_od = m2 // 2 + (m2 % 2)      # plane shift of the od phase
 
-    def kernel(x_hbm, out_ref, slabs, streams, sems):
+    # Banded row-stage operators (one matmul per (source, cp) replaces the
+    # per-tap sublane shifts, which each cost a VMEM relayout): the operand
+    # is [P0 slab rows ; P1 slab rows] concatenated, so phase-0 taps index
+    # the first block and phase-1 taps the second.
+    use_mxu = m >= 9 and not _interpret()
+    Lslab = tq + 2 * _PAD
+
+    def _row_matrix(bun):
+        (ae, ao), (be, bo), plan = bun
+        tapsets = {("a", "e"): ae, ("a", "o"): ao,
+                   ("b", "e"): be, ("b", "o"): bo}
+        A = np.zeros((4 * tq, 2 * Lslab), np.float32)
+        for t, (phase, fil, eo, off) in enumerate(plan):
+            shift = sh_ev if phase == 0 else sh_od
+            base = phase * Lslab
+            taps = tapsets[("a" if fil == 0 else "b", eo)]
+            for i in range(tq):
+                for kk, tv in enumerate(taps):
+                    A[4 * i + t, base + _PAD + off - shift + i + kk] += tv
+        return A
+
+    if use_mxu:
+        A0 = _row_matrix(f0).astype(dtype)   # Z and hl
+        A1 = _row_matrix(f1).astype(dtype)   # lh and hh
+
+    def kernel(x_hbm, *refs):
+        if use_mxu:
+            a0_ref, a1_ref = refs[0], refs[1]
+        out_ref, slabs, streams, sems = refs[-4], refs[-3], refs[-2], refs[-1]
         b = pl.program_id(0)
         i = pl.program_id(1)
         k = pl.program_id(2)
@@ -211,11 +239,28 @@ def _build_ilevel2(B: int, L: int, C2: int, g0abytes: bytes, g0bbytes: bytes,
                     outs.append(acc)
                 return outs
 
+            def row_streams_mxu(src_idx, a_ref, cp):
+                win = jnp.concatenate(
+                    [slabs[4 * src_idx + cp],          # phase-0 (rp 0)
+                     slabs[4 * src_idx + 2 + cp]],     # phase-1 (rp 1)
+                    axis=0)
+                y = jnp.dot(a_ref[:, :], win,
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32).astype(dtype)
+                y4 = y.reshape(tq, 4, W)
+                return [y4[:, t, :] for t in range(4)]
+
             for cp in range(2):
-                z_s = row_streams(0, f0, cp)
-                lh_s = row_streams(1, f1, cp)
-                hl_s = row_streams(2, f0, cp)
-                hh_s = row_streams(3, f1, cp)
+                if use_mxu:
+                    z_s = row_streams_mxu(0, a0_ref, cp)
+                    lh_s = row_streams_mxu(1, a1_ref, cp)
+                    hl_s = row_streams_mxu(2, a0_ref, cp)
+                    hh_s = row_streams_mxu(3, a1_ref, cp)
+                else:
+                    z_s = row_streams(0, f0, cp)
+                    lh_s = row_streams(1, f1, cp)
+                    hl_s = row_streams(2, f0, cp)
+                    hh_s = row_streams(3, f1, cp)
                 for t in range(4):
                     streams[0, 2 * t + cp] = z_s[t] + lh_s[t]     # y1
                     streams[1, 2 * t + cp] = hl_s[t] + hh_s[t]    # y2
@@ -249,6 +294,11 @@ def _build_ilevel2(B: int, L: int, C2: int, g0abytes: bytes, g0bbytes: bytes,
                     out_ref[0, 0, s] = y1_l[s] + y2_l[s]
 
     in_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+    in_specs = [in_spec]
+    if use_mxu:
+        a_spec = pl.BlockSpec((4 * tq, 2 * Lslab), lambda b, i, k: (0, 0),
+                              memory_space=pltpu.VMEM)
+        in_specs = [in_spec, a_spec, a_spec]
     out_spec = pl.BlockSpec(
         (1, 1, 4, tq, C2),
         lambda b, i, k: (b, jnp.maximum(k - 1, 0), 0, i, 0),
@@ -256,7 +306,7 @@ def _build_ilevel2(B: int, L: int, C2: int, g0abytes: bytes, g0bbytes: bytes,
     call = pl.pallas_call(
         kernel,
         grid=(B, n_tiles, 5),
-        in_specs=[in_spec],
+        in_specs=in_specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((B, 4, 4, L, C2), dtype),
         scratch_shapes=[pltpu.VMEM((16, tq + 2 * _PAD, W), dtype),
@@ -266,6 +316,8 @@ def _build_ilevel2(B: int, L: int, C2: int, g0abytes: bytes, g0bbytes: bytes,
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
         interpret=_interpret(),
     )
+    if use_mxu:
+        return lambda x: call(x, A0, A1)
     return call
 
 
