@@ -250,6 +250,21 @@ def _phases(win, k: int):
 _MXU_MIN_TAPS = 9
 
 
+def _pick_nb(B: int, slab_rows: int, tc: int, itemsize: int) -> int:
+    """Items per program when one tile covers the whole row axis: small
+    images in large batches otherwise leave each program with a tiny tile
+    (per-program DMA/pipeline overhead dominates).  Pick the largest NB
+    dividing B whose NB slabs fit ~half the tile budget."""
+    budget = _TILE_BYTES // 2
+    per_item = slab_rows * tc * max(itemsize, 4)
+    nb = 1
+    for cand in (16, 8, 4, 2):
+        if B % cand == 0 and cand * per_item <= budget:
+            nb = cand
+            break
+    return nb
+
+
 def _banded(rows: int, cols: int, entries) -> np.ndarray:
     """Dense banded operator: entries is an iterable of (row, col, value)."""
     A = np.zeros((rows, cols), np.float32)
@@ -274,6 +289,7 @@ def _build_filter(B: int, R: int, C: int, hbytes: bytes, dtype_str: str):
         return None
     n_tiles = R // tr
     n_ctiles = C // tc
+    nb = _pick_nb(B, tr + 2 * pad8, tc, dtype.itemsize) if n_tiles == 1 else 1
     hrev = tuple(float(v) for v in h[::-1])
     off = pad8 - pad          # static slab offset of the compute window
     if use_mxu:
@@ -288,30 +304,53 @@ def _build_filter(B: int, R: int, C: int, hbytes: bytes, dtype_str: str):
         b = pl.program_id(0)
         i = pl.program_id(1)
         j = pl.program_id(2)
-        _load_slab(x_hbm, b, scratch, sem, tile_idx=i, n_tiles=n_tiles,
-                   t_in=tr, pad8=pad8, fill=pad, R=R, lanes=(j * tc, tc))
-        ext = lax.slice_in_dim(scratch[:, :], off, off + tr + 2 * pad, axis=0)
-        if use_mxu:
-            o_ref[0] = jnp.dot(a_ref[:, :], ext,
-                               precision=jax.lax.Precision.HIGHEST,
-                               preferred_element_type=jnp.float32
-                               ).astype(dtype)
+        if nb == 1:
+            _load_slab(x_hbm, b, scratch, sem, tile_idx=i, n_tiles=n_tiles,
+                       t_in=tr, pad8=pad8, fill=pad, R=R, lanes=(j * tc, tc))
         else:
-            o_ref[0] = _shift_corr(ext, hrev, tr)
+            # NB whole items per program: one 3-D DMA, per-item mirrors.
+            cp = pltpu.make_async_copy(
+                x_hbm.at[pl.ds(b * nb, nb),
+                         :, pl.ds(j * tc, tc)],
+                scratch.at[:, pl.ds(pad8, tr), :], sem)
+            cp.start()
+            cp.wait()
+            for it in range(nb):
+                for r_ in range(pad8 - pad, pad8):
+                    scratch[it, r_, :] = scratch[it, 2 * pad8 - 1 - r_, :]
+                for r_ in range(tr + pad8, tr + pad8 + pad):
+                    scratch[it, r_, :] = scratch[
+                        it, 2 * (tr + pad8) - 1 - r_, :]
+        for it in range(nb):
+            ext = lax.slice_in_dim(
+                scratch[:, :] if nb == 1 else scratch[it],
+                off, off + tr + 2 * pad, axis=0)
+            if use_mxu:
+                y = jnp.dot(a_ref[:, :], ext,
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32).astype(dtype)
+            else:
+                y = _shift_corr(ext, hrev, tr)
+            if nb == 1:
+                o_ref[0] = y
+            else:
+                o_ref[it] = y
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
     if use_mxu:
         in_specs.append(pl.BlockSpec((tr, tr + 2 * pad),
                                      lambda b, i, j: (0, 0),
                                      memory_space=pltpu.VMEM))
+    scratch_shape = ((tr + 2 * pad8, tc) if nb == 1
+                     else (nb, tr + 2 * pad8, tc))
     call = pl.pallas_call(
         kernel,
-        grid=(B, n_tiles, n_ctiles),
+        grid=(B // nb, n_tiles, n_ctiles),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, tr, tc), lambda b, i, j: (b, i, j),
+        out_specs=pl.BlockSpec((nb, tr, tc), lambda b, i, j: (b, i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, R, C), dtype),
-        scratch_shapes=[pltpu.VMEM((tr + 2 * pad8, tc), dtype),
+        scratch_shapes=[pltpu.VMEM(scratch_shape, dtype),
                         pltpu.SemaphoreType.DMA(())],
         interpret=_interpret(),
     )
