@@ -114,6 +114,28 @@ def _build_level2(B: int, R: int, C4: int, h0abytes: bytes, h0bbytes: bytes,
 
     sc = float(np.sqrt(0.5))
 
+    # Column stage as banded MXU matmuls: rows [0,tq) = even-row tree,
+    # [tq,2tq) = odd-row tree, taps indexed straight off the slab
+    # (Ya[i] = sum_k rev(ha)[k] slab[off + 4i + 2 + 2k], Yb at +3).
+    use_mxu = m >= 6 and not _interpret()
+    off_slab = pad8 - m
+    slab_rows = 4 * tq + 2 * pad8
+
+    def _col_matrix(ha, hb):
+        har, hbr = ha[::-1], hb[::-1]
+        pos = bool(np.sum(ha * hb) > 0)
+        ra, rb = (0, 1) if pos else (1, 0)
+        A = np.zeros((2 * tq, slab_rows), np.float32)
+        for i in range(tq):
+            for k in range(m):
+                A[ra * tq + i, off_slab + 4 * i + 2 + 2 * k] += har[k]
+                A[rb * tq + i, off_slab + 4 * i + 3 + 2 * k] += hbr[k]
+        return A
+
+    if use_mxu:
+        Acol0 = _col_matrix(h0a, h0b).astype(dtype)
+        Acol1 = _col_matrix(h1a, h1b).astype(dtype)
+
     def col_trees(q, ha_e, ha_o, hb_e, hb_o, pos):
         """Column (sublane) dual filter from row quarter-phases *q* (list of
         4 (n4, W) planes); returns (even-row tree, odd-row tree)."""
@@ -211,8 +233,12 @@ def _build_level2(B: int, R: int, C4: int, h0abytes: bytes, h0bbytes: bytes,
             for s in range(t_in + pad8, t_in + pad8 + m):
                 slab[s, :] = slab[2 * (t_in + pad8) - 1 - s, :]
 
-    def kernel(x0, x1, x2, x3, lolo_e_ref, lolo_o_ref, re_ref, im_ref,
-               s0, s1, s2, s3, cols, sems):
+    def kernel(x0, x1, x2, x3, *refs):
+        if use_mxu:
+            ac0_ref, ac1_ref = refs[0], refs[1]
+            refs = refs[2:]
+        (lolo_e_ref, lolo_o_ref, re_ref, im_ref,
+         s0, s1, s2, s3, cols, sems) = refs
         b = pl.program_id(0)
         i = pl.program_id(1)
         k = pl.program_id(2)
@@ -243,24 +269,43 @@ def _build_level2(B: int, R: int, C4: int, h0abytes: bytes, h0bbytes: bytes,
                 for p in range(4):
                     _fills(slabs[p].at[buf], i)
 
-                # Row quarter-phases of the slab window (starts at ext row
-                # 4*q0) via a sublane split reshape, per lane plane.
-                q_by_plane = []
-                for sl in slabs:
-                    win = lax.slice_in_dim(sl[buf], pad8 - m,
-                                           pad8 - m + 4 * tq + 2 * m, axis=0)
-                    w4 = win.reshape(tq + m // 2, 4, W)
-                    q_by_plane.append([w4[:, p, :] for p in range(4)])
-                # Column stage: per lane plane, both filters' both trees.
-                for p in range(4):
-                    lo_ev, lo_od = col_trees(q_by_plane[p], h0a_e, h0a_o,
-                                             h0b_e, h0b_o, pos0)
-                    hi_ev, hi_od = col_trees(q_by_plane[p], h1a_e, h1a_o,
-                                             h1b_e, h1b_o, pos1)
-                    cols[0, p] = lo_ev
-                    cols[1, p] = lo_od
-                    cols[2, p] = hi_ev
-                    cols[3, p] = hi_od
+                if use_mxu:
+                    # Column stage: one banded matmul per (plane, pair).
+                    for p in range(4):
+                        sl = slabs[p][buf]
+                        ylo = jnp.dot(ac0_ref[:, :], sl,
+                                      precision=jax.lax.Precision.HIGHEST,
+                                      preferred_element_type=jnp.float32
+                                      ).astype(dtype)
+                        yhi = jnp.dot(ac1_ref[:, :], sl,
+                                      precision=jax.lax.Precision.HIGHEST,
+                                      preferred_element_type=jnp.float32
+                                      ).astype(dtype)
+                        cols[0, p] = lax.slice_in_dim(ylo, 0, tq, axis=0)
+                        cols[1, p] = lax.slice_in_dim(ylo, tq, 2 * tq,
+                                                      axis=0)
+                        cols[2, p] = lax.slice_in_dim(yhi, 0, tq, axis=0)
+                        cols[3, p] = lax.slice_in_dim(yhi, tq, 2 * tq,
+                                                      axis=0)
+                else:
+                    # Row quarter-phases of the slab window (starts at ext
+                    # row 4*q0) via a sublane split reshape, per lane plane.
+                    q_by_plane = []
+                    for sl in slabs:
+                        win = lax.slice_in_dim(
+                            sl[buf], pad8 - m, pad8 - m + 4 * tq + 2 * m,
+                            axis=0)
+                        w4 = win.reshape(tq + m // 2, 4, W)
+                        q_by_plane.append([w4[:, p, :] for p in range(4)])
+                    for p in range(4):
+                        lo_ev, lo_od = col_trees(q_by_plane[p], h0a_e,
+                                                 h0a_o, h0b_e, h0b_o, pos0)
+                        hi_ev, hi_od = col_trees(q_by_plane[p], h1a_e,
+                                                 h1a_o, h1b_e, h1b_o, pos1)
+                        cols[0, p] = lo_ev
+                        cols[1, p] = lo_od
+                        cols[2, p] = hi_ev
+                        cols[3, p] = hi_od
                 # Lowpass: row dual filter of the lo branches; interleave
                 # rows in-kernel, columns stay split for the wrapper.
                 le_e, le_o = row_trees([cols[0, p] for p in range(4)],
@@ -294,6 +339,12 @@ def _build_level2(B: int, R: int, C4: int, h0abytes: bytes, h0bbytes: bytes,
                 im_ref[0, 0, 1] = (bq - c) * sc
 
     in_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+    in_specs = [in_spec] * 4
+    if use_mxu:
+        acol_spec = pl.BlockSpec((2 * tq, slab_rows),
+                                 lambda b, i, k: (0, 0),
+                                 memory_space=pltpu.VMEM)
+        in_specs = in_specs + [acol_spec, acol_spec]
     lolo_spec = pl.BlockSpec((1, 2 * tq, C4), lambda b, i, k: (b, i, 0),
                              memory_space=pltpu.VMEM)
     band_spec = pl.BlockSpec(
@@ -303,7 +354,7 @@ def _build_level2(B: int, R: int, C4: int, h0abytes: bytes, h0bbytes: bytes,
     call = pl.pallas_call(
         kernel,
         grid=(B, n_tiles, 4),
-        in_specs=[in_spec] * 4,
+        in_specs=in_specs,
         out_specs=(lolo_spec, lolo_spec, band_spec, band_spec),
         out_shape=(jax.ShapeDtypeStruct((B, R // 2, C4), dtype),
                    jax.ShapeDtypeStruct((B, R // 2, C4), dtype),
@@ -319,6 +370,8 @@ def _build_level2(B: int, R: int, C4: int, h0abytes: bytes, h0bbytes: bytes,
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
         interpret=_interpret(),
     )
+    if use_mxu:
+        return lambda *xs: call(*xs, Acol0, Acol1)
     return call
 
 
