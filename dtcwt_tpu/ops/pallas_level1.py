@@ -110,6 +110,22 @@ def _build_level1(B: int, R: int, C2: int, h0bytes: bytes, h1bytes: bytes,
     h1r = tuple(float(v) for v in h1[::-1])
     sc = float(np.sqrt(0.5))
 
+    # Column stage as one stacked banded matmul per plane: rows [0,tr) = lo
+    # branch, [tr,2tr) = hi branch, taps indexed straight off the slab.
+    # Only pays for the long biorthogonal families (near_sym_b: 13+19 taps);
+    # short filters stay on the cheaper shift chains.
+    use_mxu = (m0 + m1) >= 16 and not _interpret()
+    slab_rows = tr + 2 * pad8
+    if use_mxu:
+        ent = [(i, (pad8 - p0) + i + k, h0r[k])
+               for i in range(tr) for k in range(m0)]
+        ent += [(tr + i, (pad8 - p1) + i + k, h1r[k])
+                for i in range(tr) for k in range(m1)]
+        Acol = np.zeros((2 * tr, slab_rows), np.float32)
+        for r_, c_, v_ in ent:
+            Acol[r_, c_] += v_
+        Acol = Acol.astype(dtype)
+
     def row_conv_split(y_e, y_o, h: np.ndarray, pad_c: int):
         """Polyphase lane convolution of the interleaved signal represented
         by split planes (y_e, y_o), returning the (even, odd) output-column
@@ -198,8 +214,11 @@ def _build_level1(B: int, R: int, C2: int, h0bytes: bytes, h1bytes: bytes,
             for s in range(tr + pad8, tr + pad8 + pad_r):
                 slab[s, :] = slab[2 * (tr + pad8) - 1 - s, :]
 
-    def kernel(xe_hbm, xo_hbm, lolo_e_ref, lolo_o_ref, re_ref, im_ref,
-               se, so, cols, sems):
+    def kernel(xe_hbm, xo_hbm, *refs):
+        if use_mxu:
+            acol_ref = refs[0]
+            refs = refs[1:]
+        (lolo_e_ref, lolo_o_ref, re_ref, im_ref, se, so, cols, sems) = refs
         b = pl.program_id(0)
         i = pl.program_id(1)
         k = pl.program_id(2)
@@ -229,16 +248,30 @@ def _build_level1(B: int, R: int, C2: int, h0bytes: bytes, h1bytes: bytes,
                 _fills(se.at[buf], i)
                 _fills(so.at[buf], i)
 
-                exte = lax.slice_in_dim(se[buf], pad8 - pad_r,
-                                        pad8 + pad_r + tr, axis=0)
-                exto = lax.slice_in_dim(so[buf], pad8 - pad_r,
-                                        pad8 + pad_r + tr, axis=0)
-                # Column (sublane) filters into persistent scratch; offsets
-                # align shorter filters inside the max-halo window.
-                cols[0] = _corr_rows(exte, h0r, tr, pad_r - p0)   # lo_e
-                cols[1] = _corr_rows(exto, h0r, tr, pad_r - p0)   # lo_o
-                cols[2] = _corr_rows(exte, h1r, tr, pad_r - p1)   # hi_e
-                cols[3] = _corr_rows(exto, h1r, tr, pad_r - p1)   # hi_o
+                if use_mxu:
+                    ye = jnp.dot(acol_ref[:, :], se[buf],
+                                 precision=jax.lax.Precision.HIGHEST,
+                                 preferred_element_type=jnp.float32
+                                 ).astype(dtype)
+                    yo = jnp.dot(acol_ref[:, :], so[buf],
+                                 precision=jax.lax.Precision.HIGHEST,
+                                 preferred_element_type=jnp.float32
+                                 ).astype(dtype)
+                    cols[0] = lax.slice_in_dim(ye, 0, tr, axis=0)   # lo_e
+                    cols[1] = lax.slice_in_dim(yo, 0, tr, axis=0)   # lo_o
+                    cols[2] = lax.slice_in_dim(ye, tr, 2 * tr, axis=0)
+                    cols[3] = lax.slice_in_dim(yo, tr, 2 * tr, axis=0)
+                else:
+                    exte = lax.slice_in_dim(se[buf], pad8 - pad_r,
+                                            pad8 + pad_r + tr, axis=0)
+                    exto = lax.slice_in_dim(so[buf], pad8 - pad_r,
+                                            pad8 + pad_r + tr, axis=0)
+                    # Column filters into persistent scratch; offsets align
+                    # shorter filters inside the max-halo window.
+                    cols[0] = _corr_rows(exte, h0r, tr, pad_r - p0)  # lo_e
+                    cols[1] = _corr_rows(exto, h0r, tr, pad_r - p0)  # lo_o
+                    cols[2] = _corr_rows(exte, h1r, tr, pad_r - p1)  # hi_e
+                    cols[3] = _corr_rows(exto, h1r, tr, pad_r - p1)  # hi_o
                 ll_e, ll_o = row_conv_split(cols[0], cols[1], h0, p0)
                 lolo_e_ref[0] = ll_e
                 lolo_o_ref[0] = ll_o
@@ -269,6 +302,11 @@ def _build_level1(B: int, R: int, C2: int, h0bytes: bytes, h1bytes: bytes,
                 im_ref[0, 0, 1] = (bq - c) * sc
 
     in_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+    in_specs = [in_spec, in_spec]
+    if use_mxu:
+        in_specs.append(pl.BlockSpec((2 * tr, slab_rows),
+                                     lambda b, i, k: (0, 0),
+                                     memory_space=pltpu.VMEM))
     lolo_spec = pl.BlockSpec((1, tr, C2), lambda b, i, k: (b, i, 0),
                              memory_space=pltpu.VMEM)
     band_spec = pl.BlockSpec(
@@ -278,7 +316,7 @@ def _build_level1(B: int, R: int, C2: int, h0bytes: bytes, h1bytes: bytes,
     call = pl.pallas_call(
         kernel,
         grid=(B, n_tiles, 4),
-        in_specs=[in_spec, in_spec],
+        in_specs=in_specs,
         out_specs=(lolo_spec, lolo_spec, band_spec, band_spec),
         out_shape=(jax.ShapeDtypeStruct((B, R, C2), dtype),
                    jax.ShapeDtypeStruct((B, R, C2), dtype),
@@ -292,6 +330,8 @@ def _build_level1(B: int, R: int, C2: int, h0bytes: bytes, h1bytes: bytes,
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
         interpret=_interpret(),
     )
+    if use_mxu:
+        return lambda xe, xo: call(xe, xo, Acol)
     return call
 
 
