@@ -25,6 +25,74 @@ from dtcwt_tpu.transforms.transform2d import (
 __all__ = ["Transform1d"]
 
 
+# ---------------------------------------------------------------------------
+# Lane folding: a single long signal occupies one lane of the (8, 128) TPU
+# vector layout, wasting 127/128 of the VPU.  Fold it into S contiguous
+# segments laid out as lanes and run each level's filter with *neighbour-
+# segment halos* instead of per-segment symmetric extension — numerically
+# identical to the flat transform (the same trick, across devices instead of
+# lanes, as parallel/transform1d_dist.py).  Reference has no analogue; its
+# 1-D path is `dtcwt/numpy/transform1d.py:26-110` columns.
+# ---------------------------------------------------------------------------
+
+_FOLD_MIN_N = 4096      # don't bother folding short signals
+_FOLD_MAX_C = 16        # folding targets signals with few columns
+_FOLD_LANES = 512       # target folded lane count (S * C)
+
+
+def _fold(x, S: int):
+    """``[N, C] -> [N/S, S*C]``: segment j of each signal becomes lanes
+    ``[j*C, (j+1)*C)`` (segment-major lane order)."""
+    N, C = x.shape
+    return jnp.moveaxis(x.reshape(S, N // S, C), 0, 1).reshape(N // S, S * C)
+
+
+def _unfold(y, S: int, C: int):
+    """Inverse of :func:`_fold` for a (decimated) folded array."""
+    r = y.shape[0]
+    return jnp.moveaxis(y.reshape(r, S, C), 1, 0).reshape(r * S, C)
+
+
+def _lane_halo(f, hw: int, C: int):
+    """Extend folded ``[r, S*C]`` by *hw* rows each side: interior halos come
+    from the neighbouring segment's lanes; the first/last segment reflect the
+    true signal ends (same convention as :func:`fb.symmetric_extend`)."""
+    r = f.shape[0]
+    top = jnp.concatenate([f[hw - 1::-1, :C], f[r - hw:, :-C]], axis=1)
+    bot = jnp.concatenate([f[:hw, C:], f[r - 1:r - hw - 1:-1, -C:]], axis=1)
+    return jnp.concatenate([top, f, bot], axis=0)
+
+
+def _sliced(ext, halo: int, need: int):
+    if halo == need:
+        return ext
+    n = ext.shape[0]
+    return jax.lax.slice_in_dim(ext, halo - need, n - (halo - need), axis=0)
+
+
+def _fold_plan(N: int, C: int, nlevels: int, halo1: int, halo2: int):
+    """Pick a segment count S and the folded level-prefix length Lf, or
+    return ``None`` when folding doesn't apply."""
+    if C > _FOLD_MAX_C or N < _FOLD_MIN_N or nlevels == 0:
+        return None
+    S = 1
+    while (S * 2 * C <= _FOLD_LANES and N % (S * 2) == 0
+           and N // (S * 2) >= max(halo1, 2 * halo2)):
+        S *= 2
+    if S == 1:
+        return None
+    R = N // S
+    if R % 2 or R < halo1:
+        return None
+    Lf, r = 1, R          # level-1 lowpass is undecimated: level 1 input = R
+    for _ in range(1, nlevels):
+        if r % 4 or r < halo2:
+            break
+        Lf += 1
+        r //= 2
+    return S, Lf
+
+
 class Transform1d:
     """An n-level 1-D DTCWT parameterised by *biort* / *qshift* wavelets."""
 
@@ -76,13 +144,41 @@ class Transform1d:
 
         Yh, Yscale = [], []
 
-        hi = fb.filter_axis(X, h1o, axis)
-        lo = fb.filter_axis(X, h0o, axis)
-        Yh.append(q2c1d(hi, axis))
-        if include_scale:
-            Yscale.append(lo)
+        halo1 = max(h0o.size // 2, h1o.size // 2)
+        halo2 = max(h0a.size, h1a.size)
+        plan = (_fold_plan(X.shape[0], X.shape[1], nlevels, halo1, halo2)
+                if X.ndim == 2 else None)
+        if plan is not None:
+            S, Lf = plan
+            C = X.shape[1]
+            cur = _fold(X, S)
+            for level in range(Lf):
+                if level == 0:
+                    ext = _lane_halo(cur, halo1, C)
+                    hi = fb.filter_from_ext(
+                        _sliced(ext, halo1, h1o.size // 2), h1o, 0)
+                    cur = fb.filter_from_ext(
+                        _sliced(ext, halo1, h0o.size // 2), h0o, 0)
+                else:
+                    ext = _lane_halo(cur, halo2, C)
+                    hi = fb.dfilt_from_ext(
+                        _sliced(ext, halo2, h1a.size), h1b, h1a, 0)
+                    cur = fb.dfilt_from_ext(
+                        _sliced(ext, halo2, h0a.size), h0b, h0a, 0)
+                Yh.append(_unfold(q2c1d(hi, 0), S, C))
+                if include_scale:
+                    Yscale.append(_unfold(cur, S, C))
+            lo = _unfold(cur, S, C)
+            start = Lf
+        else:
+            hi = fb.filter_axis(X, h1o, axis)
+            lo = fb.filter_axis(X, h0o, axis)
+            Yh.append(q2c1d(hi, axis))
+            if include_scale:
+                Yscale.append(lo)
+            start = 1
 
-        for _level in range(1, nlevels):
+        for _level in range(start, nlevels):
             if lo.shape[axis] % 4 != 0:
                 lo = _pad_multiple4(lo, axis)
             hi = fb.dfilt_axis(lo, h1b, h1a, axis)
@@ -156,17 +252,77 @@ class Transform1d:
                 return z
             return z * gain_mask[level]
 
+        halo_i = max(g0a.size // 2, g1a.size // 2)
+        halo_f = max(g0o.size // 2, g1o.size // 2)
+
+        # Lane-folding prepass (mirrors the forward's _fold_plan; all shapes
+        # are static).  fold_E = finest-entry iteration level such that every
+        # iteration from there down is fold-valid and crop-free.
+        S = C = fold_E = None
+        fold_final = False
+        if lo.ndim == 2:
+            C = lo.shape[1]
+            N = 2 * Yh[0].shape[axis]
+            base = _fold_plan(N, C, nlevels, halo_f,
+                              max(g0a.size, g1a.size))
+            if base is not None:
+                S = base[0]
+                ok = {}
+                cur_len = lo.shape[axis]
+                for level in range(nlevels - 1, 0, -1):
+                    r, rem = divmod(cur_len, S)
+                    want = 2 * Yh[level - 1].shape[axis]
+                    ok[level] = (rem == 0 and r % 2 == 0 and r >= halo_i
+                                 and cur_len == 2 * Yh[level].shape[axis]
+                                 and 2 * cur_len == want)
+                    cur_len = want
+                e = 0
+                while e + 1 <= nlevels - 1 and ok[e + 1]:
+                    e += 1
+                fold_E = e if e >= 1 else None
+                fold_final = (cur_len % S == 0
+                              and cur_len // S >= halo_f
+                              and cur_len == 2 * Yh[0].shape[axis])
+
+        folded = False
         for level in range(nlevels - 1, 0, -1):
             hi = c2q1d(gained(level), axis)
-            lo = fb.ifilt_axis(lo, g0b, g0a, axis) + fb.ifilt_axis(hi, g1b, g1a, axis)
-            if lo.shape[axis] != 2 * Yh[level - 1].shape[axis]:
-                lo = jax.lax.slice_in_dim(lo, 1, lo.shape[axis] - 1, axis=axis)
-            if lo.shape[axis] != 2 * Yh[level - 1].shape[axis]:
-                raise ValueError("Yh sizes are not valid for the inverse"
-                                 " transform")
+            if not folded and fold_E is not None and level <= fold_E:
+                lo = _fold(lo, S)
+                folded = True
+            if folded:
+                ext_lo = _lane_halo(lo, halo_i, C)
+                ext_hi = _lane_halo(_fold(hi, S), halo_i, C)
+                lo = (fb.ifilt_from_ext(
+                          _sliced(ext_lo, halo_i, g0a.size // 2),
+                          g0b, g0a, 0)
+                      + fb.ifilt_from_ext(
+                          _sliced(ext_hi, halo_i, g1a.size // 2),
+                          g1b, g1a, 0))
+            else:
+                lo = (fb.ifilt_axis(lo, g0b, g0a, axis)
+                      + fb.ifilt_axis(hi, g1b, g1a, axis))
+                if lo.shape[axis] != 2 * Yh[level - 1].shape[axis]:
+                    lo = jax.lax.slice_in_dim(lo, 1, lo.shape[axis] - 1,
+                                              axis=axis)
+                if lo.shape[axis] != 2 * Yh[level - 1].shape[axis]:
+                    raise ValueError("Yh sizes are not valid for the inverse"
+                                     " transform")
 
         hi = c2q1d(gained(0), axis)
-        Z = fb.filter_axis(lo, g0o, axis) + fb.filter_axis(hi, g1o, axis)
+        if not folded and fold_final:
+            lo = _fold(lo, S)
+            folded = True
+        if folded:
+            ext_lo = _lane_halo(lo, halo_f, C)
+            ext_hi = _lane_halo(_fold(hi, S), halo_f, C)
+            Z = _unfold(fb.filter_from_ext(
+                            _sliced(ext_lo, halo_f, g0o.size // 2), g0o, 0)
+                        + fb.filter_from_ext(
+                            _sliced(ext_hi, halo_f, g1o.size // 2), g1o, 0),
+                        S, C)
+        else:
+            Z = fb.filter_axis(lo, g0o, axis) + fb.filter_axis(hi, g1o, axis)
         if ret_flat:
             return Z[:, 0]
         return Z
