@@ -29,6 +29,7 @@ from dtcwt_tpu.ops import fb
 from dtcwt_tpu.ops.packing import q2c1d, c2q1d
 from dtcwt_tpu.parallel.halo import halo_exchange
 from dtcwt_tpu.transforms.pyramid import Pyramid
+from dtcwt_tpu.transforms import transform1d as _t1
 from dtcwt_tpu.transforms.transform2d import (
     DEFAULT_BIORT, DEFAULT_QSHIFT, normalize_biort, normalize_qshift)
 
@@ -40,6 +41,29 @@ def _sliced_ext(ext, halo: int, need: int, axis: int):
         return ext
     n = ext.shape[axis]
     return lax.slice_in_dim(ext, halo - need, n - (halo - need), axis=axis)
+
+
+def _folded_halo(f, hw: int, C: int, axis_name: str, axis_size: int):
+    """Lane-folded analogue of :func:`halo_exchange`: interior *segment*
+    halos are lane-neighbour rows inside the shard, the shard's outermost
+    segments exchange ``[..., hw, C]`` edges with neighbouring shards over
+    ICI, and the physical signal ends reflect."""
+    r, W = f.shape[-2], f.shape[-1]
+    head = f[..., :hw, :C]
+    tail = f[..., r - hw:, W - C:]
+    reflect_top = f[..., hw - 1::-1, :C]
+    reflect_bot = f[..., r - 1:r - hw - 1:-1, W - C:]
+    if axis_size == 1:
+        top_src, bot_src = reflect_top, reflect_bot
+    else:
+        upper = lax.ppermute(tail, axis_name,
+                             [(i, i + 1) for i in range(axis_size - 1)])
+        lower = lax.ppermute(head, axis_name,
+                             [(i + 1, i) for i in range(axis_size - 1)])
+        idx = lax.axis_index(axis_name)
+        top_src = jnp.where(idx == 0, reflect_top, upper)
+        bot_src = jnp.where(idx == axis_size - 1, reflect_bot, lower)
+    return _t1._lane_halo(f, hw, C, top_src, bot_src)
 
 
 class ShardedTransform1d:
@@ -108,18 +132,41 @@ class ShardedTransform1d:
         out_specs = (sharded_spec if plan[-1] else repl_spec,
                      tuple(sharded_spec if s else repl_spec for s in plan))
 
+        # Lane-fold each shard's local signal so it spans S*C lanes rather
+        # than starving the VPU at C lanes (transforms/transform1d.py fold;
+        # here segment halos are local lane shifts and only the shard-edge
+        # segments ppermute, so ICI traffic is unchanged).
+        ffold = [False] * nlevels
+        S = None
+        base = _t1._fold_plan(N // R, C, nlevels, halo1, halo2)
+        if base is not None:
+            S, Lf = base
+            ffold = [lv < Lf and plan[lv] for lv in range(nlevels)]
+
         def local_fwd(x):
             if not jnp.issubdtype(x.dtype, jnp.inexact):
                 x = x.astype(jnp.float32)
             Yh = []
             cur = x
             cur_sharded = True
+            folded = False
             for level in range(nlevels):
                 if plan[level] != cur_sharded:
+                    if folded:
+                        cur = _t1._unfold(cur, S, C)
+                        folded = False
                     cur = lax.all_gather(cur, ra, axis=1, tiled=True)
                     cur_sharded = False
+                if ffold[level] and not folded:
+                    cur = _t1._fold(cur, S)
+                    folded = True
+                elif folded and not ffold[level]:
+                    cur = _t1._unfold(cur, S, C)
+                    folded = False
                 if level == 0:
-                    if cur_sharded:
+                    if folded:
+                        ext = _folded_halo(cur, halo1, C, ra, R)
+                    elif cur_sharded:
                         ext = halo_exchange(cur, halo1, ra, R, axis=-2)
                     else:
                         ext = fb.symmetric_extend(cur, halo1, -2)
@@ -131,7 +178,9 @@ class ShardedTransform1d:
                     if not cur_sharded and cur.shape[-2] % 4 != 0:
                         cur = jnp.concatenate(
                             [cur[..., :1, :], cur, cur[..., -1:, :]], axis=-2)
-                    if cur_sharded:
+                    if folded:
+                        ext = _folded_halo(cur, halo2, C, ra, R)
+                    elif cur_sharded:
                         ext = halo_exchange(cur, halo2, ra, R, axis=-2)
                     else:
                         ext = fb.symmetric_extend(cur, halo2, -2)
@@ -139,8 +188,11 @@ class ShardedTransform1d:
                         _sliced_ext(ext, halo2, h1a.size, -2), h1b, h1a, -2)
                     lo = fb.dfilt_from_ext(
                         _sliced_ext(ext, halo2, h0a.size, -2), h0b, h0a, -2)
-                Yh.append(q2c1d(hi, -2))
+                z = q2c1d(hi, -2)
+                Yh.append(_t1._unfold(z, S, C) if folded else z)
                 cur = lo
+            if folded:
+                cur = _t1._unfold(cur, S, C)
             return (cur, tuple(Yh))
 
         shmapped = jax.shard_map(
@@ -177,15 +229,38 @@ class ShardedTransform1d:
         in_specs = ((sharded_spec if plan[-1] else repl_spec),) + tuple(
             sharded_spec if s else repl_spec for s in plan)
 
+        # Same lane-fold plan as the forward (see _fwd_built); synthesis
+        # supports are half the analysis dfilt halos, so a forward-foldable
+        # level is always inverse-foldable.
+        C = low_shape[2]
+        ffold = [False] * nlevels
+        S = None
+        base = _t1._fold_plan(N // R, C, nlevels, halo_f,
+                              max(g0a.size, g1a.size))
+        if base is not None:
+            S, Lf = base
+            ffold = [lv < Lf and plan[lv] for lv in range(nlevels)]
+
         def local_inv(lowpass, *Yh):
             lo = lowpass
             # Sharding in the forward plan is monotone (a sharded prefix of
             # fine levels, replicated coarse tail), so the inverse walks
             # replicated -> sharded with at most one re-shard transition.
             cur_sharded = plan[nlevels - 1]
+            folded = False
             for level in range(nlevels - 1, 0, -1):
                 hi = c2q1d(Yh[level], -2)
-                if cur_sharded:
+                if cur_sharded and ffold[level] and not folded:
+                    lo = _t1._fold(lo, S)
+                    folded = True
+                elif folded and not ffold[level]:
+                    lo = _t1._unfold(lo, S, C)
+                    folded = False
+                if folded:
+                    ext_lo = _folded_halo(lo, halo_i, C, ra, R)
+                    ext_hi = _folded_halo(_t1._fold(hi, S), halo_i, C,
+                                          ra, R)
+                elif cur_sharded:
                     ext_lo = halo_exchange(lo, halo_i, ra, R, axis=-2)
                     ext_hi = halo_exchange(hi, halo_i, ra, R, axis=-2)
                 else:
@@ -197,7 +272,14 @@ class ShardedTransform1d:
                       + fb.ifilt_from_ext(
                           _sliced_ext(ext_hi, halo_i, g1a.size // 2, -2),
                           g1b, g1a, -2))
-                if cur_sharded:
+                if folded:
+                    # Sharded levels are crop-free by plan construction;
+                    # verify against the finer level's (local) size.
+                    if (lo.shape[-2] * S
+                            != 2 * Yh[level - 1].shape[-2]):
+                        raise ValueError("Yh sizes are not valid for the"
+                                         " sharded inverse transform")
+                elif cur_sharded:
                     # plan is a monotone sharded prefix, so the finer level
                     # is also sharded; a forward pad (=> crop here) would
                     # have forced this level replicated.
@@ -220,18 +302,28 @@ class ShardedTransform1d:
                                                       axis=-2)
                         cur_sharded = True
             hi = c2q1d(Yh[0], -2)
-            if cur_sharded:
+            if cur_sharded and ffold[0] and not folded:
+                lo = _t1._fold(lo, S)
+                folded = True
+            elif folded and not ffold[0]:
+                lo = _t1._unfold(lo, S, C)
+                folded = False
+            if folded:
+                ext_lo = _folded_halo(lo, halo_f, C, ra, R)
+                ext_hi = _folded_halo(_t1._fold(hi, S), halo_f, C, ra, R)
+            elif cur_sharded:
                 ext_lo = halo_exchange(lo, halo_f, ra, R, axis=-2)
                 ext_hi = halo_exchange(hi, halo_f, ra, R, axis=-2)
             else:
                 ext_lo = fb.symmetric_extend(lo, halo_f, -2)
                 ext_hi = fb.symmetric_extend(hi, halo_f, -2)
-            return (fb.filter_from_ext(
-                        _sliced_ext(ext_lo, halo_f, g0o.size // 2, -2),
-                        g0o, -2)
-                    + fb.filter_from_ext(
-                        _sliced_ext(ext_hi, halo_f, g1o.size // 2, -2),
-                        g1o, -2))
+            out = (fb.filter_from_ext(
+                       _sliced_ext(ext_lo, halo_f, g0o.size // 2, -2),
+                       g0o, -2)
+                   + fb.filter_from_ext(
+                       _sliced_ext(ext_hi, halo_f, g1o.size // 2, -2),
+                       g1o, -2))
+            return _t1._unfold(out, S, C) if folded else out
 
         out_spec = sharded_spec if plan[0] else repl_spec
         shmapped = jax.shard_map(

@@ -41,33 +41,42 @@ _FOLD_LANES = 512       # target folded lane count (S * C)
 
 
 def _fold(x, S: int):
-    """``[N, C] -> [N/S, S*C]``: segment j of each signal becomes lanes
-    ``[j*C, (j+1)*C)`` (segment-major lane order)."""
-    N, C = x.shape
-    return jnp.moveaxis(x.reshape(S, N // S, C), 0, 1).reshape(N // S, S * C)
+    """``[..., N, C] -> [..., N/S, S*C]``: segment j of each signal becomes
+    lanes ``[j*C, (j+1)*C)`` (segment-major lane order)."""
+    lead, (N, C) = x.shape[:-2], x.shape[-2:]
+    xs = jnp.moveaxis(x.reshape(lead + (S, N // S, C)), -3, -2)
+    return xs.reshape(lead + (N // S, S * C))
 
 
 def _unfold(y, S: int, C: int):
     """Inverse of :func:`_fold` for a (decimated) folded array."""
-    r = y.shape[0]
-    return jnp.moveaxis(y.reshape(r, S, C), 1, 0).reshape(r * S, C)
+    lead, r = y.shape[:-2], y.shape[-2]
+    ys = jnp.moveaxis(y.reshape(lead + (r, S, C)), -2, -3)
+    return ys.reshape(lead + (r * S, C))
 
 
-def _lane_halo(f, hw: int, C: int):
-    """Extend folded ``[r, S*C]`` by *hw* rows each side: interior halos come
-    from the neighbouring segment's lanes; the first/last segment reflect the
-    true signal ends (same convention as :func:`fb.symmetric_extend`)."""
-    r = f.shape[0]
-    top = jnp.concatenate([f[hw - 1::-1, :C], f[r - hw:, :-C]], axis=1)
-    bot = jnp.concatenate([f[:hw, C:], f[r - 1:r - hw - 1:-1, -C:]], axis=1)
-    return jnp.concatenate([top, f, bot], axis=0)
+def _lane_halo(f, hw: int, C: int, top_src=None, bot_src=None):
+    """Extend folded ``[..., r, S*C]`` by *hw* rows each side: interior halos
+    come from the neighbouring segment's lanes; the first/last segment
+    reflect the true signal ends (same convention as
+    :func:`fb.symmetric_extend`) unless *top_src*/*bot_src* supply them
+    (the sharded path passes the neighbouring shard's edge here)."""
+    r = f.shape[-2]
+    if top_src is None:
+        top_src = f[..., hw - 1::-1, :C]
+    if bot_src is None:
+        bot_src = f[..., r - 1:r - hw - 1:-1, f.shape[-1] - C:]
+    top = jnp.concatenate([top_src, f[..., r - hw:, :-C]], axis=-1)
+    bot = jnp.concatenate([f[..., :hw, C:], bot_src], axis=-1)
+    return jnp.concatenate([top, f, bot], axis=-2)
 
 
 def _sliced(ext, halo: int, need: int):
     if halo == need:
         return ext
-    n = ext.shape[0]
-    return jax.lax.slice_in_dim(ext, halo - need, n - (halo - need), axis=0)
+    n = ext.shape[-2]
+    return jax.lax.slice_in_dim(ext, halo - need, n - (halo - need),
+                                axis=-2)
 
 
 def _fold_plan(N: int, C: int, nlevels: int, halo1: int, halo2: int):

@@ -57,3 +57,35 @@ def test_sharded1d_nonmult4_pad_levels():
     pr = dt.Transform1d().forward(x, 3)
     for a, b in zip(p.highpasses, pr.highpasses):
         assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-12
+
+
+def test_sharded1d_lane_folded(monkeypatch):
+    """Lane folding inside each shard (segments-as-lanes with ppermute'd
+    shard-edge halos) must be bit-identical to the flat sharded path and
+    to the single-device transform."""
+    from dtcwt_tpu.transforms import transform1d as t1m
+    mesh = _mesh()
+    x = np.random.RandomState(3).rand(2, 2048, 1)
+
+    monkeypatch.setattr(t1m, "_FOLD_MIN_N", 1 << 60)   # flat everywhere
+    st_flat = ShardedTransform1d(mesh, biort="near_sym_b",
+                                 qshift="qshift_b")
+    t_flat = dt.Transform1d(biort="near_sym_b", qshift="qshift_b")
+    p_flat = st_flat.forward(x, nlevels=5)
+    p_single = t_flat.forward(x, nlevels=5)
+
+    monkeypatch.setattr(t1m, "_FOLD_MIN_N", 64)        # force folding
+    st_fold = ShardedTransform1d(mesh, biort="near_sym_b",
+                                 qshift="qshift_b")
+    # the plan must actually fold (local len 2048/4 = 512 >= 64)
+    assert t1m._fold_plan(512, 1, 5, 9, 19) is not None
+    p_fold = st_fold.forward(x, nlevels=5)
+    r_fold = st_fold.inverse(p_fold)
+
+    for a, b in zip(p_fold.highpasses, p_flat.highpasses):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-12
+    for a, b in zip(p_fold.highpasses, p_single.highpasses):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-12
+    assert np.abs(np.asarray(p_fold.lowpass)
+                  - np.asarray(p_flat.lowpass)).max() < 1e-12
+    assert np.abs(np.asarray(r_fold) - x).max() < 1e-10
