@@ -268,17 +268,29 @@ def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
     return call
 
 
-def inv_level1(Z, yh, g0o, g1o) -> Optional[jnp.ndarray]:
+def inv_level1(Z, yh, g0o, g1o, planes=None) -> Optional[jnp.ndarray]:
     """Fused level-1 inverse.  *Z* is the ``[..., H, W]`` real lowpass, *yh*
     the ``[..., H/2, W/2, 6]`` complex level-1 highpasses; returns the
-    reconstructed ``[..., H, W]`` image or None outside the envelope."""
+    reconstructed ``[..., H, W]`` image or None outside the envelope.
+
+    *planes* accepts the previous fused level's ``as_planes=True`` output
+    (``(p00, p01, p10, p11)`` (row-parity, col-parity) quarter planes of the
+    lowpass) in place of *Z*, skipping the interleaved-image round trip
+    between levels (see :func:`pallas_ilevel2.inv_level2`)."""
     g0 = np.asarray(g0o, np.float64).reshape(-1)
     g1 = np.asarray(g1o, np.float64).reshape(-1)
-    if Z.ndim < 2 or Z.dtype not in (jnp.float32, jnp.bfloat16):
+    if planes is not None:
+        Zp = planes[0]
+        H, Wd = 2 * Zp.shape[-2], 2 * Zp.shape[-1]
+        zdim, zdtype = Zp.ndim + 1, Zp.dtype
+    else:
+        Zp = Z
+        H, Wd = Z.shape[-2], Z.shape[-1]
+        zdim, zdtype = Z.ndim, Z.dtype
+    if zdim < 2 or zdtype not in (jnp.float32, jnp.bfloat16):
         return None
     if not jnp.issubdtype(yh.dtype, jnp.complexfloating):
         return None
-    H, Wd = Z.shape[-2], Z.shape[-1]
     if H % 2 or Wd % 2:
         return None
     if yh.shape[-3:] != (H // 2, Wd // 2, 6):
@@ -288,11 +300,26 @@ def inv_level1(Z, yh, g0o, g1o) -> Optional[jnp.ndarray]:
         return None
     if C2 < _MARGIN:
         return None
-    z3, lead = _flatten_batch(Z)
-    yh3 = yh.reshape((z3.shape[0],) + yh.shape[-3:])
+    if planes is not None:
+        p4, leads = zip(*[_flatten_batch(p) for p in planes])
+        lead = leads[0]
+        B = p4[0].shape[0]
+        # ze/zo are the full-height column-parity planes: interleave the
+        # row-parity halves back over sublanes (cheap stack+reshape).
+        def rows(pe, po):
+            q = jnp.stack([pe, po], axis=2)
+            return q.reshape(B, H, C2)
+        ze_full, zo_full = rows(p4[0], p4[2]), rows(p4[1], p4[3])
+        zdtype = p4[0].dtype
+    else:
+        z3, lead = _flatten_batch(Z)
+        B = z3.shape[0]
+        ze_full = zo_full = None
+        zdtype = z3.dtype
+    yh3 = yh.reshape((B,) + yh.shape[-3:])
 
-    call = _build_ilevel1(z3.shape[0], H, C2, g0.tobytes(), g1.tobytes(),
-                          str(z3.dtype))
+    call = _build_ilevel1(B, H, C2, g0.tobytes(), g1.tobytes(),
+                          str(zdtype))
     if call is None:
         return None
 
@@ -301,8 +328,8 @@ def inv_level1(Z, yh, g0o, g1o) -> Optional[jnp.ndarray]:
     # One band transpose, then plane arithmetic on contiguous slices
     # (minor-axis band indexing lowers to slow gathers on TPU).
     yhp = jnp.moveaxis(yh3, -1, 1)                 # (B, 6, h, w)
-    rep = jnp.real(yhp).astype(z3.dtype)
-    imp = jnp.imag(yhp).astype(z3.dtype)
+    rep = jnp.real(yhp).astype(zdtype)
+    imp = jnp.imag(yhp).astype(zdtype)
 
     def quad_planes(i0, i1):
         return ((rep[:, i0] + rep[:, i1]) * s,
@@ -312,17 +339,20 @@ def inv_level1(Z, yh, g0o, g1o) -> Optional[jnp.ndarray]:
 
     g = _MARGIN
     # Z column-parity planes with cp-swapped reflected margins.
-    ze, zo = z3[:, :, 0::2], z3[:, :, 1::2]
+    if ze_full is not None:
+        ze, zo = ze_full, zo_full
+    else:
+        ze, zo = z3[:, :, 0::2], z3[:, :, 1::2]
     zs = [jnp.concatenate([zo[:, :, g - 1::-1], ze,
                            zo[:, :, :-g - 1:-1]], axis=2),
           jnp.concatenate([ze[:, :, g - 1::-1], zo,
                            ze[:, :, :-g - 1:-1]], axis=2)]
-    zstack = jnp.stack([p.astype(z3.dtype) for p in zs], axis=1)
+    zstack = jnp.stack([p.astype(zdtype) for p in zs], axis=1)
 
     # Quad (rp, cp) planes for lh/hl/hh, margins swap cp partners.
     planes = (list(quad_planes(0, 5)) + list(quad_planes(2, 3))
               + list(quad_planes(1, 4)))
-    planes = [p.astype(z3.dtype) for p in planes]
+    planes = [p.astype(zdtype) for p in planes]
     ext = []
     for idx, p in enumerate(planes):
         q = planes[idx ^ 1]
@@ -331,5 +361,5 @@ def inv_level1(Z, yh, g0o, g1o) -> Optional[jnp.ndarray]:
     qstack = jnp.stack(ext, axis=1)
 
     out_e, out_o = call(zstack, qstack)
-    out = jnp.stack([out_e, out_o], axis=-1).reshape(z3.shape)
+    out = jnp.stack([out_e, out_o], axis=-1).reshape((B, H, Wd))
     return out.reshape(lead + out.shape[-2:])

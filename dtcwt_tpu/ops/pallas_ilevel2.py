@@ -321,22 +321,36 @@ def _build_ilevel2(B: int, L: int, C2: int, g0abytes: bytes, g0bbytes: bytes,
     return call
 
 
-def inv_level2(Z, yh, g0a, g0b, g1a, g1b) -> Optional[jnp.ndarray]:
+def inv_level2(Z, yh, g0a, g0b, g1a, g1b, planes=None, as_planes=False):
     """Fused level->=2 inverse stage.  *Z* is the ``[..., H, W]`` real
     lowpass, *yh* the ``[..., H/2, W/2, 6]`` complex highpasses of the same
     level; filters follow the transform's call order ``ifilt(x, g0b, g0a)``
     / ``ifilt(x, g1b, g1a)``.  Returns ``Z' [..., 2H, 2W]`` (uncropped) or
     None outside the envelope.
+
+    Consecutive fused inverse levels chain without materialising the
+    interleaved image (the 4x4 output-stream -> image transpose plus the
+    next level's parity re-split costs more than the kernels themselves):
+    *planes* accepts the previous call's ``as_planes=True`` output — the
+    ``(p00, p01, p10, p11)`` (row-parity, col-parity) quarter planes of the
+    lowpass, each ``[..., H/2, W/2]`` — in place of *Z*.
     """
     g0a = np.asarray(g0a, np.float64).reshape(-1)
     g0b = np.asarray(g0b, np.float64).reshape(-1)
     g1a = np.asarray(g1a, np.float64).reshape(-1)
     g1b = np.asarray(g1b, np.float64).reshape(-1)
-    if Z.ndim < 2 or Z.dtype not in (jnp.float32, jnp.bfloat16):
+    if planes is not None:
+        Zp = planes[0]
+        H, Wd = 2 * Zp.shape[-2], 2 * Zp.shape[-1]
+        zdim, zdtype = Zp.ndim + 1, Zp.dtype
+    else:
+        Zp = Z
+        H, Wd = Z.shape[-2], Z.shape[-1]
+        zdim, zdtype = Z.ndim, Z.dtype
+    if zdim < 2 or zdtype not in (jnp.float32, jnp.bfloat16):
         return None
     if not jnp.issubdtype(yh.dtype, jnp.complexfloating):
         return None
-    H, Wd = Z.shape[-2], Z.shape[-1]
     if H % 2 or Wd % 2:
         return None
     if yh.shape[-3:] != (H // 2, Wd // 2, 6):
@@ -346,11 +360,19 @@ def inv_level2(Z, yh, g0a, g0b, g1a, g1b) -> Optional[jnp.ndarray]:
         return None
     if C2 < _MARGIN:
         return None
-    z3, lead = _flatten_batch(Z)
-    yh3 = yh.reshape((z3.shape[0],) + yh.shape[-3:])
+    if planes is not None:
+        p4, lead = zip(*[_flatten_batch(p) for p in planes])
+        lead = lead[0]
+        B = p4[0].shape[0]
+        zdtype = p4[0].dtype
+    else:
+        z3, lead = _flatten_batch(Z)
+        B = z3.shape[0]
+        zdtype = z3.dtype
+    yh3 = yh.reshape((B,) + yh.shape[-3:])
 
-    call = _build_ilevel2(z3.shape[0], L, C2, g0a.tobytes(), g0b.tobytes(),
-                          g1a.tobytes(), g1b.tobytes(), str(z3.dtype))
+    call = _build_ilevel2(B, L, C2, g0a.tobytes(), g0b.tobytes(),
+                          g1a.tobytes(), g1b.tobytes(), str(zdtype))
     if call is None:
         return None
 
@@ -360,8 +382,8 @@ def inv_level2(Z, yh, g0a, g0b, g1a, g1b) -> Optional[jnp.ndarray]:
     # (compound two-axis strided slices and minor-axis band indexing lower
     # to gathers ~10x slower than single-axis slices on TPU).
     yhp = jnp.moveaxis(yh3, -1, 1)                 # (B, 6, h, w)
-    rep = jnp.real(yhp).astype(z3.dtype)
-    imp = jnp.imag(yhp).astype(z3.dtype)
+    rep = jnp.real(yhp).astype(zdtype)
+    imp = jnp.imag(yhp).astype(zdtype)
 
     def quad_planes(i0, i1):
         """(rp, cp) planes of c2q(band i0, band i1): Re p, Im p, Im q, -Re q."""
@@ -370,9 +392,12 @@ def inv_level2(Z, yh, g0a, g0b, g1a, g1b) -> Optional[jnp.ndarray]:
                 (imp[:, i0] - imp[:, i1]) * s,
                 (rep[:, i1] - rep[:, i0]) * s)
 
-    ze, zo = z3[:, 0::2], z3[:, 1::2]              # single-axis splits
-    planes = [ze[:, :, 0::2], ze[:, :, 1::2],
-              zo[:, :, 0::2], zo[:, :, 1::2]]
+    if planes is not None:
+        planes = list(p4)
+    else:
+        ze, zo = z3[:, 0::2], z3[:, 1::2]          # single-axis splits
+        planes = [ze[:, :, 0::2], ze[:, :, 1::2],
+                  zo[:, :, 0::2], zo[:, :, 1::2]]
     planes += list(quad_planes(0, 5))   # lh
     planes += list(quad_planes(2, 3))   # hl
     planes += list(quad_planes(1, 4))   # hh
@@ -387,5 +412,21 @@ def inv_level2(Z, yh, g0a, g0b, g1a, g1b) -> Optional[jnp.ndarray]:
     x = jnp.stack(ext, axis=1)     # (B, 16, L, C2 + 2*MARGIN)
 
     out = call(x)                  # (B, 4, 4, L, C2) [row-stream, lane]
-    zp = out.transpose(0, 3, 1, 4, 2).reshape(z3.shape[0], 4 * L, 4 * C2)
+    # Output image row 4i+s, col 4j+t lives at out[:, s, t, i, j].
+    if as_planes:
+        # Emit the (row-parity, col-parity) quarter planes of the output
+        # directly: two half-size stack+reshape interleaves per plane
+        # instead of the monolithic 4x4 stream transpose below.
+        def col(t, re):
+            q = jnp.stack([out[:, re, t], out[:, re + 2, t]], axis=2)
+            return q.reshape(B, 2 * L, C2)
+
+        res = []
+        for re in (0, 1):
+            for ce in (0, 1):
+                p = jnp.stack([col(ce, re), col(ce + 2, re)], axis=-1)
+                res.append(p.reshape((B, 2 * L, 2 * C2))
+                            .reshape(lead + (2 * L, 2 * C2)))
+        return tuple(res)
+    zp = out.transpose(0, 3, 1, 4, 2).reshape(B, 4 * L, 4 * C2)
     return zp.reshape(lead + zp.shape[-2:])

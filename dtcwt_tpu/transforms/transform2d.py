@@ -103,6 +103,18 @@ def _interleave_cols(pair):
     return jnp.stack([e, o], axis=-1).reshape(out_shape)
 
 
+def _interleave_planes(planes):
+    """Rejoin (row-parity, col-parity) quarter planes ``(p00, p01, p10,
+    p11)`` into the full image (inverse-chaining fallback path)."""
+    p00, p01, p10, p11 = planes
+
+    def rows(pe, po):
+        out_shape = pe.shape[:-2] + (2 * pe.shape[-2], pe.shape[-1])
+        return jnp.stack([pe, po], axis=-2).reshape(out_shape)
+
+    return _interleave_cols((rows(p00, p10), rows(p01, p11)))
+
+
 def _pack_bands(lohi, hilo, hihi):
     """Quad->complex pack of the three highpass images into the 6 oriented
     subbands (order 15/45/75/105/135/165 deg, reference
@@ -377,14 +389,34 @@ class Transform2d:
         Z = jnp.asarray(pyramid.lowpass)
         nlevels = len(Yh)
 
+        # Consecutive fused inverse levels chain in (row, col)-parity plane
+        # space: the 4x4 output-stream -> image transpose plus the next
+        # level's parity re-split is pure relayout and costs more than the
+        # kernels themselves (see pallas_ilevel2.inv_level2).  Chaining is
+        # only valid when no boundary crop is needed.
+        zplanes = None
         for level in range(nlevels - 1, 0, -1):
             if gain_mask is None and g2b is None and engine.use_pallas():
                 from dtcwt_tpu.ops import pallas_ilevel2
+                src = Z if zplanes is None else zplanes[0]
+                nocrop = (2 * src.shape[-2] * (2 if zplanes else 1)
+                          == 2 * Yh[level - 1].shape[-3]
+                          and 2 * src.shape[-1] * (2 if zplanes else 1)
+                          == 2 * Yh[level - 1].shape[-2])
                 zp = pallas_ilevel2.inv_level2(Z, Yh[level],
-                                               g0a, g0b, g1a, g1b)
+                                               g0a, g0b, g1a, g1b,
+                                               planes=zplanes,
+                                               as_planes=nocrop)
                 if zp is not None:
-                    Z = _crop_to(zp, Yh[level - 1])
+                    if nocrop:
+                        zplanes, Z = zp, None
+                    else:
+                        Z = _crop_to(zp, Yh[level - 1])
+                        zplanes = None
                     continue
+            if zplanes is not None:
+                Z = _interleave_planes(zplanes)
+                zplanes = None
             g_lh = _gains(gain_mask, 0, 5, level)
             g_hl = _gains(gain_mask, 2, 3, level)
             g_hh = _gains(gain_mask, 1, 4, level)
@@ -409,9 +441,13 @@ class Transform2d:
         if nlevels >= 1:
             if gain_mask is None and g2o is None and engine.use_pallas():
                 from dtcwt_tpu.ops import pallas_ilevel1
-                zp = pallas_ilevel1.inv_level1(Z, Yh[0], g0o, g1o)
+                zp = pallas_ilevel1.inv_level1(Z, Yh[0], g0o, g1o,
+                                               planes=zplanes)
                 if zp is not None:
                     return zp
+            if zplanes is not None:
+                Z = _interleave_planes(zplanes)
+                zplanes = None
             g_lh = _gains(gain_mask, 0, 5, 0)
             g_hl = _gains(gain_mask, 2, 3, 0)
             g_hh = _gains(gain_mask, 1, 4, 0)
