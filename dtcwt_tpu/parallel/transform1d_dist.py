@@ -51,8 +51,9 @@ def _folded_halo(f, hw: int, C: int, axis_name: str, axis_size: int):
     r, W = f.shape[-2], f.shape[-1]
     head = f[..., :hw, :C]
     tail = f[..., r - hw:, W - C:]
-    reflect_top = f[..., hw - 1::-1, :C]
-    reflect_bot = f[..., r - 1:r - hw - 1:-1, W - C:]
+    # flip of a forward slice: safe when r == hw (negative-step stop wraps).
+    reflect_top = jnp.flip(f[..., :hw, :C], axis=-2)
+    reflect_bot = jnp.flip(f[..., r - hw:, W - C:], axis=-2)
     if axis_size == 1:
         top_src, bot_src = reflect_top, reflect_bot
     else:

@@ -62,10 +62,13 @@ def _lane_halo(f, hw: int, C: int, top_src=None, bot_src=None):
     :func:`fb.symmetric_extend`) unless *top_src*/*bot_src* supply them
     (the sharded path passes the neighbouring shard's edge here)."""
     r = f.shape[-2]
+    # jnp.flip of a forward slice, not a negative-step slice: the latter's
+    # stop index (r - hw - 1) wraps to -1 and yields an empty array when
+    # r == hw (reachable, e.g. 16-tap qshift_c halos dividing the segment).
     if top_src is None:
-        top_src = f[..., hw - 1::-1, :C]
+        top_src = jnp.flip(f[..., :hw, :C], axis=-2)
     if bot_src is None:
-        bot_src = f[..., r - 1:r - hw - 1:-1, f.shape[-1] - C:]
+        bot_src = jnp.flip(f[..., r - hw:, f.shape[-1] - C:], axis=-2)
     top = jnp.concatenate([top_src, f[..., r - hw:, :-C]], axis=-1)
     bot = jnp.concatenate([f[..., :hw, C:], bot_src], axis=-1)
     return jnp.concatenate([top, f, bot], axis=-2)
@@ -236,6 +239,15 @@ class Transform1d:
 
     def _inverse_impl(self, pyramid: Pyramid, gain_mask, *, ret_flat: bool,
                       ek=None):
+        if gain_mask is not None:
+            # Apply the per-level gains up front (they scale each complex
+            # subband elementwise, reference numpy/transform1d.py:138-148);
+            # the remaining map is linear in the pyramid, which linear_vjp
+            # requires — it cannot close over the traced gain_mask operand.
+            Yh = tuple(h * gain_mask[i]
+                       for i, h in enumerate(pyramid.highpasses))
+            pyramid = Pyramid(pyramid.lowpass, Yh, pyramid.scales)
+            gain_mask = None
         impl = lambda p: self._inverse_body(p, gain_mask, ret_flat=ret_flat)
         if engine.use_pallas():
             from dtcwt_tpu.ops.linearize import linear_vjp

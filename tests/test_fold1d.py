@@ -24,6 +24,10 @@ CASES = [
     ("near_sym_b", "qshift_b", 6144, 1, 5),   # non-power-of-two length
     ("near_sym_a", "qshift_a", 4096, 1, 1),   # level-1-only fold
     ("near_sym_b", "qshift_b", 4096, 3, 3),   # multi-column signals
+    # Regression: 16-tap qshift_c makes the deepest folded level's segment
+    # length r EQUAL the halo; the reflected edge must not use a negative-
+    # step slice whose stop wraps to -1 (empty slice, trace-time TypeError).
+    ("near_sym_a", "qshift_c", 16384, 1, 3),
 ]
 
 
