@@ -369,7 +369,17 @@ class Transform2d:
         return self._inv(pyramid, gm, ek=engine.trace_key())
 
     def _inverse_impl(self, pyramid: Pyramid, gain_mask, *, ek=None):
-        impl = lambda p: self._inverse_body(p, gain_mask)
+        if gain_mask is not None:
+            # The gains scale each complex subband elementwise before any
+            # filtering, so applying them up front is exactly the reference
+            # semantics (numpy/transform2d.py:243-245) while (a) keeping the
+            # remaining map linear in the pyramid — ``linear_vjp`` cannot
+            # close over the traced gain_mask operand — and (b) letting the
+            # fused Pallas inverse kernels run on the gain-free problem.
+            Yh = tuple(h * gain_mask[:, i]
+                       for i, h in enumerate(pyramid.highpasses))
+            pyramid = Pyramid(pyramid.lowpass, Yh, pyramid.scales)
+        impl = lambda p: self._inverse_body(p, None)
         if engine.use_pallas():
             from dtcwt_tpu.ops.linearize import linear_vjp
             spec = jax.tree_util.tree_map(

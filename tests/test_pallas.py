@@ -263,6 +263,43 @@ def test_grad_through_pallas_engine():
     assert float(jnp.abs(g_rt).max()) < 1e-6
 
 
+def test_gain_mask_inverse_pallas_engine():
+    """gain_mask no longer forces a fallback: the gains are applied as an
+    up-front subband scale so the fused (gain-free) inverse kernels run, and
+    gradients — including wrt the mask itself — work (linear_vjp must not
+    close over the traced gain_mask operand)."""
+    import dtcwt_tpu as dt
+    t = dt.Transform2d()
+    x = np.random.RandomState(5).rand(64, 64).astype(np.float32)
+    gm = np.linspace(0.1, 1.5, 18).reshape(6, 3).astype(np.float32)
+
+    with engine.engine("xla"):
+        want = np.asarray(t.inverse(t.forward(x, 3), gm))
+    with engine.engine("pallas"):
+        p = t.forward(x, 3)
+        got = np.asarray(t.inverse(p, gm))
+        assert float(np.abs(want - got).max()) < 1e-4
+
+        from dtcwt_tpu.transforms.pyramid import Pyramid
+        g_low = jax.grad(lambda low: jnp.sum(
+            t.inverse(Pyramid(low, p.highpasses), jnp.asarray(gm)) ** 2))(
+                jnp.asarray(p.lowpass))
+        assert np.all(np.isfinite(np.asarray(g_low)))
+        g_gm = jax.grad(lambda m: jnp.sum(t.inverse(p, m) ** 2))(
+            jnp.asarray(gm))
+        assert np.all(np.isfinite(np.asarray(g_gm)))
+
+    # 1-D per-level gain vector, same contract
+    t1 = dt.Transform1d()
+    v = np.random.RandomState(6).rand(256, 2).astype(np.float32)
+    gv = np.array([1.0, 0.5, 0.0, 1.25], np.float32)
+    with engine.engine("xla"):
+        want1 = np.asarray(t1.inverse(t1.forward(v, 4), gv))
+    with engine.engine("pallas"):
+        got1 = np.asarray(t1.inverse(t1.forward(v, 4), gv))
+    assert float(np.abs(want1 - got1).max()) < 1e-4
+
+
 def test_engine_api():
     assert engine.get_engine() in ("auto", "xla", "pallas")
     prev = engine.get_engine()
