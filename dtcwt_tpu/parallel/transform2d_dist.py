@@ -1,31 +1,35 @@
-"""Multi-chip 2-D DTCWT: batch data-parallel + spatial row-sharding.
+"""Multi-chip 2-D DTCWT: batch data-parallel + 2-D spatial sharding.
 
 The global transform is numerically IDENTICAL to
 :class:`dtcwt_tpu.transforms.transform2d.Transform2d` (same boundary rules,
 same subband packing); tests assert bit-level equality between the sharded
 and single-device paths on a virtual CPU mesh.  Design (SURVEY.md §2
-parallelism table, §7 step 5):
+parallelism table, §7 step 5 — "shard H (and W) of the image across mesh
+axes"):
 
-* mesh ``('data', 'rows')`` — batch over ``data``, image rows over ``rows``;
-* before each level's column pass, shards exchange filter-support halos
-  (width = biort ``len(h)//2`` at level 1, qshift ``len(h)`` at levels >= 2)
-  with ``lax.ppermute`` over ICI; only the physical top/bottom shards apply
-  the reflect boundary rule;
-* row (width-axis) passes are shard-local;
-* once the decimated lowpass becomes too small to shard cleanly (local rows
-  not a multiple of 4, smaller than the halo, or a global mult-of-4 pad is
-  required), the rows axis is ``all_gather``-ed and the remaining coarse
-  levels run replicated — they are tiny.
+* mesh ``('data', 'rows'[, 'cols'])`` — batch over ``data``, image rows over
+  ``rows`` and (optionally) image columns over ``cols``;
+* before each level's column (height-axis) pass, shards exchange
+  filter-support halos (width = biort ``len(h)//2`` at level 1, qshift
+  ``len(h)`` at levels >= 2) with ``lax.ppermute`` over ICI along ``rows``;
+  the row (width-axis) pass does the same along ``cols``.  Only the physical
+  image edges apply the reflect boundary rule;
+* once a decimated axis becomes too small to shard cleanly (local extent not
+  a multiple of 4, smaller than the halo, or a global mult-of-4 pad is
+  required), that axis is ``all_gather``-ed and the remaining coarse levels
+  run unsharded along it — they are tiny.  The two spatial axes degrade
+  independently.
 
-Alignment argument: each shard's local column computation equals the global
-one because local row counts stay multiples of 4 while sharded, so every
-shard's polyphase/quarter-phase grids coincide with the global grids.
+Alignment argument: each shard's local filter pass equals the global one
+because local extents stay multiples of 4 while sharded, so every shard's
+polyphase/quarter-phase grids coincide with the global grids.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import List, Tuple
+import logging
+from typing import List, Optional, Tuple
 
 import numpy as np
 import jax
@@ -43,6 +47,8 @@ from dtcwt_tpu.transforms.transform2d import (
 
 __all__ = ["ShardedTransform2d"]
 
+logger = logging.getLogger(__name__)
+
 
 def _sliced_ext(ext, halo: int, need: int, axis: int):
     """Trim a halo-extended buffer to extension width *need* per side."""
@@ -52,66 +58,98 @@ def _sliced_ext(ext, halo: int, need: int, axis: int):
     return lax.slice_in_dim(ext, halo - need, n - (halo - need), axis=axis)
 
 
+def _axis_plan(extent: int, R: int, nlevels: int, halo1: int,
+               halo2: int) -> List[bool]:
+    """Per level: does the filter pass along this image axis run sharded
+    over a mesh axis of size *R*?  Simulates the level shape evolution of
+    ``Transform2d`` (odd-size extension, per-level mult-of-4 padding —
+    reference ``numpy/transform2d.py:84-94,134-140``)."""
+    plan = []
+    n = extent + (extent % 2)
+    sharded = extent % 2 == 0          # odd global size can't be sharded
+    for level in range(nlevels):
+        if level == 0:
+            sharded = (sharded and n % R == 0 and (n // R) % 2 == 0
+                       and (n // R) >= halo1)
+            plan.append(sharded)
+            nl = n                      # lowpass keeps the full extent
+        else:
+            need_pad = nl % 4 != 0
+            sharded = (sharded and not need_pad and nl % R == 0
+                       and (nl // R) % 4 == 0 and (nl // R) >= halo2)
+            plan.append(sharded)
+            if need_pad:
+                nl += 2
+            nl >>= 1
+    return plan
+
+
 class ShardedTransform2d:
     """An n-level 2-D DTCWT over a device mesh.
 
-    :param mesh: a :class:`jax.sharding.Mesh` with a batch axis and a row
-        axis (default names ``'data'`` and ``'rows'``).
+    :param mesh: a :class:`jax.sharding.Mesh` with a batch axis, a row axis
+        and (optionally) a column axis.
     :param biort, qshift: wavelets, as for :class:`Transform2d`.
+    :param cols_axis: name of the mesh axis sharding image columns, or
+        ``None`` (default) for row-only spatial decomposition.
 
     ``forward``/``inverse`` accept and produce global ``[B, H, W]`` arrays /
     Pyramids; per-device layout is managed internally via ``shard_map``.
     """
 
     def __init__(self, mesh, biort=DEFAULT_BIORT, qshift=DEFAULT_QSHIFT,
-                 data_axis: str = "data", rows_axis: str = "rows"):
+                 data_axis: str = "data", rows_axis: str = "rows",
+                 cols_axis: Optional[str] = None):
         self.mesh = mesh
         self.biort = normalize_biort(biort)
         self.qshift = normalize_qshift(qshift)
         self.data_axis = data_axis
         self.rows_axis = rows_axis
+        self.cols_axis = cols_axis
         if data_axis not in mesh.axis_names or rows_axis not in mesh.axis_names:
             raise ValueError("mesh must define axes %r and %r"
                              % (data_axis, rows_axis))
+        if cols_axis is not None and cols_axis not in mesh.axis_names:
+            raise ValueError("mesh does not define cols axis %r" % (cols_axis,))
         self._nrows = mesh.shape[rows_axis]
+        self._ncols = mesh.shape[cols_axis] if cols_axis else 1
         # Reference single-device implementation used for the replicated
         # coarse-level fallback (same filters).
         self._single = Transform2d(self.biort, self.qshift)
 
     # ------------------------------------------------------------------
-    # static planning: which levels stay row-sharded?
+    # static planning: which levels stay sharded, per spatial axis?
     # ------------------------------------------------------------------
-    def _plan(self, H: int, W: int, nlevels: int) -> List[bool]:
-        """For each level (1-indexed level i at plan[i-1]) decide whether its
-        column pass runs row-sharded, by simulating the shape evolution."""
-        R = self._nrows
-        b = self.biort
-        q = self.qshift
-        halo1 = max(v.size // 2 for v in b)
-        halo2 = max(v.size for v in q)
-        plan = []
-        h = H + (H % 2)
-        w = W + (W % 2)
-        sharded = True
-        for level in range(nlevels):
-            if level == 0:
-                sharded = sharded and h % R == 0 and (h // R) % 2 == 0 \
-                    and (h // R) >= halo1
-                plan.append(sharded)
-                h, w = h >> 1, w >> 1  # subband grid; lowpass stays full
-                hl, wl = 2 * h, 2 * w
-            else:
-                # global mult-of-4 pad must not be needed while sharded
-                need_pad = hl % 4 != 0
-                sharded = sharded and not need_pad and hl % R == 0 \
-                    and (hl // R) % 4 == 0 and (hl // R) >= halo2
-                plan.append(sharded)
-                if hl % 4 != 0:
-                    hl += 2
-                if wl % 4 != 0:
-                    wl += 2
-                hl, wl = hl >> 1, wl >> 1
-        return plan
+    def _halos(self) -> Tuple[int, int]:
+        halo1 = max(v.size // 2 for v in self.biort)
+        halo2 = max(v.size for v in self.qshift)
+        return halo1, halo2
+
+    def _plan(self, H: int, W: int, nlevels: int) -> Tuple[List[bool],
+                                                           List[bool]]:
+        halo1, halo2 = self._halos()
+        rplan = _axis_plan(H, self._nrows, nlevels, halo1, halo2)
+        if self._ncols > 1:
+            cplan = _axis_plan(W, self._ncols, nlevels, halo1, halo2)
+        else:
+            cplan = [False] * nlevels
+        return rplan, cplan
+
+    def _warn_degraded(self, what: str, H: int, W: int, rplan, cplan):
+        """One logged warning (per cached build) when a mesh axis the user
+        asked for carries no levels at all — the transform still runs, but
+        replicated along that axis (VERDICT r1 'silent loss of parallelism')."""
+        if self._nrows > 1 and not rplan[0]:
+            logger.warning(
+                "ShardedTransform2d.%s: rows axis (%d shards) is unused for "
+                "a %dx%d input — the transform runs row-replicated. Row "
+                "sharding needs H divisible by %d with even local rows >= "
+                "the filter halo.", what, self._nrows, H, W, self._nrows)
+        if self._ncols > 1 and not cplan[0]:
+            logger.warning(
+                "ShardedTransform2d.%s: cols axis (%d shards) is unused for "
+                "a %dx%d input — the transform runs column-replicated.",
+                what, self._ncols, H, W)
 
     # ------------------------------------------------------------------
     # forward
@@ -125,9 +163,10 @@ class ShardedTransform2d:
     @functools.lru_cache(maxsize=None)
     def _fwd_built(self, shape, dtype, nlevels: int):
         B, H, W = shape
-        plan = self._plan(H, W, nlevels)
-        da, ra = self.data_axis, self.rows_axis
-        R = self._nrows
+        rplan, cplan = self._plan(H, W, nlevels)
+        self._warn_degraded("forward", H, W, rplan, cplan)
+        da, ra, ca = self.data_axis, self.rows_axis, self.cols_axis
+        R, Cn = self._nrows, self._ncols
         b = self.biort
         h0o, h1o = b[0], b[2]
         h2o = b[4] if len(b) == 6 else None
@@ -137,66 +176,79 @@ class ShardedTransform2d:
         halo1 = max(v.size // 2 for v in (h0o, h1o) + ((h2o,) if h2o is not None else ()))
         halo2 = max(v.size for v in (h0a, h1a) + ((h2a,) if h2a is not None else ()))
 
-        sharded_spec = P(da, ra, None)
-        repl_spec = P(da, None, None)
+        # Input sharding: only shard an axis the first level can use.
+        in_rows = ra if rplan[0] else None
+        in_cols = ca if cplan[0] else None
+        in_spec = P(da, in_rows, in_cols)
 
-        def spec_for(level_sharded, extra_dims=1):
-            base = sharded_spec if level_sharded else repl_spec
-            return P(*(tuple(base) + (None,) * extra_dims))
+        def spec(level):
+            return P(da, ra if rplan[level] else None,
+                     ca if cplan[level] else None, None)
 
         out_specs = (
-            sharded_spec if plan[-1] else repl_spec,            # lowpass
-            tuple(spec_for(s) for s in plan),                   # highpasses
+            P(da, ra if rplan[-1] else None, ca if cplan[-1] else None),
+            tuple(spec(l) for l in range(nlevels)),
         )
 
+        def col_ext(cur, halo, row_sharded):
+            """Halo-extend the height axis for a column pass."""
+            if row_sharded:
+                return halo_exchange(cur, halo, ra, R, axis=-2)
+            return fb.symmetric_extend(cur, halo, -2)
+
+        def row_ext(cur, halo, col_sharded):
+            """Halo-extend the width axis for a row pass."""
+            if col_sharded:
+                return halo_exchange(cur, halo, ca, Cn, axis=-1)
+            return fb.symmetric_extend(cur, halo, -1)
+
         def local_fwd(x):
-            # x: [B/d, H/r, W] (rows locally sharded)
+            # x: [B/d, H/r, W/c]
             if not jnp.issubdtype(x.dtype, jnp.inexact):
                 x = x.astype(jnp.float32)
             Yh = []
             cur = x
-            cur_sharded = True
+            row_sharded, col_sharded = rplan[0], cplan[0]
             for level in range(nlevels):
-                if plan[level] != cur_sharded:
-                    # gather rows; remaining levels run replicated
+                if row_sharded and not rplan[level]:
                     cur = lax.all_gather(cur, ra, axis=1, tiled=True)
-                    cur_sharded = False
+                    row_sharded = False
+                if col_sharded and not cplan[level]:
+                    cur = lax.all_gather(cur, ca, axis=2, tiled=True)
+                    col_sharded = False
                 if level == 0:
-                    if cur.shape[-1] % 2 != 0:
-                        last = cur[..., -1:]
-                        cur = jnp.concatenate([cur, last], axis=-1)
-                    # (odd global H with sharding is rejected by _plan)
-                    if not cur_sharded and cur.shape[-2] % 2 != 0:
+                    # (odd global sizes with sharding are rejected by _plan)
+                    if not col_sharded and cur.shape[-1] % 2 != 0:
+                        cur = jnp.concatenate([cur, cur[..., -1:]], axis=-1)
+                    if not row_sharded and cur.shape[-2] % 2 != 0:
                         cur = jnp.concatenate([cur, cur[..., -1:, :]], axis=-2)
-                    if cur_sharded:
-                        ext = halo_exchange(cur, halo1, ra, R, axis=-2)
-                    else:
-                        ext = fb.symmetric_extend(cur, halo1, -2)
+                    ext = col_ext(cur, halo1, row_sharded)
                     lo = fb.filter_from_ext(
                         _sliced_ext(ext, halo1, h0o.size // 2, -2), h0o, -2)
                     hi = fb.filter_from_ext(
                         _sliced_ext(ext, halo1, h1o.size // 2, -2), h1o, -2)
-                    lolo = fb.filter_axis(lo, h0o, -1)
-                    band05 = q2c(fb.filter_axis(hi, h0o, -1))
-                    band23 = q2c(fb.filter_axis(lo, h1o, -1))
+
+                    def rowf(v, h):
+                        e = row_ext(v, h.size // 2, col_sharded)
+                        return fb.filter_from_ext(e, h, -1)
+
+                    lolo = rowf(lo, h0o)
+                    band05 = q2c(rowf(hi, h0o))
+                    band23 = q2c(rowf(lo, h1o))
                     if h2o is not None:
                         ba = fb.filter_from_ext(
                             _sliced_ext(ext, halo1, h2o.size // 2, -2), h2o, -2)
-                        band14 = q2c(fb.filter_axis(ba, h2o, -1))
+                        band14 = q2c(rowf(ba, h2o))
                     else:
-                        band14 = q2c(fb.filter_axis(hi, h1o, -1))
+                        band14 = q2c(rowf(hi, h1o))
                 else:
-                    if not cur_sharded:
-                        if cur.shape[-2] % 4 != 0:
-                            cur = jnp.concatenate(
-                                [cur[..., :1, :], cur, cur[..., -1:, :]], axis=-2)
-                    if cur.shape[-1] % 4 != 0:
+                    if not row_sharded and cur.shape[-2] % 4 != 0:
+                        cur = jnp.concatenate(
+                            [cur[..., :1, :], cur, cur[..., -1:, :]], axis=-2)
+                    if not col_sharded and cur.shape[-1] % 4 != 0:
                         cur = jnp.concatenate(
                             [cur[..., :, :1], cur, cur[..., :, -1:]], axis=-1)
-                    if cur_sharded:
-                        ext = halo_exchange(cur, halo2, ra, R, axis=-2)
-                    else:
-                        ext = fb.symmetric_extend(cur, halo2, -2)
+                    ext = col_ext(cur, halo2, row_sharded)
                     lo = fb.dfilt_from_ext(
                         _sliced_ext(ext, halo2, h0a.size, -2), h0b, h0a, -2)
                     hi = fb.dfilt_from_ext(
@@ -204,24 +256,29 @@ class ShardedTransform2d:
                     if h2b is not None:
                         ba = fb.dfilt_from_ext(
                             _sliced_ext(ext, halo2, h2a.size, -2), h2b, h2a, -2)
-                    lolo = fb.dfilt_axis(lo, h0b, h0a, -1)
-                    band05 = q2c(fb.dfilt_axis(hi, h0b, h0a, -1))
-                    band23 = q2c(fb.dfilt_axis(lo, h1b, h1a, -1))
+
+                    def rowd(v, hfa, hfb):
+                        e = row_ext(v, hfa.size, col_sharded)
+                        return fb.dfilt_from_ext(e, hfb, hfa, -1)
+
+                    lolo = rowd(lo, h0a, h0b)
+                    band05 = q2c(rowd(hi, h0a, h0b))
+                    band23 = q2c(rowd(lo, h1a, h1b))
                     if h2b is not None:
-                        band14 = q2c(fb.dfilt_axis(ba, h2b, h2a, -1))
+                        band14 = q2c(rowd(ba, h2a, h2b))
                     else:
-                        band14 = q2c(fb.dfilt_axis(hi, h1b, h1a, -1))
+                        band14 = q2c(rowd(hi, h1a, h1b))
                 Yh.append(jnp.stack([band05[0], band14[0], band23[0],
                                      band23[1], band14[1], band05[1]], axis=-1))
                 cur = lolo
             return (cur, tuple(Yh))
 
-        # check_vma=False: coarse levels after the rows all_gather are
-        # replicated by construction, but the static checker cannot see
-        # through the inner-jitted filter primitives to infer it.
+        # check_vma=False: coarse levels after an all_gather are replicated
+        # by construction, but the static checker cannot see through the
+        # inner-jitted filter primitives to infer it.
         shmapped = jax.shard_map(
             local_fwd, mesh=self.mesh,
-            in_specs=(sharded_spec,), out_specs=out_specs, check_vma=False)
+            in_specs=(in_spec,), out_specs=out_specs, check_vma=False)
 
         @jax.jit
         def run(X):
@@ -233,16 +290,19 @@ class ShardedTransform2d:
     # ------------------------------------------------------------------
     # inverse
     # ------------------------------------------------------------------
-    def inverse(self, pyramid: Pyramid):
+    def inverse(self, pyramid: Pyramid, gain_mask=None):
+        """Inverse transform.  *gain_mask* is an optional ``(6, nlevels)``
+        array of per-subband gains, as for :meth:`Transform2d.inverse`."""
         nlevels = len(pyramid.highpasses)
         shapes = tuple(tuple(h.shape) for h in pyramid.highpasses)
+        gm = None if gain_mask is None else jnp.asarray(gain_mask)
         return self._inv_built(tuple(pyramid.lowpass.shape), shapes,
-                               pyramid.lowpass.dtype, nlevels)(pyramid)
+                               pyramid.lowpass.dtype, nlevels)(pyramid, gm)
 
     @functools.lru_cache(maxsize=None)
     def _inv_built(self, low_shape, hp_shapes, dtype, nlevels: int):
-        da, ra = self.data_axis, self.rows_axis
-        R = self._nrows
+        da, ra, ca = self.data_axis, self.rows_axis, self.cols_axis
+        R, Cn = self._nrows, self._ncols
         b = self.biort
         g0o, g1o = b[1], b[3]
         g2o = b[5] if len(b) == 6 else None
@@ -252,31 +312,96 @@ class ShardedTransform2d:
         halo2 = max(v.size // 2 for v in (g0a, g1a) + ((g2a,) if g2a is not None else ()))
         halo1 = max(v.size // 2 for v in (g0o, g1o) + ((g2o,) if g2o is not None else ()))
 
-        # The sharded inverse requires: no crops (shapes exactly double each
-        # level) and local rows stay shardable.  Otherwise run replicated.
-        ok = True
-        for level in range(nlevels - 1, 0, -1):
-            hr = hp_shapes[level][-3]
-            want = hp_shapes[level - 1][-3]
-            ok = ok and (2 * hr == want)
-            ok = ok and (2 * hr) % R == 0 and ((2 * hr) // R) % 2 == 0
-        if nlevels >= 1:
-            ok = ok and (2 * hp_shapes[0][-3]) % R == 0
-        lowr = low_shape[-2]
-        ok = ok and lowr % R == 0 and (lowr // R) % 2 == 0 \
-            and (lowr // R) >= halo2
+        # A spatial axis runs sharded through the whole inverse when the
+        # pyramid is crop-free along it (shapes exactly double per level —
+        # crops on a *sharded* axis would unbalance the shards) and every
+        # level's local extent stays even and >= the halo.  Axes qualify
+        # independently; crops along an unsharded axis are applied locally
+        # (reference crop rule: ``numpy/transform2d.py:262-271``).
+        def axis_ok(dim, Rax, halo_fine):
+            if Rax <= 1:
+                return False
+            ok = True
+            for level in range(nlevels - 1, 0, -1):
+                hr = hp_shapes[level][dim]
+                want = hp_shapes[level - 1][dim]
+                ok = ok and (2 * hr == want)
+                ok = ok and (2 * hr) % Rax == 0 and ((2 * hr) // Rax) % 2 == 0
+            if nlevels >= 1:
+                ok = ok and (2 * hp_shapes[0][dim]) % Rax == 0
+            lowe = low_shape[dim + 1]  # low has no trailing subband dim
+            ok = ok and lowe % Rax == 0 and (lowe // Rax) % 2 == 0 \
+                and (lowe // Rax) >= halo2
+            return ok
 
-        sharded_spec = P(da, ra, None)
-        if not ok:
-            # Replicated rows fallback: correctness first for awkward shapes.
+        rows_ok = axis_ok(-3, R, halo1)
+        cols_ok = axis_ok(-2, Cn, halo1)
+
+        if not rows_ok and not cols_ok:
+            # Replicated fallback: correctness first for awkward shapes.
+            if R > 1 or Cn > 1:
+                logger.warning(
+                    "ShardedTransform2d.inverse: pyramid shapes (lowpass %s) "
+                    "cannot be sharded over the %s mesh — running the inverse "
+                    "replicated on every device.", low_shape,
+                    dict(self.mesh.shape))
             single = self._single
 
             @jax.jit
-            def run_repl(pyr):
-                return single.inverse(pyr)
+            def run_repl(pyr, gain_mask):
+                return single._inverse_impl(pyr, gain_mask)
             return run_repl
 
-        hp_specs = tuple(P(da, ra, None, None) for _ in range(nlevels))
+        rax = ra if rows_ok else None
+        cax = ca if cols_ok else None
+        low_spec = P(da, rax, cax)
+        hp_specs = tuple(P(da, rax, cax, None) for _ in range(nlevels))
+
+        def col_ifilt(v, gfa, gfb):
+            if rows_ok:
+                ext = halo_exchange(v, gfa.size // 2, ra, R, axis=-2)
+            else:
+                ext = fb.symmetric_extend(v, gfa.size // 2, -2)
+            return fb.ifilt_from_ext(ext, gfa, gfb, -2)
+
+        def row_ifilt(v, gfa, gfb):
+            if cols_ok:
+                ext = halo_exchange(v, gfa.size // 2, ca, Cn, axis=-1)
+            else:
+                ext = fb.symmetric_extend(v, gfa.size // 2, -1)
+            return fb.ifilt_from_ext(ext, gfa, gfb, -1)
+
+        def col_filt(v, g):
+            if rows_ok:
+                ext = halo_exchange(v, g.size // 2, ra, R, axis=-2)
+            else:
+                ext = fb.symmetric_extend(v, g.size // 2, -2)
+            return fb.filter_from_ext(ext, g, -2)
+
+        def row_filt(v, g):
+            if cols_ok:
+                ext = halo_exchange(v, g.size // 2, ca, Cn, axis=-1)
+            else:
+                ext = fb.symmetric_extend(v, g.size // 2, -1)
+            return fb.filter_from_ext(ext, g, -1)
+
+        def crop_unsharded(Z, level):
+            """Undo the forward's mult-of-4 pads along unsharded axes."""
+            if not rows_ok:
+                want_h = 2 * hp_shapes[level - 1][-3]
+                if Z.shape[-2] != want_h:
+                    Z = Z[..., 1:-1, :]
+                if Z.shape[-2] != want_h:
+                    raise ValueError("Sizes of highpasses are not valid for"
+                                     " the inverse transform")
+            if not cols_ok:
+                want_w = 2 * hp_shapes[level - 1][-2]
+                if Z.shape[-1] != want_w:
+                    Z = Z[..., :, 1:-1]
+                if Z.shape[-1] != want_w:
+                    raise ValueError("Sizes of highpasses are not valid for"
+                                     " the inverse transform")
+            return Z
 
         def local_inv(lowpass, *Yh):
             Z = lowpass
@@ -286,49 +411,45 @@ class ShardedTransform2d:
                 hl = c2q(yh[..., 2], yh[..., 3])
                 hh = c2q(yh[..., 1], yh[..., 4])
 
-                def colifilt_sh(v, ga, gb):
-                    ext = halo_exchange(v, ga.size // 2, ra, R, axis=-2)
-                    return fb.ifilt_from_ext(ext, ga, gb, -2)
-
-                y1 = colifilt_sh(Z, g0b, g0a) + colifilt_sh(lh, g1b, g1a)
+                y1 = col_ifilt(Z, g0b, g0a) + col_ifilt(lh, g1b, g1a)
                 if g2b is not None:
-                    y2 = colifilt_sh(hl, g0b, g0a)
-                    y2bp = colifilt_sh(hh, g2b, g2a)
-                    Z = (fb.ifilt_axis(y1, g0b, g0a, -1)
-                         + fb.ifilt_axis(y2, g1b, g1a, -1)
-                         + fb.ifilt_axis(y2bp, g2b, g2a, -1))
+                    y2 = col_ifilt(hl, g0b, g0a)
+                    y2bp = col_ifilt(hh, g2b, g2a)
+                    Z = (row_ifilt(y1, g0b, g0a)
+                         + row_ifilt(y2, g1b, g1a)
+                         + row_ifilt(y2bp, g2b, g2a))
                 else:
-                    y2 = colifilt_sh(hl, g0b, g0a) + colifilt_sh(hh, g1b, g1a)
-                    Z = (fb.ifilt_axis(y1, g0b, g0a, -1)
-                         + fb.ifilt_axis(y2, g1b, g1a, -1))
+                    y2 = col_ifilt(hl, g0b, g0a) + col_ifilt(hh, g1b, g1a)
+                    Z = row_ifilt(y1, g0b, g0a) + row_ifilt(y2, g1b, g1a)
+                Z = crop_unsharded(Z, level)
             yh = Yh[0]
             lh = c2q(yh[..., 0], yh[..., 5])
             hl = c2q(yh[..., 2], yh[..., 3])
             hh = c2q(yh[..., 1], yh[..., 4])
 
-            def colfilter_sh(v, g):
-                ext = halo_exchange(v, g.size // 2, ra, R, axis=-2)
-                return fb.filter_from_ext(ext, g, -2)
-
-            y1 = colfilter_sh(Z, g0o) + colfilter_sh(lh, g1o)
+            y1 = col_filt(Z, g0o) + col_filt(lh, g1o)
             if g2o is not None:
-                y2 = colfilter_sh(hl, g0o)
-                y2bp = colfilter_sh(hh, g2o)
-                Z = (fb.filter_axis(y1, g0o, -1)
-                     + fb.filter_axis(y2, g1o, -1)
-                     + fb.filter_axis(y2bp, g2o, -1))
+                y2 = col_filt(hl, g0o)
+                y2bp = col_filt(hh, g2o)
+                Z = (row_filt(y1, g0o) + row_filt(y2, g1o)
+                     + row_filt(y2bp, g2o))
             else:
-                y2 = colfilter_sh(hl, g0o) + colfilter_sh(hh, g1o)
-                Z = fb.filter_axis(y1, g0o, -1) + fb.filter_axis(y2, g1o, -1)
+                y2 = col_filt(hl, g0o) + col_filt(hh, g1o)
+                Z = row_filt(y1, g0o) + row_filt(y2, g1o)
             return Z
 
         shmapped = jax.shard_map(
             local_inv, mesh=self.mesh,
-            in_specs=(sharded_spec,) + hp_specs,
-            out_specs=sharded_spec)
+            in_specs=(low_spec,) + hp_specs,
+            out_specs=P(da, rax, cax), check_vma=False)
 
         @jax.jit
-        def run(pyr):
-            return shmapped(pyr.lowpass, *pyr.highpasses)
+        def run(pyr, gain_mask):
+            Yh = pyr.highpasses
+            if gain_mask is not None:
+                # Gains scale each complex subband elementwise before any
+                # filtering (reference numpy/transform2d.py:243-245).
+                Yh = tuple(h * gain_mask[:, i] for i, h in enumerate(Yh))
+            return shmapped(pyr.lowpass, *Yh)
 
         return run

@@ -79,6 +79,91 @@ def test_sharded_gather_fallback_on_deep_levels():
     assert np.abs(rec - X).max() < 1e-11
 
 
+def _mesh3(data, rows, cols):
+    devs = jax.devices()
+    assert len(devs) >= data * rows * cols
+    return make_mesh((data, rows, cols), ("data", "rows", "cols"),
+                     devs[:data * rows * cols])
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 2, 2), (1, 2, 4), (1, 4, 2)])
+def test_sharded_2d_spatial_mesh(mesh_shape):
+    """Full 2-D spatial decomposition: halos exchanged on BOTH image axes;
+    forward + inverse bit-identical to the single-device transform."""
+    import dtcwt_tpu as dt
+    mesh = _mesh3(*mesh_shape)
+    st = ShardedTransform2d(mesh, cols_axis="cols")
+    t = dt.Transform2d()
+    X = np.random.RandomState(11).rand(mesh_shape[0] * 2, 256, 256)
+    ps = st.forward(X, nlevels=3)
+    p = t.forward(X, nlevels=3)
+    assert np.abs(np.asarray(ps.lowpass) - np.asarray(p.lowpass)).max() < 1e-12
+    for a, b in zip(ps.highpasses, p.highpasses):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-12
+    rec = np.asarray(st.inverse(ps))
+    assert np.abs(rec - np.asarray(t.inverse(p))).max() < 1e-12
+    assert np.abs(rec - X).max() < 1e-11
+
+
+def test_sharded_2d_spatial_bp_and_deep():
+    """bp wavelets + enough levels that both spatial axes degrade to
+    replicated mid-transform (independent per-axis gathers)."""
+    import dtcwt_tpu as dt
+    mesh = _mesh3(1, 4, 2)
+    st = ShardedTransform2d(mesh, biort="near_sym_b_bp", qshift="qshift_b_bp",
+                            cols_axis="cols")
+    t = dt.Transform2d(biort="near_sym_b_bp", qshift="qshift_b_bp")
+    X = np.random.RandomState(13).rand(1, 256, 128)
+    ps = st.forward(X, nlevels=5)
+    p = t.forward(X, nlevels=5)
+    for a, b in zip(ps.highpasses, p.highpasses):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-12
+    assert np.abs(np.asarray(ps.lowpass) - np.asarray(p.lowpass)).max() < 1e-12
+
+
+def test_sharded_inverse_gain_mask():
+    """Sharded inverse accepts gain_mask (r1 VERDICT API asymmetry)."""
+    import dtcwt_tpu as dt
+    mesh = _mesh(2, 4)
+    st = ShardedTransform2d(mesh)
+    t = dt.Transform2d()
+    X = RNG.randn(2, 256, 128)
+    gm = np.linspace(0.0, 1.5, 18).reshape(6, 3)
+    ps = st.forward(X, nlevels=3)
+    p = t.forward(X, nlevels=3)
+    got = np.asarray(st.inverse(ps, gm))
+    want = np.asarray(t.inverse(p, gm))
+    assert np.abs(got - want).max() < 1e-12
+
+
+def test_sharded_inverse_with_width_crop():
+    """A forward W pad (W=102 -> mult-of-4) forces an inverse-side crop on
+    the unsharded cols axis; r1's sharded inverse raised a shape error."""
+    import dtcwt_tpu as dt
+    mesh = _mesh(2, 4)
+    st = ShardedTransform2d(mesh)
+    t = dt.Transform2d()
+    X = RNG.randn(2, 256, 102)
+    ps = st.forward(X, nlevels=3)
+    rec = np.asarray(st.inverse(ps))
+    want = np.asarray(t.inverse(t.forward(X, nlevels=3)))
+    assert np.abs(rec - want).max() < 1e-12
+
+
+def test_sharded_degraded_plan_warns(caplog):
+    """Silent loss of parallelism is no longer silent: an unusable mesh axis
+    logs a warning (once per built configuration)."""
+    import logging
+    mesh = _mesh(1, 8)
+    st = ShardedTransform2d(mesh)
+    X = RNG.randn(1, 100, 64)   # 100 rows not divisible by 8
+    with caplog.at_level(logging.WARNING,
+                         logger="dtcwt_tpu.parallel.transform2d_dist"):
+        st.forward(X, nlevels=2)
+    assert any("rows axis" in r.message and "unused" in r.message
+               for r in caplog.records)
+
+
 def test_sharded_grad_flows():
     """AD through the sharded forward (the 'training step' shape)."""
     mesh = _mesh()
