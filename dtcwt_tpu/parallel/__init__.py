@@ -12,6 +12,10 @@ from dtcwt_tpu.parallel.halo import halo_exchange
 from dtcwt_tpu.parallel.transform2d_dist import ShardedTransform2d
 from dtcwt_tpu.parallel.batch import BatchSharded, shard_batch
 from dtcwt_tpu.parallel.transform1d_dist import ShardedTransform1d
+from dtcwt_tpu.parallel.transform3d_dist import ShardedTransform3d
+from dtcwt_tpu.parallel.registration_dist import (estimatereg_sharded,
+                                                  shard_pyramid_rows)
 
 __all__ = ["make_mesh", "halo_exchange", "ShardedTransform1d",
-           "ShardedTransform2d", "BatchSharded", "shard_batch"]
+           "ShardedTransform2d", "ShardedTransform3d", "BatchSharded",
+           "shard_batch", "estimatereg_sharded", "shard_pyramid_rows"]

@@ -1,0 +1,394 @@
+"""Multi-chip 3-D DTCWT: batch data-parallel + depth (plane-axis) sharding.
+
+Giant volumes are the reference library's worst-scaling case — its 3-D
+transform loops over 2-D planes in Python
+(``/root/reference/dtcwt/numpy/transform3d.py:37-206``) and a volume must
+fit one host.  Here the *depth* axis of a global ``[B, D, H, W]`` volume is
+sharded across a mesh axis: the H/W filter passes of every level are
+shard-local, and the depth-axis pass exchanges filter-support halos
+(<= 18 samples) with ``lax.ppermute`` ring neighbours over ICI, with the
+reflect boundary rule applied only on the physical first/last shard.  Once
+the decimated depth becomes too small to shard cleanly the volume is
+``all_gather``-ed and the remaining coarse levels run replicated (they are
+1/8 the size per level).
+
+Results are numerically identical to
+:class:`dtcwt_tpu.transforms.transform3d.Transform3d`; tests assert
+equality on a virtual CPU mesh (SURVEY.md §2 parallelism table, "spatial
+decomposition" row).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+from typing import List
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from dtcwt_tpu.ops import fb
+from dtcwt_tpu.ops.packing import cube2c, c2cube
+from dtcwt_tpu.parallel.halo import halo_exchange
+from dtcwt_tpu.transforms.pyramid import Pyramid
+from dtcwt_tpu.transforms.transform3d import (Transform3d, _OCTANTS,
+                                              _repeat_edges)
+from dtcwt_tpu.transforms.transform2d import (
+    DEFAULT_BIORT, DEFAULT_QSHIFT, normalize_biort, normalize_qshift)
+
+__all__ = ["ShardedTransform3d"]
+
+logger = logging.getLogger(__name__)
+
+
+def _sliced_ext(ext, halo: int, need: int, axis: int):
+    if halo == need:
+        return ext
+    n = ext.shape[axis]
+    return lax.slice_in_dim(ext, halo - need, n - (halo - need), axis=axis)
+
+
+class ShardedTransform3d:
+    """An n-level 3-D DTCWT over a device mesh, depth-axis sharded.
+
+    :param mesh: a :class:`jax.sharding.Mesh` with a batch axis and a depth
+        axis (default names ``'data'`` and ``'depth'``).
+    :param ext_mode: 4 or 8, as for :class:`Transform3d`.
+
+    ``forward``/``inverse`` accept and produce global ``[B, D, H, W]``
+    arrays / Pyramids (highpasses ``[B, D', H', W', 28]`` complex).
+    """
+
+    def __init__(self, mesh, biort=DEFAULT_BIORT, qshift=DEFAULT_QSHIFT,
+                 ext_mode: int = 4, data_axis: str = "data",
+                 depth_axis: str = "depth"):
+        self.mesh = mesh
+        self.biort = normalize_biort(biort)
+        self.qshift = normalize_qshift(qshift)
+        if len(self.biort) != 4 or len(self.qshift) != 8:
+            raise ValueError("3-D transform does not use bandpass variants")
+        if ext_mode not in (4, 8):
+            raise ValueError("ext_mode must be one of 4 or 8")
+        self.ext_mode = ext_mode
+        self.data_axis = data_axis
+        self.depth_axis = depth_axis
+        if data_axis not in mesh.axis_names or depth_axis not in mesh.axis_names:
+            raise ValueError("mesh must define axes %r and %r"
+                             % (data_axis, depth_axis))
+        self._ndepth = mesh.shape[depth_axis]
+        self._single = Transform3d(self.biort, self.qshift, ext_mode)
+
+    # ------------------------------------------------------------------
+    def _plan(self, D: int, nlevels: int) -> List[bool]:
+        """Per level: does its depth pass run depth-sharded?"""
+        R = self._ndepth
+        h0o, h1o = self.biort[0], self.biort[2]
+        halo1 = max(h0o.size // 2, h1o.size // 2)
+        halo2 = max(self.qshift[0].size, self.qshift[4].size)
+        div = self.ext_mode
+        plan = []
+        d = D
+        # Even-length level-1 filters trim one trailing sample per axis — a
+        # *global* edit that would unbalance depth shards; run replicated.
+        sharded = h0o.size % 2 == 1
+        for level in range(nlevels):
+            if level == 0:
+                sharded = (sharded and d % R == 0 and (d // R) % 2 == 0
+                           and (d // R) >= halo1)
+            else:
+                need_pad = d % div != 0
+                sharded = (sharded and not need_pad and d % R == 0
+                           and (d // R) % 4 == 0 and (d // R) >= halo2)
+                if need_pad:
+                    d += 2 * (1 if div == 4 else 2)
+                d >>= 1
+            plan.append(sharded)
+        return plan
+
+    # ------------------------------------------------------------------
+    # forward
+    # ------------------------------------------------------------------
+    def forward(self, X, nlevels: int = 3, discard_level_1: bool = False
+                ) -> Pyramid:
+        X = jnp.asarray(X)
+        if X.ndim != 4:
+            raise ValueError("ShardedTransform3d.forward expects [B, D, H, W]")
+        div = 2 if self.ext_mode == 4 else 4
+        for d in (-3, -2, -1):
+            if X.shape[d] % div != 0:
+                raise ValueError(
+                    "Input shape should be a multiple of %d in each direction"
+                    " when ext_mode == %d" % (div, self.ext_mode))
+        return self._fwd_built(X.shape, X.dtype, nlevels,
+                               bool(discard_level_1))(X)
+
+    @functools.lru_cache(maxsize=None)
+    def _fwd_built(self, shape, dtype, nlevels: int, discard_level_1: bool):
+        B, D, H, W = shape
+        plan = self._plan(D, nlevels)
+        da, ra = self.data_axis, self.depth_axis
+        R = self._ndepth
+        h0o, h1o = self.biort[0], self.biort[2]
+        q = self.qshift
+        h0a, h0b, h1a, h1b = q[0], q[1], q[4], q[5]
+        halo1 = max(h0o.size // 2, h1o.size // 2)
+        halo2 = max(h0a.size, h1a.size)
+        div = self.ext_mode
+        rep = 1 if div == 4 else 2
+
+        if R > 1 and not plan[0]:
+            logger.warning(
+                "ShardedTransform3d.forward: depth axis (%d shards) is "
+                "unused for a depth-%d volume — the transform runs "
+                "depth-replicated.", R, D)
+
+        sharded_spec = P(da, ra, None, None)
+        repl_spec = P(da, None, None, None)
+        in_spec = sharded_spec if plan[0] else repl_spec
+
+        def hp_spec(level):
+            if level == 0 and discard_level_1:
+                return None          # empty pytree slot
+            base = sharded_spec if plan[level] else repl_spec
+            return P(*(tuple(base) + (None,)))
+
+        out_specs = (
+            sharded_spec if plan[-1] else repl_spec,
+            tuple(hp_spec(l) for l in range(nlevels)),
+        )
+
+        def depth_filter(v, h, d_sharded):
+            """Non-decimating biort filter along the depth axis."""
+            if d_sharded:
+                ext = halo_exchange(v, h.size // 2, ra, R, axis=-3)
+            else:
+                ext = fb.symmetric_extend(v, h.size // 2, -3)
+            return fb.filter_from_ext(ext, h, -3)
+
+        def depth_dfilt(v, ha, hb, d_sharded):
+            """Decimating qshift dual filter along the depth axis."""
+            if d_sharded:
+                ext = halo_exchange(v, ha.size, ra, R, axis=-3)
+            else:
+                ext = fb.symmetric_extend(v, ha.size, -3)
+            return fb.dfilt_from_ext(ext, hb, ha, -3)
+
+        def local_fwd(x):
+            if not jnp.issubdtype(x.dtype, jnp.inexact):
+                x = x.astype(jnp.float32)
+            Yh = []
+            cur = x
+            d_sharded = plan[0]
+            for level in range(nlevels):
+                if d_sharded and not plan[level]:
+                    cur = lax.all_gather(cur, ra, axis=1, tiled=True)
+                    d_sharded = False
+                if level == 0:
+                    # level 1: biort filters on W, H (local) then D
+                    if discard_level_1:
+                        out = fb.filter_axis(cur, h0o, -1)
+                        out = fb.filter_axis(out, h0o, -2)
+                        cur = depth_filter(out, h0o, d_sharded)
+                        Yh.append(None)
+                        continue
+                    t2 = [fb.filter_axis(cur, h0o, -1),
+                          fb.filter_axis(cur, h1o, -1)]
+                    t21 = [[fb.filter_axis(v, h0o, -2),
+                            fb.filter_axis(v, h1o, -2)] for v in t2]
+                    oct_ = {}
+                    for j in range(2):
+                        for k in range(2):
+                            v = t21[k][j]
+                            oct_[(0, j, k)] = depth_filter(v, h0o, d_sharded)
+                            oct_[(1, j, k)] = depth_filter(v, h1o, d_sharded)
+                    cur = oct_[(0, 0, 0)]
+                    # (even-length biort filters force d_sharded False via
+                    # the plan; the single-device trim rule applies there)
+                    hp = jnp.concatenate(
+                        [cube2c(oct_[o]) for o in _OCTANTS], axis=-1)
+                    Yh.append(hp)
+                else:
+                    # level >= 2: qshift dual filters; edge-repeat pad on
+                    # unsharded axes only (plan rejects sharded-D pads)
+                    for ax in (-2, -1):
+                        if cur.shape[ax] % div != 0:
+                            cur = _repeat_edges(cur, ax, rep)
+                    if not d_sharded and cur.shape[-3] % div != 0:
+                        cur = _repeat_edges(cur, -3, rep)
+                    t2 = [fb.dfilt_axis(cur, h0b, h0a, -1),
+                          fb.dfilt_axis(cur, h1b, h1a, -1)]
+                    t21 = [[fb.dfilt_axis(v, h0b, h0a, -2),
+                            fb.dfilt_axis(v, h1b, h1a, -2)] for v in t2]
+                    oct_ = {}
+                    for j in range(2):
+                        for k in range(2):
+                            v = t21[k][j]
+                            oct_[(0, j, k)] = depth_dfilt(v, h0a, h0b,
+                                                          d_sharded)
+                            oct_[(1, j, k)] = depth_dfilt(v, h1a, h1b,
+                                                          d_sharded)
+                    cur = oct_[(0, 0, 0)]
+                    hp = jnp.concatenate(
+                        [cube2c(oct_[o]) for o in _OCTANTS], axis=-1)
+                    Yh.append(hp)
+            return (cur, tuple(Yh))
+
+        shmapped = jax.shard_map(
+            local_fwd, mesh=self.mesh,
+            in_specs=(in_spec,), out_specs=out_specs, check_vma=False)
+
+        @jax.jit
+        def run(X):
+            lowpass, Yh = shmapped(X)
+            return Pyramid(lowpass, Yh)
+
+        return run
+
+    # ------------------------------------------------------------------
+    # inverse
+    # ------------------------------------------------------------------
+    def inverse(self, pyramid: Pyramid):
+        nlevels = len(pyramid.highpasses)
+        shapes = tuple(None if h is None else tuple(h.shape)
+                       for h in pyramid.highpasses)
+        return self._inv_built(tuple(pyramid.lowpass.shape), shapes,
+                               pyramid.lowpass.dtype, nlevels)(pyramid)
+
+    @functools.lru_cache(maxsize=None)
+    def _inv_built(self, low_shape, hp_shapes, dtype, nlevels: int):
+        da, ra = self.data_axis, self.depth_axis
+        R = self._ndepth
+        g0o, g1o = self.biort[1], self.biort[3]
+        q = self.qshift
+        g0a, g0b, g1a, g1b = q[2], q[3], q[6], q[7]
+        halo2 = max(g0a.size // 2, g1a.size // 2)
+        halo1 = max(g0o.size // 2, g1o.size // 2)
+
+        def dshape(level):
+            """Global depth of level's subband grid (crop-free pyramids)."""
+            if hp_shapes[level] is not None:
+                return hp_shapes[level][-4]
+            # discard_level_1: lowpass depth = 2 * coarsest grid; each finer
+            # grid doubles
+            return low_shape[-3] * (2 ** (nlevels - 1 - level)) // 2
+
+        # Depth sharding through the whole inverse needs: crop-free depth
+        # (shapes exactly double per level), every level's local depth even
+        # and >= the halo, and odd-length level-1 synthesis filters (the
+        # even-filter rule trims global samples).
+        ok = R > 1 and g0o.size % 2 == 1
+        for level in range(nlevels - 1, 0, -1):
+            dr, want = dshape(level), dshape(level - 1)
+            ok = ok and (2 * dr == want)
+            ok = ok and (2 * dr) % R == 0 and ((2 * dr) // R) % 2 == 0
+        if nlevels >= 1:
+            ok = ok and (2 * dshape(0)) % R == 0
+        lowd = low_shape[-3]
+        ok = ok and lowd % R == 0 and (lowd // R) % 2 == 0 \
+            and (lowd // R) >= halo2
+
+        if not ok:
+            if R > 1:
+                logger.warning(
+                    "ShardedTransform3d.inverse: pyramid shapes (lowpass %s)"
+                    " cannot be depth-sharded over the %s mesh — running the"
+                    " inverse replicated on every device.", low_shape,
+                    dict(self.mesh.shape))
+            single = self._single
+
+            @jax.jit
+            def run_repl(pyr):
+                return single._inverse_impl(pyr)
+            return run_repl
+
+        sharded_spec = P(da, ra, None, None)
+        hp_specs = tuple(
+            None if hp_shapes[l] is None else P(da, ra, None, None, None)
+            for l in range(nlevels))
+
+        def depth_ifilt(v, ga, gb):
+            ext = halo_exchange(v, ga.size // 2, ra, R, axis=-3)
+            return fb.ifilt_from_ext(ext, ga, gb, -3)
+
+        def depth_filt(v, g):
+            ext = halo_exchange(v, g.size // 2, ra, R, axis=-3)
+            return fb.filter_from_ext(ext, g, -3)
+
+        crop = 1 if self.ext_mode == 4 else 2
+
+        def synth2(oct_):
+            """Level >= 2 separable synthesis, reference pass order
+            (-2, -3, -1) with the depth (-3) pass halo-exchanged."""
+            U = {}
+            for i in range(2):
+                for k in range(2):
+                    U[(i, k)] = (fb.ifilt_axis(oct_[(i, 0, k)], g0b, g0a, -2)
+                                 + fb.ifilt_axis(oct_[(i, 1, k)], g1b, g1a, -2))
+            V = {}
+            for k in range(2):
+                V[k] = depth_ifilt(U[(0, k)], g0b, g0a) \
+                    + depth_ifilt(U[(1, k)], g1b, g1a)
+            return (fb.ifilt_axis(V[0], g0b, g0a, -1)
+                    + fb.ifilt_axis(V[1], g1b, g1a, -1))
+
+        def synth1(oct_):
+            U = {}
+            for i in range(2):
+                for k in range(2):
+                    U[(i, k)] = (fb.filter_axis(oct_[(i, 0, k)], g0o, -2)
+                                 + fb.filter_axis(oct_[(i, 1, k)], g1o, -2))
+            V = {}
+            for k in range(2):
+                V[k] = depth_filt(U[(0, k)], g0o) + depth_filt(U[(1, k)], g1o)
+            return (fb.filter_axis(V[0], g0o, -1)
+                    + fb.filter_axis(V[1], g1o, -1))
+
+        def local_inv(lowpass, *Yh):
+            Yl = lowpass
+            for level in range(nlevels - 1, 0, -1):
+                oct_ = {o: c2cube(Yh[level][..., 4 * n:4 * n + 4])
+                        for n, o in enumerate(_OCTANTS)}
+                oct_[(0, 0, 0)] = Yl
+                Yl = synth2(oct_)
+                # ext_mode crops on the (unsharded) H/W axes; depth crops
+                # are excluded by the sharding plan.  Reference crop rule:
+                # crop when 2*curr_grid != finer_grid (transform3d.py
+                # :505-524).
+                curr = hp_shapes[level][-4:-1]
+                if hp_shapes[level - 1] is not None:
+                    prev = hp_shapes[level - 1][-4:-1]
+                else:
+                    prev = tuple(2 * s for s in curr)
+                if 2 * curr[1] != prev[1]:
+                    Yl = lax.slice_in_dim(Yl, crop, Yl.shape[-2] - crop,
+                                          axis=-2)
+                if 2 * curr[2] != prev[2]:
+                    Yl = lax.slice_in_dim(Yl, crop, Yl.shape[-1] - crop,
+                                          axis=-1)
+            if nlevels >= 1:
+                if Yh[0] is None:
+                    # discard_level_1 synthesis, reference pass order
+                    # (-2, -3, -1); requires odd filters (plan-enforced)
+                    Yl = fb.filter_axis(Yl, g0o, -2)
+                    Yl = depth_filt(Yl, g0o)
+                    Yl = fb.filter_axis(Yl, g0o, -1)
+                else:
+                    oct_ = {o: c2cube(Yh[0][..., 4 * n:4 * n + 4])
+                            for n, o in enumerate(_OCTANTS)}
+                    oct_[(0, 0, 0)] = Yl
+                    Yl = synth1(oct_)
+            return Yl
+
+        shmapped = jax.shard_map(
+            local_inv, mesh=self.mesh,
+            in_specs=(sharded_spec,) + hp_specs,
+            out_specs=sharded_spec, check_vma=False)
+
+        @jax.jit
+        def run(pyr):
+            return shmapped(pyr.lowpass, *pyr.highpasses)
+
+        return run

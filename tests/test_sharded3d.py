@@ -1,0 +1,109 @@
+"""Sharded 3-D transform == single-device transform, on a virtual 8-device
+CPU mesh.  Depth-axis spatial decomposition (halo exchange over ppermute)
+for the reference's worst-scaling case — its Python plane-loop 3-D path
+(``/root/reference/dtcwt/numpy/transform3d.py:37-206``)."""
+
+import numpy as np
+import pytest
+import jax
+
+from dtcwt_tpu import Transform3d
+from dtcwt_tpu.parallel import ShardedTransform3d, make_mesh
+
+RNG = np.random.RandomState(5)
+
+
+def _mesh(data=2, depth=4):
+    devs = jax.devices()
+    assert len(devs) >= data * depth
+    return make_mesh((data, depth), ("data", "depth"), devs[:data * depth])
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4), (4, 2)])
+def test_sharded3d_matches_single(mesh_shape):
+    mesh = _mesh(*mesh_shape)
+    st = ShardedTransform3d(mesh)
+    t = Transform3d()
+    X = RNG.rand(mesh_shape[0], 64, 32, 32)
+    ps = st.forward(X, nlevels=3)
+    p = t.forward(X, nlevels=3)
+    assert np.abs(np.asarray(ps.lowpass) - np.asarray(p.lowpass)).max() < 1e-12
+    for a, b in zip(ps.highpasses, p.highpasses):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-12
+
+
+def test_sharded3d_roundtrip_and_inverse_parity():
+    mesh = _mesh(1, 8)
+    st = ShardedTransform3d(mesh)
+    t = Transform3d()
+    X = RNG.rand(1, 128, 16, 16)
+    ps = st.forward(X, nlevels=3)
+    rec = np.asarray(st.inverse(ps))
+    want = np.asarray(t.inverse(t.forward(X, nlevels=3)))
+    assert np.abs(rec - want).max() < 1e-12
+    assert np.abs(rec - X).max() < 1e-11
+
+
+def test_sharded3d_ext8_and_hw_crops():
+    """ext_mode=8 and H/W sizes that force edge-repeat pads (crops in the
+    inverse) — pads/crops along unsharded axes are shard-local."""
+    mesh = _mesh(2, 4)
+    t = Transform3d(ext_mode=8)
+    st = ShardedTransform3d(mesh, ext_mode=8)
+    X = RNG.rand(2, 64, 24, 24)
+    ps = st.forward(X, nlevels=2)
+    p = t.forward(X, nlevels=2)
+    for a, b in zip(ps.highpasses, p.highpasses):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-12
+    rec = np.asarray(st.inverse(ps))
+    assert np.abs(rec - np.asarray(t.inverse(p))).max() < 1e-12
+
+
+def test_sharded3d_discard_level_1():
+    mesh = _mesh(2, 4)
+    st = ShardedTransform3d(mesh)
+    t = Transform3d()
+    X = RNG.rand(2, 64, 32, 32)
+    ps = st.forward(X, nlevels=2, discard_level_1=True)
+    p = t.forward(X, nlevels=2, discard_level_1=True)
+    assert ps.highpasses[0] is None
+    assert np.abs(np.asarray(ps.lowpass) - np.asarray(p.lowpass)).max() < 1e-12
+    assert np.abs(np.asarray(ps.highpasses[1])
+                  - np.asarray(p.highpasses[1])).max() < 1e-12
+    rec = np.asarray(st.inverse(ps))
+    assert np.abs(rec - np.asarray(t.inverse(p))).max() < 1e-12
+
+
+def test_sharded3d_depth_degrade_warns(caplog):
+    """Depth too shallow for deep levels: coarse levels gather and run
+    replicated; a fully unusable depth axis logs a warning."""
+    import logging
+    mesh = _mesh(2, 4)
+    st = ShardedTransform3d(mesh)
+    t = Transform3d()
+    X = RNG.rand(2, 32, 64, 64)
+    ps = st.forward(X, nlevels=4)
+    p = t.forward(X, nlevels=4)
+    for a, b in zip(ps.highpasses, p.highpasses):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-12
+    # a depth axis that can't be used at all warns
+    X2 = RNG.rand(2, 6, 64, 64)     # 6 not divisible by 4
+    with caplog.at_level(logging.WARNING,
+                         logger="dtcwt_tpu.parallel.transform3d_dist"):
+        st.forward(X2, nlevels=1)
+    assert any("depth axis" in r.message for r in caplog.records)
+
+
+def test_sharded3d_grad_flows():
+    mesh = _mesh(2, 4)
+    st = ShardedTransform3d(mesh)
+    X = RNG.rand(2, 32, 16, 16)
+
+    def loss(x):
+        p = st._fwd_built(x.shape, x.dtype, 2, False)(x)
+        return sum(jax.numpy.sum(jax.numpy.abs(h) ** 2)
+                   for h in p.highpasses) + jax.numpy.sum(p.lowpass ** 2)
+
+    g = jax.grad(loss)(jax.numpy.asarray(X))
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).max() > 0
