@@ -236,6 +236,12 @@ def estimatereg(source, reference, regshape=None, levels=None):
     """
     nlevels = len(source.highpasses)
     if regshape is None:
+        if nlevels < 4:
+            raise ValueError(
+                "estimatereg's default registration grid is the level-4 "
+                "subband shape, but the pyramid has only %d level%s; either "
+                "transform with nlevels >= 4 or pass regshape explicitly."
+                % (nlevels, "" if nlevels == 1 else "s"))
         avecs_shape = tuple(source.highpasses[3].shape[:2]) + (6,)
     else:
         avecs_shape = tuple(regshape[:2]) + (6,)
@@ -256,6 +262,13 @@ def estimatereg_batched(source, reference, regshape=None, levels=None):
     (``examples/register_video.py:74-86``)."""
     nlevels = len(source.highpasses)
     if regshape is None:
+        if nlevels < 4:
+            raise ValueError(
+                "estimatereg_batched's default registration grid is the "
+                "level-4 subband shape, but the pyramid has only %d "
+                "level%s; either transform with nlevels >= 4 or pass "
+                "regshape explicitly."
+                % (nlevels, "" if nlevels == 1 else "s"))
         avecs_shape = tuple(source.highpasses[3].shape[-3:-1]) + (6,)
     else:
         avecs_shape = tuple(regshape[:2]) + (6,)

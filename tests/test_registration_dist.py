@@ -1,0 +1,56 @@
+"""Distributed registration == single-device registration (f64), on the
+virtual 8-device CPU mesh.  The per-pixel Qtilde accumulation shards over
+the mesh rows axis and the global Qt reduction lowers to a psum
+(reference reduction: ``/root/reference/dtcwt/registration.py:346-350``)."""
+
+import numpy as np
+import pytest
+import jax
+
+import dtcwt_tpu as dt
+from dtcwt_tpu import registration as reg
+from dtcwt_tpu.parallel import make_mesh, estimatereg_sharded
+
+
+@pytest.fixture(scope="module")
+def traffic_pyramids():
+    f = np.load("/root/reference/tests/traffic.npz")
+    t = dt.Transform2d()
+    return (t.forward(f["f1"], nlevels=6), t.forward(f["f2"], nlevels=6))
+
+
+@pytest.mark.parametrize("mesh_shape,names", [
+    ((8,), ("rows",)),
+    ((2, 4), ("data", "rows")),
+])
+def test_estimatereg_sharded_matches_single(traffic_pyramids, mesh_shape,
+                                            names):
+    p1, p2 = traffic_pyramids
+    want = np.asarray(reg.estimatereg(p1, p2))
+    mesh = make_mesh(mesh_shape, names, jax.devices()[:int(np.prod(mesh_shape))])
+    got = np.asarray(estimatereg_sharded(p1, p2, mesh))
+    assert got.shape == want.shape
+    assert np.abs(got - want).max() < 1e-10
+
+
+def test_estimatereg_sharded_shallow_pyramid_error(traffic_pyramids):
+    p1, p2 = traffic_pyramids
+    from dtcwt_tpu.transforms.pyramid import Pyramid
+    shallow = Pyramid(p1.lowpass, p1.highpasses[:3])
+    mesh = make_mesh((8,), ("rows",))
+    with pytest.raises(ValueError, match="nlevels >= 4"):
+        estimatereg_sharded(shallow, shallow, mesh)
+
+
+def test_estimatereg_shallow_pyramid_error(traffic_pyramids):
+    """Single-device estimatereg gives a real error too (r1 VERDICT: bare
+    IndexError)."""
+    p1, _ = traffic_pyramids
+    from dtcwt_tpu.transforms.pyramid import Pyramid
+    shallow = Pyramid(p1.lowpass, p1.highpasses[:3])
+    with pytest.raises(ValueError, match="nlevels >= 4"):
+        reg.estimatereg(shallow, shallow)
+    # explicit regshape still works on shallow pyramids
+    avecs = reg.estimatereg(shallow, shallow, regshape=(12, 16),
+                            levels=[[2, 1]])
+    assert np.asarray(avecs).shape == (12, 16, 6)
