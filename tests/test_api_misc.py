@@ -142,3 +142,24 @@ def test_find_keypoints_matches_reference():
     want = rkp.find_keypoints(hp, max_points=20)
     got = find_keypoints(pyr.highpasses, max_points=20)
     np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-9)
+    # unbounded path too (host gather instead of device top_k)
+    want_all = rkp.find_keypoints(hp)
+    got_all = find_keypoints(pyr.highpasses)
+    assert got_all.shape == want_all.shape
+    np.testing.assert_allclose(got_all, want_all, rtol=1e-7, atol=1e-9)
+
+
+def test_find_keypoints_empty():
+    """No detected maxima must yield an empty (0, 4) result, not a crash
+    (r1 VERDICT: ``kps = None`` reached ``kps[np.argsort...]``)."""
+    from dtcwt_tpu import Transform2d
+    img = np.zeros((64, 64))     # constant image: no refined maxima survive
+    pyr = Transform2d().forward(img, nlevels=3)
+    kps = find_keypoints(pyr.highpasses)
+    assert kps.shape == (0, 4)
+    # all levels skipped
+    kps2 = find_keypoints(pyr.highpasses, skip_levels=len(pyr.highpasses))
+    assert kps2.shape == (0, 4)
+    # threshold above every energy
+    kps3 = find_keypoints(pyr.highpasses, threshold=1e9, max_points=5)
+    assert kps3.shape == (0, 4)
