@@ -343,10 +343,10 @@ def inv_level1(Z, yh, g0o, g1o, planes=None) -> Optional[jnp.ndarray]:
         ze, zo = ze_full, zo_full
     else:
         ze, zo = z3[:, :, 0::2], z3[:, :, 1::2]
-    zs = [jnp.concatenate([zo[:, :, g - 1::-1], ze,
-                           zo[:, :, :-g - 1:-1]], axis=2),
-          jnp.concatenate([ze[:, :, g - 1::-1], zo,
-                           ze[:, :, :-g - 1:-1]], axis=2)]
+    zs = [jnp.concatenate([jnp.flip(zo[:, :, :g], axis=2), ze,
+                           jnp.flip(zo[:, :, -g:], axis=2)], axis=2),
+          jnp.concatenate([jnp.flip(ze[:, :, :g], axis=2), zo,
+                           jnp.flip(ze[:, :, -g:], axis=2)], axis=2)]
     zstack = jnp.stack([p.astype(zdtype) for p in zs], axis=1)
 
     # Quad (rp, cp) planes for lh/hl/hh, margins swap cp partners.
@@ -357,7 +357,7 @@ def inv_level1(Z, yh, g0o, g1o, planes=None) -> Optional[jnp.ndarray]:
     for idx, p in enumerate(planes):
         q = planes[idx ^ 1]
         ext.append(jnp.concatenate(
-            [q[:, :, g - 1::-1], p, q[:, :, :-g - 1:-1]], axis=2))
+            [jnp.flip(q[:, :, :g], axis=2), p, jnp.flip(q[:, :, -g:], axis=2)], axis=2))
     qstack = jnp.stack(ext, axis=1)
 
     out_e, out_o = call(zstack, qstack)

@@ -408,7 +408,7 @@ def inv_level2(Z, yh, g0a, g0b, g1a, g1b, planes=None, as_planes=False):
     for idx, p in enumerate(planes):
         q = planes[idx ^ 1]        # cp partner
         ext.append(jnp.concatenate(
-            [q[:, :, g - 1::-1], p, q[:, :, :-g - 1:-1]], axis=2))
+            [jnp.flip(q[:, :, :g], axis=2), p, jnp.flip(q[:, :, -g:], axis=2)], axis=2))
     x = jnp.stack(ext, axis=1)     # (B, 16, L, C2 + 2*MARGIN)
 
     out = call(x)                  # (B, 4, 4, L, C2) [row-stream, lane]

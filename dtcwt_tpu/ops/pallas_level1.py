@@ -367,18 +367,20 @@ def fwd_level1(X, h0o, h1o, as_split: bool = False
     # reflection: X[-1]=X[0] is even-index, landing in the odd plane's
     # margin and vice versa).
     xe, xo = x3[:, :, 0::2], x3[:, :, 1::2]
-    xe_ext = jnp.concatenate([xo[:, :, _MARGIN - 1::-1], xe,
-                              xo[:, :, :-_MARGIN - 1:-1]], axis=2)
-    xo_ext = jnp.concatenate([xe[:, :, _MARGIN - 1::-1], xo,
-                              xe[:, :, :-_MARGIN - 1:-1]], axis=2)
+    xe_ext = jnp.concatenate([jnp.flip(xo[:, :, :_MARGIN], axis=2), xe,
+                              jnp.flip(xo[:, :, -_MARGIN:], axis=2)], axis=2)
+    xo_ext = jnp.concatenate([jnp.flip(xe[:, :, :_MARGIN], axis=2), xo,
+                              jnp.flip(xe[:, :, -_MARGIN:], axis=2)], axis=2)
 
     lolo_e, lolo_o, re, im = call(xe_ext, xo_ext)
 
     # (B, 3, 2, R/2, C2): groups x (p-q, p+q) -> band order 0..5.
     z = lax.complex(re.astype(jnp.float32), im.astype(jnp.float32))
     z = z.reshape(z.shape[0], 6, R // 2, C // 2)
-    order = jnp.asarray([0, 2, 4, 5, 3, 1])   # (05,14,23) pairs -> degrees
-    yh1 = jnp.moveaxis(z[:, order], 1, -1)    # (B, R/2, C/2, 6)
+    # static-slice band reorder ((05,14,23) pairs -> degrees): an index-
+    # array permutation (z[:, order]) lowers to a slow full-array gather
+    yh1 = jnp.stack([z[:, 0], z[:, 2], z[:, 4], z[:, 5], z[:, 3], z[:, 1]],
+                    axis=-1)                  # (B, R/2, C/2, 6)
     yh1 = yh1.reshape(lead + yh1.shape[-3:])
     if as_split:
         return ((lolo_e.reshape(lead + lolo_e.shape[-2:]),

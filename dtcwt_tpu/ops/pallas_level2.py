@@ -432,15 +432,17 @@ def fwd_level2(X, h0a, h0b, h1a, h1b, pair=None, as_split: bool = False
     for p in range(4):
         mirror = ph[3 - p]
         ext.append(jnp.concatenate(
-            [mirror[:, :, g - 1::-1], ph[p], mirror[:, :, :-g - 1:-1]],
+            [jnp.flip(mirror[:, :, :g], axis=2), ph[p], jnp.flip(mirror[:, :, -g:], axis=2)],
             axis=2))
 
     lolo_e, lolo_o, re, im = call(*ext)
 
     z = lax.complex(re.astype(jnp.float32), im.astype(jnp.float32))
     z = z.reshape(z.shape[0], 6, R // 4, C // 4)
-    order = jnp.asarray([0, 2, 4, 5, 3, 1])   # (05,14,23) pairs -> degrees
-    yh = jnp.moveaxis(z[:, order], 1, -1)
+    # static-slice band reorder ((05,14,23) pairs -> degrees): an index-
+    # array permutation (z[:, order]) lowers to a slow full-array gather
+    yh = jnp.stack([z[:, 0], z[:, 2], z[:, 4], z[:, 5], z[:, 3], z[:, 1]],
+                   axis=-1)
     yh = yh.reshape(lead + yh.shape[-3:])
     if as_split:
         return ((lolo_e.reshape(lead + lolo_e.shape[-2:]),
