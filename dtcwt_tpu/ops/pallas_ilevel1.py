@@ -10,13 +10,20 @@ synthesis filters (reference ``/root/reference/dtcwt/numpy/transform2d.py``
     X  = rowfilter(y1, g0o) + rowfilter(y2, g1o)
 
 This is the most expensive inverse stage (it runs at full resolution).  As
-in :mod:`pallas_ilevel2`, c2q never materialises: the wrapper hands the
-kernel the quad images' (row-parity x col-parity) planes, the non-decimating
+in :mod:`pallas_ilevel2`, c2q never materialises — not even in XLA: the
+kernel DMAs the subbands' re/im *band planes* (the one unavoidable band
+transpose) plus the lowpass column-parity planes, and builds the quad
+images' (row-parity x col-parity) planes with whole-slab VPU combinations
+in VMEM.  Reflected lane margins ride a small pre-flipped side strip,
+DMA'd into 128-aligned margin lanes (lane reversal does not lower in
+Mosaic); the quad combinations commute with the margin substitution
+re[A] <- flip(im[5-A]) / im[A] <- flip(re[5-A]).  The non-decimating
 convolutions split into two-phase polyphase sums wherever an operand lives
 in parity planes, and the only interleaves are a sublane stack in-kernel
 (rows) plus one XLA pass (columns).
 
-Identity gains only (a ``gain_mask`` or bandpass variant falls back).
+Identity gains only (the transform pre-scales gain_mask into the
+subbands); bandpass variants fall back.
 """
 
 from __future__ import annotations
@@ -36,10 +43,13 @@ from dtcwt_tpu.ops.pallas_fb import (
 
 __all__ = ["inv_level1"]
 
-_MARGIN = 64
+_MARGIN = 128            # boundary columns per side (DMA lane alignment)
 _PAD = 16                # halo rows for the full-res (Z) slabs
 _PADQ = 8                # halo rows for the half-res quad-plane slabs
 _TILE_BYTES = 14 * 1024 * 1024
+
+# band pairs per quad source: lh=(0,5), hl=(2,3), hh=(1,4)
+_PAIRS = ((0, 5), (2, 3), (1, 4))
 
 
 @functools.lru_cache(maxsize=None)
@@ -55,8 +65,10 @@ def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
     pmax = max(p0, p1)
     if pmax > _PAD or pmax // 2 + 2 > _PADQ or pmax > _MARGIN:
         return None
-    W = C2 + 2 * _MARGIN
+    G = _MARGIN
+    W = C2 + 2 * G
     dtype = jnp.dtype(dtype_str)
+    s_half = float(np.sqrt(0.5))
 
     temp_rows = 3 * (m0 + m1) + 16
     budget_rows = max(_TILE_BYTES // (W * max(dtype.itemsize, 4)), 1)
@@ -64,8 +76,8 @@ def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
     for t in (H, 256, 128, 96, 64, 48, 32, 16):
         if t > H or H % t or t % 16:
             continue
-        # 2 full-res slabs + 12 half-res slabs + 8 stream planes + temps
-        if (2 * (t + 2 * _PAD) + 12 * (t // 2 + 2 * _PADQ) + 4 * t
+        # 2 full-res + 12 re/im + 12 quad half-res slabs + 8 stream planes
+        if (2 * (t + 2 * _PAD) + 24 * (t // 2 + 2 * _PADQ) + 4 * t
                 + t * temp_rows) <= budget_rows:
             tr = t
             break
@@ -128,67 +140,98 @@ def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
             tv = jnp.asarray(float(hr[idx]), dtype)
             if d % 2 == 0:
                 u = d // 2
-                se = lax.slice_in_dim(c0, _MARGIN + u, _MARGIN + u + n,
-                                      axis=1) * tv
-                so = lax.slice_in_dim(c1, _MARGIN + u, _MARGIN + u + n,
-                                      axis=1) * tv
+                se = lax.slice_in_dim(c0, G + u, G + u + n, axis=1) * tv
+                so = lax.slice_in_dim(c1, G + u, G + u + n, axis=1) * tv
             else:
                 u = (d - 1) // 2
-                se = lax.slice_in_dim(c1, _MARGIN + u, _MARGIN + u + n,
+                se = lax.slice_in_dim(c1, G + u, G + u + n, axis=1) * tv
+                so = lax.slice_in_dim(c0, G + u + 1, G + u + 1 + n,
                                       axis=1) * tv
-                so = lax.slice_in_dim(c0, _MARGIN + u + 1,
-                                      _MARGIN + u + 1 + n, axis=1) * tv
             oe = se if oe is None else oe + se
             oo = so if oo is None else oo + so
         return oe, oo
 
-    def _dma(x_hbm, b, slab, sem, i, t_in, pad):
-        """Three-branch halo slab DMA (start+wait) covering every plane of
-        a stacked input in one strided rectangular copy."""
-        g0_ = i * t_in
-        if n_tiles == 1:
-            cp = pltpu.make_async_copy(
-                x_hbm.at[b], slab.at[:, pl.ds(pad, t_in), :], sem)
-            cp.start()
-            cp.wait()
-            return
-
-        @pl.when(i == 0)
-        def _():
-            cp = pltpu.make_async_copy(
-                x_hbm.at[b, :, pl.ds(0, t_in + pad), :],
-                slab.at[:, pl.ds(pad, t_in + pad), :], sem)
-            cp.start()
-            cp.wait()
-
-        src0 = pl.multiple_of(g0_ - pad, _SUBLANE)
-
-        @pl.when(jnp.logical_and(i > 0, i < n_tiles - 1))
-        def _():
-            cp = pltpu.make_async_copy(
-                x_hbm.at[b, :, pl.ds(src0, t_in + 2 * pad), :],
-                slab.at[:], sem)
-            cp.start()
-            cp.wait()
-
-        @pl.when(i == n_tiles - 1)
-        def _():
-            cp = pltpu.make_async_copy(
-                x_hbm.at[b, :, pl.ds(src0, t_in + pad), :],
-                slab.at[:, pl.ds(0, t_in + pad), :], sem)
-            cp.start()
-            cp.wait()
-
-    def kernel(z_hbm, q_hbm, out_e_ref, out_o_ref, zslabs, qslabs, streams,
-               sems):
+    def kernel(z_hbm, re_hbm, im_hbm, mz_hbm, mq_hbm, out_e_ref, out_o_ref,
+               zslabs, raw, qslabs, streams, sems):
         b = pl.program_id(0)
         i = pl.program_id(1)
         k = pl.program_id(2)
 
         @pl.when(k == 0)
         def _():
-            _dma(z_hbm, b, zslabs, sems.at[0], i, tr, _PAD)
-            _dma(q_hbm, b, qslabs, sems.at[1], i, tr // 2, _PADQ)
+            # Overlapped DMAs.  Descriptor: (src (P,rows,cols) at batch b,
+            # dst slab, rows per tile, row halo, src lane window, dst lane
+            # window, semaphore index).
+            descs = (
+                (z_hbm, zslabs, tr, _PAD, None, pl.ds(G, C2), 0),
+                (mz_hbm, zslabs, tr, _PAD, pl.ds(0, G), pl.ds(0, G), 1),
+                (mz_hbm, zslabs, tr, _PAD, pl.ds(G, G),
+                 pl.ds(G + C2, G), 2),
+                (re_hbm, raw, tr // 2, _PADQ, None, pl.ds(G, C2), 3),
+                (im_hbm, raw, tr // 2, _PADQ, None, pl.ds(G, C2), 4),
+                (mq_hbm, raw, tr // 2, _PADQ, pl.ds(0, G), pl.ds(0, G), 5),
+                (mq_hbm, raw, tr // 2, _PADQ, pl.ds(G, G),
+                 pl.ds(G + C2, G), 6),
+            )
+
+            def dst(slab, src, t_in, pad, scol, dcol, sem, lo, n, dlo):
+                sref = (src.at[b, :, pl.ds(lo, n), scol] if scol is not None
+                        else src.at[b, :, pl.ds(lo, n), :])
+                dref = slab.at[:, pl.ds(dlo, n), dcol]
+                return pltpu.make_async_copy(sref, dref, sems.at[sem])
+
+            def dst_ri(src, t_in, pad, scol, dcol, sem, lo, n, dlo, p_lo):
+                sref = (src.at[b, :, pl.ds(lo, n), scol] if scol is not None
+                        else src.at[b, :, pl.ds(lo, n), :])
+                dref = raw.at[pl.ds(p_lo, 6), pl.ds(dlo, n), dcol]
+                return pltpu.make_async_copy(sref, dref, sems.at[sem])
+
+            def run(row_sel):
+                cps = []
+                for (src, slab, t_in, pad, scol, dcol, sem) in descs:
+                    lo, n, dlo = row_sel(i, t_in, pad)
+                    if src is re_hbm:
+                        cps.append(dst_ri(src, t_in, pad, scol, dcol, sem,
+                                          lo, n, dlo, 0))
+                    elif src is im_hbm:
+                        cps.append(dst_ri(src, t_in, pad, scol, dcol, sem,
+                                          lo, n, dlo, 6))
+                    else:
+                        cps.append(dst(slab, src, t_in, pad, scol, dcol,
+                                       sem, lo, n, dlo))
+                for c in cps:
+                    c.start()
+                for c in cps:
+                    c.wait()
+
+            if n_tiles == 1:
+                run(lambda i_, t, p: (0, t, p))
+            else:
+                @pl.when(i == 0)
+                def _():
+                    run(lambda i_, t, p: (0, t + p, p))
+
+                if n_tiles > 2:
+                    @pl.when(jnp.logical_and(i > 0, i < n_tiles - 1))
+                    def _():
+                        run(lambda i_, t, p:
+                            (pl.multiple_of(i_ * t - p, _SUBLANE),
+                             t + 2 * p, 0))
+
+                @pl.when(i == n_tiles - 1)
+                def _():
+                    run(lambda i_, t, p:
+                        (pl.multiple_of(i_ * t - p, _SUBLANE), t + p, 0))
+
+            # Quad slabs: whole-slab VPU c2q in parity-plane space.
+            sc = jnp.asarray(s_half, dtype)
+            for src, (A, Bb) in enumerate(_PAIRS):
+                reA, reB = raw[A], raw[Bb]
+                imA, imB = raw[6 + A], raw[6 + Bb]
+                qslabs[4 * src + 0] = (reA + reB) * sc
+                qslabs[4 * src + 1] = (imA + imB) * sc
+                qslabs[4 * src + 2] = (imA - imB) * sc
+                qslabs[4 * src + 3] = (reB - reA) * sc
 
             # Mirror fills: Z slabs self-mirror (row reflection stays in
             # the same column plane); quad slabs swap row-parity partners.
@@ -218,6 +261,7 @@ def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
             # Row stage per column parity: y = colfilter(Z|hl, g0o) +
             # colfilter(lh|hh, g1o), row-parity split via reshape for the
             # full-res Z part, polyphase planes for the quad parts.
+            # quad slab index: 4*src + 2*rp + cp, sources (lh, hl, hh).
             for cp_ in range(2):
                 yz = conv_full(zslabs[cp_], g0r, p0)
                 yz2 = yz.reshape(tr // 2, 2, W)
@@ -247,20 +291,21 @@ def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
                 ref = out_e_ref if cp_out == 0 else out_o_ref
                 ref[0] = jnp.stack(outs, axis=1).reshape(tr, C2)
 
-    z_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
     out_spec = pl.BlockSpec((1, tr, C2), lambda b, i, k: (b, i, 0),
                             memory_space=pltpu.VMEM)
     call = pl.pallas_call(
         kernel,
         grid=(B, n_tiles, 3),
-        in_specs=[z_spec, z_spec],
+        in_specs=[hbm, hbm, hbm, hbm, hbm],
         out_specs=(out_spec, out_spec),
         out_shape=(jax.ShapeDtypeStruct((B, H, C2), dtype),
                    jax.ShapeDtypeStruct((B, H, C2), dtype)),
         scratch_shapes=[pltpu.VMEM((2, tr + 2 * _PAD, W), dtype),
                         pltpu.VMEM((12, tr // 2 + 2 * _PADQ, W), dtype),
+                        pltpu.VMEM((12, tr // 2 + 2 * _PADQ, W), dtype),
                         pltpu.VMEM((2, 4, tr // 2, W), dtype),
-                        pltpu.SemaphoreType.DMA((2,))],
+                        pltpu.SemaphoreType.DMA((7,))],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
         interpret=_interpret(),
@@ -309,12 +354,12 @@ def inv_level1(Z, yh, g0o, g1o, planes=None) -> Optional[jnp.ndarray]:
         def rows(pe, po):
             q = jnp.stack([pe, po], axis=2)
             return q.reshape(B, H, C2)
-        ze_full, zo_full = rows(p4[0], p4[2]), rows(p4[1], p4[3])
+        ze, zo = rows(p4[0], p4[2]), rows(p4[1], p4[3])
         zdtype = p4[0].dtype
     else:
         z3, lead = _flatten_batch(Z)
         B = z3.shape[0]
-        ze_full = zo_full = None
+        ze, zo = z3[:, :, 0::2], z3[:, :, 1::2]
         zdtype = z3.dtype
     yh3 = yh.reshape((B,) + yh.shape[-3:])
 
@@ -323,43 +368,28 @@ def inv_level1(Z, yh, g0o, g1o, planes=None) -> Optional[jnp.ndarray]:
     if call is None:
         return None
 
-    s = float(np.sqrt(0.5))   # python float: no dtype promotion
-
-    # One band transpose, then plane arithmetic on contiguous slices
-    # (minor-axis band indexing lowers to slow gathers on TPU).
+    # One band transpose — the only full-size XLA pass.  c2q, margins and
+    # the parity-plane stack all happen inside the kernel.
     yhp = jnp.moveaxis(yh3, -1, 1)                 # (B, 6, h, w)
     rep = jnp.real(yhp).astype(zdtype)
     imp = jnp.imag(yhp).astype(zdtype)
 
-    def quad_planes(i0, i1):
-        return ((rep[:, i0] + rep[:, i1]) * s,
-                (imp[:, i0] + imp[:, i1]) * s,
-                (imp[:, i0] - imp[:, i1]) * s,
-                (rep[:, i1] - rep[:, i0]) * s)
+    z2 = jnp.stack([ze, zo], axis=1).astype(zdtype)    # (B, 2, H, C2)
 
-    g = _MARGIN
-    # Z column-parity planes with cp-swapped reflected margins.
-    if ze_full is not None:
-        ze, zo = ze_full, zo_full
-    else:
-        ze, zo = z3[:, :, 0::2], z3[:, :, 1::2]
-    zs = [jnp.concatenate([jnp.flip(zo[:, :, :g], axis=2), ze,
-                           jnp.flip(zo[:, :, -g:], axis=2)], axis=2),
-          jnp.concatenate([jnp.flip(ze[:, :, :g], axis=2), zo,
-                           jnp.flip(ze[:, :, -g:], axis=2)], axis=2)]
-    zstack = jnp.stack([p.astype(zdtype) for p in zs], axis=1)
+    # Pre-flipped margin strips [left | right]: z planes swap cp partners;
+    # re margins of band A are the flipped im edges of band 5-A (and vice
+    # versa) — c2q's quad reflection swaps the re/im roles, and 5-A is the
+    # paired band under (0,5),(2,3),(1,4).
+    G = _MARGIN
 
-    # Quad (rp, cp) planes for lh/hl/hh, margins swap cp partners.
-    planes = (list(quad_planes(0, 5)) + list(quad_planes(2, 3))
-              + list(quad_planes(1, 4)))
-    planes = [p.astype(zdtype) for p in planes]
-    ext = []
-    for idx, p in enumerate(planes):
-        q = planes[idx ^ 1]
-        ext.append(jnp.concatenate(
-            [jnp.flip(q[:, :, :g], axis=2), p, jnp.flip(q[:, :, -g:], axis=2)], axis=2))
-    qstack = jnp.stack(ext, axis=1)
+    def edges(a):
+        return jnp.concatenate([jnp.flip(a[..., :G], axis=-1),
+                                jnp.flip(a[..., -G:], axis=-1)], axis=-1)
 
-    out_e, out_o = call(zstack, qstack)
+    mz = edges(jnp.stack([zo, ze], axis=1).astype(zdtype))
+    mq = jnp.concatenate([edges(jnp.flip(imp, axis=1)),
+                          edges(jnp.flip(rep, axis=1))], axis=1)
+
+    out_e, out_o = call(z2, rep, imp, mz, mq)
     out = jnp.stack([out_e, out_o], axis=-1).reshape((B, H, Wd))
     return out.reshape(lead + out.shape[-2:])

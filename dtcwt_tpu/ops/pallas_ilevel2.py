@@ -12,26 +12,34 @@ One kernel evaluates the whole interpolating level (reference semantics
 instead of six interpolating passes (each with transposes) plus three c2q
 interleaves.  Structural tricks (duals of the forward kernels):
 
-* **c2q never materialises.**  The quad image's four (row-parity x
-  col-parity) planes are elementwise combinations of the band pair
-  (``lh[2i,2j]=Re p``, ``lh[2i,2j+1]=Im p``, ``lh[2i+1,2j]=Im q``,
-  ``lh[2i+1,2j+1]=-Re q``), computed by the wrapper in XLA where they fuse
-  with the complex-plane extraction.
+* **c2q never materialises — not even in XLA.**  The kernel DMAs the
+  subbands' re/im *band planes* (the one unavoidable band transpose) plus
+  the four lowpass parity planes, and builds the quad images' (row-parity
+  x col-parity) planes with whole-slab VPU combinations in VMEM.  The
+  wrapper's only full-size work is that transpose; the r1 pipeline's
+  per-plane concat + 16-way stack (two extra HBM passes) is gone.
+* **Reflected lane margins ride a small side array.**  Lane reversal does
+  not lower in Mosaic, so the wrapper ships a ``[.., 16, L, 2*128]`` strip
+  of pre-flipped edge columns, DMA'd into the slabs' (128-aligned) margin
+  lanes.  The quad combinations commute with the margin substitution
+  re[A] <- flip(im[5-A]) / im[A] <- flip(re[5-A]) (the c2q quad reflection
+  swaps the re/im roles of the band pair), so margins need no special
+  casing in-kernel.
 * **The interpolator's phase streams are plane selections.**  ``colifilt``
   reads the even/odd phases of the *extended* signal; in (rp, cp) plane
   space those are the parity planes with a static ``m2//2`` shift (and a
   plane swap in the reflected halo).  Its four output streams stay separate
-  through the lane stage, so no strided access exists anywhere; the wrapper
-  interleaves the final 4x4 (row-stream x lane-stream) planes with two
-  reshape passes.
+  through the lane stage, so no strided access exists anywhere.
 * Rows use the halo-slab DMA + mirror fill pattern; the mirror fill *swaps
-  parity planes* (``P0[-u] = P1[u-1]``), so halos copy between slabs.
-* A sequential third grid dimension stages the work: step 0 DMAs the 16
-  input planes and runs the column (row-direction) stage into scratch;
-  steps 1-4 run the lane stage for one output row-stream each.
+  parity planes* (``P0[-u] = P1[u-1]``), applied to the computed quad
+  slabs and the z slabs.
+* A sequential third grid dimension stages the work: step 0 DMAs the
+  inputs, builds the quad slabs and runs the column (row-direction) stage
+  into scratch; steps 1-4 run the lane stage for one output row-stream
+  each.
 
-f32/bf16; identity gain only (a ``gain_mask`` falls back to the unfused
-path).  Boundary crop (reference :262-268) stays in the transform.
+f32/bf16; identity gain only (the transform pre-scales gain_mask into the
+subbands).  Boundary crop (reference :262-268) stays in the transform.
 """
 
 from __future__ import annotations
@@ -51,9 +59,12 @@ from dtcwt_tpu.ops.pallas_fb import (
 
 __all__ = ["inv_level2"]
 
-_MARGIN = 64             # boundary columns per side (col-parity plane units)
+_MARGIN = 128            # boundary columns per side (DMA lane alignment)
 _PAD = 8                 # row halo per plane (covers m2//2 + 2 for m <= 18)
 _TILE_BYTES = 14 * 1024 * 1024
+
+# band pairs per quad source: lh=(0,5), hl=(2,3), hh=(1,4)
+_PAIRS = ((0, 5), (2, 3), (1, 4))
 
 
 def _sub_taps(h: np.ndarray):
@@ -94,8 +105,10 @@ def _build_ilevel2(B: int, L: int, C2: int, g0abytes: bytes, g0bbytes: bytes,
     m2 = m // 2
     if m2 // 2 + 2 > _PAD or _PAD > L:
         return None
-    W = C2 + 2 * _MARGIN
+    G = _MARGIN
+    W = C2 + 2 * G
     dtype = jnp.dtype(dtype_str)
+    s_half = float(np.sqrt(0.5))
 
     # filter parameter bundles: (a_subtaps, b_subtaps, stream plan)
     def bundle(ga, gb):
@@ -115,8 +128,8 @@ def _build_ilevel2(B: int, L: int, C2: int, g0abytes: bytes, g0bbytes: bytes,
             continue
         if t % _SUBLANE:
             continue
-        # 16 slabs + 16 persisted streams + live temporaries
-        if 16 * (t + 2 * _PAD) + 16 * t + t * temp_rows <= budget_rows:
+        # 16 raw + 12 quad slabs + 16 persisted streams + live temporaries
+        if 28 * (t + 2 * _PAD) + 16 * t + t * temp_rows <= budget_rows:
             tq = t
             break
     if tq is None:
@@ -151,10 +164,11 @@ def _build_ilevel2(B: int, L: int, C2: int, g0abytes: bytes, g0bbytes: bytes,
         A0 = _row_matrix(f0).astype(dtype)   # Z and hl
         A1 = _row_matrix(f1).astype(dtype)   # lh and hh
 
-    def kernel(x_hbm, *refs):
+    def kernel(z_hbm, re_hbm, im_hbm, mg_hbm, *refs):
         if use_mxu:
             a0_ref, a1_ref = refs[0], refs[1]
-        out_ref, slabs, streams, sems = refs[-4], refs[-3], refs[-2], refs[-1]
+        out_ref, raw, qs, streams, sems = (refs[-5], refs[-4], refs[-3],
+                                           refs[-2], refs[-1])
         b = pl.program_id(0)
         i = pl.program_id(1)
         k = pl.program_id(2)
@@ -162,62 +176,97 @@ def _build_ilevel2(B: int, L: int, C2: int, g0abytes: bytes, g0bbytes: bytes,
         @pl.when(k == 0)
         def _():
             g0 = i * tq
-            # One strided rectangular DMA covers all 16 planes at once —
-            # per-plane copies serialize on DMA latency and dominate the
-            # kernel at small tiles.
+
+            # Overlapped rectangular DMAs: z/re/im interiors into the
+            # margin-aligned lane window, plus the pre-flipped margin strip
+            # into the two 128-lane margin blocks.
+            def start_all(src_lo, nrows, dst_lo):
+                cps = [
+                    pltpu.make_async_copy(
+                        z_hbm.at[b, :, pl.ds(src_lo, nrows), :],
+                        raw.at[pl.ds(0, 4), pl.ds(dst_lo, nrows),
+                               pl.ds(G, C2)],
+                        sems.at[0]),
+                    pltpu.make_async_copy(
+                        re_hbm.at[b, :, pl.ds(src_lo, nrows), :],
+                        raw.at[pl.ds(4, 6), pl.ds(dst_lo, nrows),
+                               pl.ds(G, C2)],
+                        sems.at[1]),
+                    pltpu.make_async_copy(
+                        im_hbm.at[b, :, pl.ds(src_lo, nrows), :],
+                        raw.at[pl.ds(10, 6), pl.ds(dst_lo, nrows),
+                               pl.ds(G, C2)],
+                        sems.at[2]),
+                    pltpu.make_async_copy(
+                        mg_hbm.at[b, :, pl.ds(src_lo, nrows), pl.ds(0, G)],
+                        raw.at[:, pl.ds(dst_lo, nrows), pl.ds(0, G)],
+                        sems.at[3]),
+                    pltpu.make_async_copy(
+                        mg_hbm.at[b, :, pl.ds(src_lo, nrows), pl.ds(G, G)],
+                        raw.at[:, pl.ds(dst_lo, nrows), pl.ds(G + C2, G)],
+                        sems.at[4]),
+                ]
+                for c in cps:
+                    c.start()
+                for c in cps:
+                    c.wait()
+
             if n_tiles == 1:
-                cp = pltpu.make_async_copy(
-                    x_hbm.at[b], slabs.at[:, pl.ds(_PAD, tq), :],
-                    sems.at[0])
-                cp.start()
-                cp.wait()
+                start_all(0, tq, _PAD)
             else:
                 @pl.when(i == 0)
                 def _():
-                    cp = pltpu.make_async_copy(
-                        x_hbm.at[b, :, pl.ds(0, tq + _PAD), :],
-                        slabs.at[:, pl.ds(_PAD, tq + _PAD), :],
-                        sems.at[0])
-                    cp.start()
-                    cp.wait()
+                    start_all(0, tq + _PAD, _PAD)
 
                 src0 = pl.multiple_of(g0 - _PAD, _SUBLANE)
 
-                @pl.when(jnp.logical_and(i > 0, i < n_tiles - 1))
-                def _():
-                    cp = pltpu.make_async_copy(
-                        x_hbm.at[b, :, pl.ds(src0, tq + 2 * _PAD), :],
-                        slabs.at[:], sems.at[0])
-                    cp.start()
-                    cp.wait()
+                if n_tiles > 2:
+                    @pl.when(jnp.logical_and(i > 0, i < n_tiles - 1))
+                    def _():
+                        start_all(src0, tq + 2 * _PAD, 0)
 
                 @pl.when(i == n_tiles - 1)
                 def _():
-                    cp = pltpu.make_async_copy(
-                        x_hbm.at[b, :, pl.ds(src0, tq + _PAD), :],
-                        slabs.at[:, pl.ds(0, tq + _PAD), :], sems.at[0])
-                    cp.start()
-                    cp.wait()
+                    start_all(src0, tq + _PAD, 0)
 
-            # Mirror fills: slab[s] holds plane[g0 + s - _PAD]; on the
-            # first/last tile the halo rows are the parity-swapped
+            # Quad slabs: whole-slab VPU combinations of the re/im band
+            # planes (c2q in parity-plane space): for pair (A, B)
+            #   (rp0,cp0)=s(reA+reB)  (rp0,cp1)=s(imA+imB)
+            #   (rp1,cp0)=s(imA-imB)  (rp1,cp1)=s(reB-reA)
+            sc = jnp.asarray(s_half, dtype)
+            for src, (A, B) in enumerate(_PAIRS):
+                reA, reB = raw[4 + A], raw[4 + B]
+                imA, imB = raw[10 + A], raw[10 + B]
+                qs[4 * src + 0] = (reA + reB) * sc
+                qs[4 * src + 1] = (imA + imB) * sc
+                qs[4 * src + 2] = (imA - imB) * sc
+                qs[4 * src + 3] = (reB - reA) * sc
+
+            # Mirror fills: plane[g0 + s - _PAD] lives at slab row s; on
+            # the first/last tile the halo rows are the parity-swapped
             # reflection (P0[-u] = P1[u-1], P0[L+u] = P1[L-1-u]).
             @pl.when(i == 0)
             def _():
-                for p in range(16):
-                    partner = p ^ 2      # flip the rp bit (src*4+rp*2+cp)
+                for p in range(4):
                     for s in range(_PAD):
-                        # plane[s-_PAD] = partner[_PAD-1-s] at slab pos
-                        # (_PAD-1-s)+_PAD  (tile 0: slab[s]=plane[s-_PAD])
-                        slabs[p, s, :] = slabs[partner, 2 * _PAD - 1 - s, :]
+                        raw[p, s, :] = raw[p ^ 2, 2 * _PAD - 1 - s, :]
+                for p in range(12):
+                    for s in range(_PAD):
+                        qs[p, s, :] = qs[p ^ 2, 2 * _PAD - 1 - s, :]
 
             @pl.when(i == n_tiles - 1)
             def _():
-                for p in range(16):
-                    partner = p ^ 2
+                for p in range(4):
                     for s in range(tq + _PAD, tq + 2 * _PAD):
-                        slabs[p, s, :] = slabs[partner,
-                                               2 * (tq + _PAD) - 1 - s, :]
+                        raw[p, s, :] = raw[p ^ 2, 2 * (tq + _PAD) - 1 - s, :]
+                for p in range(12):
+                    for s in range(tq + _PAD, tq + 2 * _PAD):
+                        qs[p, s, :] = qs[p ^ 2, 2 * (tq + _PAD) - 1 - s, :]
+
+            def src_plane(src_idx, phase, cp):
+                if src_idx == 0:
+                    return raw[2 * phase + cp]
+                return qs[4 * (src_idx - 1) + 2 * phase + cp]
 
             # Row-direction (column) interpolation stage: for each column
             # parity and each source pair, the four output streams.
@@ -228,7 +277,7 @@ def _build_ilevel2(B: int, L: int, C2: int, g0abytes: bytes, g0bbytes: bytes,
                 outs = []
                 for (phase, fil, eo, off) in plan:
                     shift = sh_ev if phase == 0 else sh_od
-                    plane = slabs[4 * src_idx + 2 * phase + cp]
+                    plane = src_plane(src_idx, phase, cp)
                     taps = tapsets[("a" if fil == 0 else "b", eo)]
                     acc = None
                     for kk, tv in enumerate(taps):
@@ -241,8 +290,8 @@ def _build_ilevel2(B: int, L: int, C2: int, g0abytes: bytes, g0bbytes: bytes,
 
             def row_streams_mxu(src_idx, a_ref, cp):
                 win = jnp.concatenate(
-                    [slabs[4 * src_idx + cp],          # phase-0 (rp 0)
-                     slabs[4 * src_idx + 2 + cp]],     # phase-1 (rp 1)
+                    [src_plane(src_idx, 0, cp),        # phase-0 (rp 0)
+                     src_plane(src_idx, 1, cp)],       # phase-1 (rp 1)
                     axis=0)
                 y = jnp.dot(a_ref[:, :], win,
                             precision=jax.lax.Precision.HIGHEST,
@@ -265,11 +314,13 @@ def _build_ilevel2(B: int, L: int, C2: int, g0abytes: bytes, g0bbytes: bytes,
                     streams[0, 2 * t + cp] = z_s[t] + lh_s[t]     # y1
                     streams[1, 2 * t + cp] = hl_s[t] + hh_s[t]    # y2
 
-        # Lane stage: one output row-stream per grid step.
-        for t in range(4):
-            @pl.when(k == t + 1)
-            def _(t=t):
-                def lane_streams(y_idx, bun):
+        # Lane stage: one output row-parity per grid step.  The two row
+        # streams of that parity (s = rp and s = rp+2) interleave in-kernel
+        # via a sublane stack, so the wrapper only interleaves lanes.
+        for rp in range(2):
+            @pl.when(k == rp + 1)
+            def _(rp=rp):
+                def lane_streams(y_idx, t, bun):
                     (ae, ao), (be, bo), plan = bun
                     tapsets = {("a", "e"): ae, ("a", "o"): ao,
                                ("b", "e"): be, ("b", "o"): bo}
@@ -280,7 +331,7 @@ def _build_ilevel2(B: int, L: int, C2: int, g0abytes: bytes, g0bbytes: bytes,
                         taps = tapsets[("a" if fil == 0 else "b", eo)]
                         acc = None
                         for kk, tv in enumerate(taps):
-                            lo = _MARGIN + off - shift + kk
+                            lo = G + off - shift + kk
                             sl = lax.slice_in_dim(plane, lo, lo + C2,
                                                   axis=1)
                             term = sl * jnp.asarray(tv, dtype)
@@ -288,36 +339,42 @@ def _build_ilevel2(B: int, L: int, C2: int, g0abytes: bytes, g0bbytes: bytes,
                         outs.append(acc)
                     return outs
 
-                y1_l = lane_streams(0, f0)
-                y2_l = lane_streams(1, f1)
+                rows = {}
+                for t in (rp, rp + 2):
+                    y1_l = lane_streams(0, t, f0)
+                    y2_l = lane_streams(1, t, f1)
+                    rows[t] = [y1_l[s] + y2_l[s] for s in range(4)]
                 for s in range(4):
-                    out_ref[0, 0, s] = y1_l[s] + y2_l[s]
+                    out_ref[0, 0, s] = jnp.stack(
+                        [rows[rp][s], rows[rp + 2][s]],
+                        axis=1).reshape(2 * tq, C2)
 
     in_spec = pl.BlockSpec(memory_space=pltpu.HBM)
-    in_specs = [in_spec]
+    in_specs = [in_spec, in_spec, in_spec, in_spec]
     if use_mxu:
         a_spec = pl.BlockSpec((4 * tq, 2 * Lslab), lambda b, i, k: (0, 0),
                               memory_space=pltpu.VMEM)
-        in_specs = [in_spec, a_spec, a_spec]
+        in_specs = in_specs + [a_spec, a_spec]
     out_spec = pl.BlockSpec(
-        (1, 1, 4, tq, C2),
+        (1, 1, 4, 2 * tq, C2),
         lambda b, i, k: (b, jnp.maximum(k - 1, 0), 0, i, 0),
         memory_space=pltpu.VMEM)
     call = pl.pallas_call(
         kernel,
-        grid=(B, n_tiles, 5),
+        grid=(B, n_tiles, 3),
         in_specs=in_specs,
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((B, 4, 4, L, C2), dtype),
+        out_shape=jax.ShapeDtypeStruct((B, 2, 4, 2 * L, C2), dtype),
         scratch_shapes=[pltpu.VMEM((16, tq + 2 * _PAD, W), dtype),
+                        pltpu.VMEM((12, tq + 2 * _PAD, W), dtype),
                         pltpu.VMEM((2, 8, tq, W), dtype),
-                        pltpu.SemaphoreType.DMA((1,))],
+                        pltpu.SemaphoreType.DMA((5,))],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
         interpret=_interpret(),
     )
     if use_mxu:
-        return lambda x: call(x, A0, A1)
+        return lambda z, re, im, mg: call(z, re, im, mg, A0, A1)
     return call
 
 
@@ -376,55 +433,45 @@ def inv_level2(Z, yh, g0a, g0b, g1a, g1b, planes=None, as_planes=False):
     if call is None:
         return None
 
-    s = float(np.sqrt(0.5))   # python float: no dtype promotion
-
-    # One band transpose, then plane arithmetic on contiguous slices
-    # (compound two-axis strided slices and minor-axis band indexing lower
-    # to gathers ~10x slower than single-axis slices on TPU).
+    # One band transpose — the only full-size XLA pass.  c2q, margins and
+    # the parity-plane stack all happen inside the kernel.
     yhp = jnp.moveaxis(yh3, -1, 1)                 # (B, 6, h, w)
     rep = jnp.real(yhp).astype(zdtype)
     imp = jnp.imag(yhp).astype(zdtype)
 
-    def quad_planes(i0, i1):
-        """(rp, cp) planes of c2q(band i0, band i1): Re p, Im p, Im q, -Re q."""
-        return ((rep[:, i0] + rep[:, i1]) * s,
-                (imp[:, i0] + imp[:, i1]) * s,
-                (imp[:, i0] - imp[:, i1]) * s,
-                (rep[:, i1] - rep[:, i0]) * s)
-
     if planes is not None:
-        planes = list(p4)
+        z4 = jnp.stack(list(p4), axis=1)           # (B, 4, L, C2)
     else:
         ze, zo = z3[:, 0::2], z3[:, 1::2]          # single-axis splits
-        planes = [ze[:, :, 0::2], ze[:, :, 1::2],
-                  zo[:, :, 0::2], zo[:, :, 1::2]]
-    planes += list(quad_planes(0, 5))   # lh
-    planes += list(quad_planes(2, 3))   # hl
-    planes += list(quad_planes(1, 4))   # hh
+        z4 = jnp.stack([ze[:, :, 0::2], ze[:, :, 1::2],
+                        zo[:, :, 0::2], zo[:, :, 1::2]], axis=1)
 
-    # Column-parity margins: reflection swaps cp within each (src, rp) pair.
-    g = _MARGIN
-    ext = []
-    for idx, p in enumerate(planes):
-        q = planes[idx ^ 1]        # cp partner
-        ext.append(jnp.concatenate(
-            [jnp.flip(q[:, :, :g], axis=2), p, jnp.flip(q[:, :, -g:], axis=2)], axis=2))
-    x = jnp.stack(ext, axis=1)     # (B, 16, L, C2 + 2*MARGIN)
+    # Pre-flipped margin strips [left | right], plane order [z, re, im]:
+    # z margins swap cp partners; re margins of band A are the flipped im
+    # edges of band 5-A (and vice versa) — c2q's quad reflection swaps the
+    # re/im roles, and 5-A is the paired band under (0,5),(2,3),(1,4).
+    G = _MARGIN
 
-    out = call(x)                  # (B, 4, 4, L, C2) [row-stream, lane]
-    # Output image row 4i+s, col 4j+t lives at out[:, s, t, i, j].
+    def edges(a):
+        return jnp.concatenate([jnp.flip(a[..., :G], axis=-1),
+                                jnp.flip(a[..., -G:], axis=-1)], axis=-1)
+
+    zsw = jnp.concatenate([z4[:, 1:2], z4[:, 0:1], z4[:, 3:4], z4[:, 2:3]],
+                          axis=1)
+    marg = jnp.concatenate(
+        [edges(zsw), edges(jnp.flip(imp, axis=1)),
+         edges(jnp.flip(rep, axis=1))], axis=1)    # (B, 16, L, 2G)
+
+    # (B, 2, 4, 2L, C2): [row-parity, lane-stream, rows, lanes]; the kernel
+    # already interleaved the two row streams of each parity over sublanes,
+    # so image row 2r+rp, col 4j+s lives at out[:, rp, s, r, j].
+    out = call(z4, rep, imp, marg)
     if as_planes:
-        # Emit the (row-parity, col-parity) quarter planes of the output
-        # directly: two half-size stack+reshape interleaves per plane
-        # instead of the monolithic 4x4 stream transpose below.
-        def col(t, re):
-            q = jnp.stack([out[:, re, t], out[:, re + 2, t]], axis=2)
-            return q.reshape(B, 2 * L, C2)
-
+        # One lane interleave per (rp, cp) quarter plane.
         res = []
-        for re in (0, 1):
-            for ce in (0, 1):
-                p = jnp.stack([col(ce, re), col(ce + 2, re)], axis=-1)
+        for rp in (0, 1):
+            for cp in (0, 1):
+                p = jnp.stack([out[:, rp, cp], out[:, rp, cp + 2]], axis=-1)
                 res.append(p.reshape((B, 2 * L, 2 * C2))
                             .reshape(lead + (2 * L, 2 * C2)))
         return tuple(res)
