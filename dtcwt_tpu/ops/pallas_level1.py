@@ -70,24 +70,31 @@ def _corr_rows(ext, taps, n_out: int, offset: int):
 
 @functools.lru_cache(maxsize=None)
 def _build_level1(B: int, R: int, C2: int, h0bytes: bytes, h1bytes: bytes,
-                  dtype_str: str):
-    """C2 = C // 2 (split-plane width, a multiple of 128)."""
+                  dtype_str: str, h2bytes: bytes = None):
+    """C2 = C // 2 (split-plane width, a multiple of 128).  *h2bytes*
+    supplies the bandpass variant's third (diagonal) filter (reference
+    ``numpy/transform2d.py:116-125``)."""
     h0 = np.frombuffer(h0bytes, dtype=np.float64)
     h1 = np.frombuffer(h1bytes, dtype=np.float64)
+    h2 = None if h2bytes is None else np.frombuffer(h2bytes,
+                                                   dtype=np.float64)
     m0, m1 = h0.size, h1.size
-    if m0 % 2 == 0 or m1 % 2 == 0:
+    m2 = 0 if h2 is None else h2.size
+    if m0 % 2 == 0 or m1 % 2 == 0 or (h2 is not None and m2 % 2 == 0):
         return None
     p0, p1 = m0 // 2, m1 // 2
-    if max(p0, p1) > _MARGIN:
+    p2 = m2 // 2
+    if max(p0, p1, p2) > _MARGIN:
         return None
-    pad_r = max(p0, p1)
+    pad_r = max(p0, p1, p2)
     pad8 = _round_up(pad_r, _SUBLANE)
     W = C2 + 2 * _MARGIN                    # buffer width (multiple of 128)
     dtype = jnp.dtype(dtype_str)
 
     # Tile rows: scoped-VMEM stack = 2 slabs + 4 persistent column-filter
     # planes + the live tap temporaries of the busiest stage.
-    temp_rows = 2 * (m0 + m1) + 2 * max(m0, m1) + 8
+    n_br = 2 if h2 is None else 3          # column-filter branches
+    temp_rows = 2 * (m0 + m1 + m2) + 2 * max(m0, m1, m2) + 8
     budget_rows = max(_TILE_BYTES // (W * max(dtype.itemsize, 4)), 1)
     tr = None
     # tr//2 is a block sublane dim, so tr must be a multiple of 16 (or R).
@@ -98,8 +105,8 @@ def _build_level1(B: int, R: int, C2: int, h0bytes: bytes, h1bytes: bytes,
             continue
         if t < pad8:
             continue
-        # 2x double-buffered slabs + 4 persistent column planes + temps
-        if 8 * t + 8 * pad8 + t * temp_rows <= budget_rows:
+        # 2x double-buffered slabs + 2*n_br persistent col planes + temps
+        if (4 + 2 * n_br) * t + 8 * pad8 + t * temp_rows <= budget_rows:
             tr = t
             break
     if tr is None or pad8 > R:
@@ -108,20 +115,24 @@ def _build_level1(B: int, R: int, C2: int, h0bytes: bytes, h1bytes: bytes,
 
     h0r = tuple(float(v) for v in h0[::-1])
     h1r = tuple(float(v) for v in h1[::-1])
+    h2r = None if h2 is None else tuple(float(v) for v in h2[::-1])
     sc = float(np.sqrt(0.5))
 
     # Column stage as one stacked banded matmul per plane: rows [0,tr) = lo
     # branch, [tr,2tr) = hi branch, taps indexed straight off the slab.
     # Only pays for the long biorthogonal families (near_sym_b: 13+19 taps);
     # short filters stay on the cheaper shift chains.
-    use_mxu = (m0 + m1) >= 16 and not _interpret()
+    use_mxu = (m0 + m1 + m2) >= 16 and not _interpret()
     slab_rows = tr + 2 * pad8
     if use_mxu:
         ent = [(i, (pad8 - p0) + i + k, h0r[k])
                for i in range(tr) for k in range(m0)]
         ent += [(tr + i, (pad8 - p1) + i + k, h1r[k])
                 for i in range(tr) for k in range(m1)]
-        Acol = np.zeros((2 * tr, slab_rows), np.float32)
+        if h2 is not None:
+            ent += [(2 * tr + i, (pad8 - p2) + i + k, h2r[k])
+                    for i in range(tr) for k in range(m2)]
+        Acol = np.zeros((n_br * tr, slab_rows), np.float32)
         for r_, c_, v_ in ent:
             Acol[r_, c_] += v_
         Acol = Acol.astype(dtype)
@@ -161,8 +172,12 @@ def _build_level1(B: int, R: int, C2: int, h0bytes: bytes, h1bytes: bytes,
         return out_e, out_o
 
     # Band groups: (column-filter source plane pair, row filter), producing
-    # the band pairs (0,5), (1,4), (2,3) in that order.
-    groups = ((1, h0, p0), (1, h1, p1), (0, h1, p1))   # (hi/lo, h, pad)
+    # the band pairs (0,5), (1,4), (2,3) in that order; the bp variant's
+    # diagonal pair (1,4) comes from the third filter on both axes.
+    if h2 is None:
+        groups = ((1, h0, p0), (1, h1, p1), (0, h1, p1))  # (src, h, pad)
+    else:
+        groups = ((1, h0, p0), (2, h2, p2), (0, h1, p1))
 
     total = B * n_tiles
 
@@ -261,6 +276,11 @@ def _build_level1(B: int, R: int, C2: int, h0bytes: bytes, h1bytes: bytes,
                     cols[1] = lax.slice_in_dim(yo, 0, tr, axis=0)   # lo_o
                     cols[2] = lax.slice_in_dim(ye, tr, 2 * tr, axis=0)
                     cols[3] = lax.slice_in_dim(yo, tr, 2 * tr, axis=0)
+                    if h2 is not None:
+                        cols[4] = lax.slice_in_dim(ye, 2 * tr, 3 * tr,
+                                                   axis=0)
+                        cols[5] = lax.slice_in_dim(yo, 2 * tr, 3 * tr,
+                                                   axis=0)
                 else:
                     exte = lax.slice_in_dim(se[buf], pad8 - pad_r,
                                             pad8 + pad_r + tr, axis=0)
@@ -272,6 +292,9 @@ def _build_level1(B: int, R: int, C2: int, h0bytes: bytes, h1bytes: bytes,
                     cols[1] = _corr_rows(exto, h0r, tr, pad_r - p0)  # lo_o
                     cols[2] = _corr_rows(exte, h1r, tr, pad_r - p1)  # hi_e
                     cols[3] = _corr_rows(exto, h1r, tr, pad_r - p1)  # hi_o
+                    if h2 is not None:
+                        cols[4] = _corr_rows(exte, h2r, tr, pad_r - p2)
+                        cols[5] = _corr_rows(exto, h2r, tr, pad_r - p2)
                 ll_e, ll_o = row_conv_split(cols[0], cols[1], h0, p0)
                 lolo_e_ref[0] = ll_e
                 lolo_o_ref[0] = ll_o
@@ -304,7 +327,7 @@ def _build_level1(B: int, R: int, C2: int, h0bytes: bytes, h1bytes: bytes,
     in_spec = pl.BlockSpec(memory_space=pltpu.HBM)
     in_specs = [in_spec, in_spec]
     if use_mxu:
-        in_specs.append(pl.BlockSpec((2 * tr, slab_rows),
+        in_specs.append(pl.BlockSpec((n_br * tr, slab_rows),
                                      lambda b, i, k: (0, 0),
                                      memory_space=pltpu.VMEM))
     lolo_spec = pl.BlockSpec((1, tr, C2), lambda b, i, k: (b, i, 0),
@@ -324,7 +347,7 @@ def _build_level1(B: int, R: int, C2: int, h0bytes: bytes, h1bytes: bytes,
                    jax.ShapeDtypeStruct((B, 3, 2, R // 2, C2), dtype)),
         scratch_shapes=[pltpu.VMEM((2, tr + 2 * pad8, W), dtype),
                         pltpu.VMEM((2, tr + 2 * pad8, W), dtype),
-                        pltpu.VMEM((4, tr, W), dtype),
+                        pltpu.VMEM((2 * n_br, tr, W), dtype),
                         pltpu.SemaphoreType.DMA((2, 2))],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
@@ -335,7 +358,7 @@ def _build_level1(B: int, R: int, C2: int, h0bytes: bytes, h1bytes: bytes,
     return call
 
 
-def fwd_level1(X, h0o, h1o, as_split: bool = False
+def fwd_level1(X, h0o, h1o, as_split: bool = False, h2o=None
                ) -> Optional[Tuple[object, jnp.ndarray]]:
     """Fused level-1 forward.  *X* is ``[..., R, C]`` real (R, C even; C/2 a
     multiple of 128 on hardware so the split planes stay lane-aligned);
@@ -348,6 +371,7 @@ def fwd_level1(X, h0o, h1o, as_split: bool = False
     """
     h0 = np.asarray(h0o, np.float64).reshape(-1)
     h1 = np.asarray(h1o, np.float64).reshape(-1)
+    h2 = None if h2o is None else np.asarray(h2o, np.float64).reshape(-1)
     if X.ndim < 2 or X.dtype not in (jnp.float32, jnp.bfloat16):
         return None
     R, C = X.shape[-2], X.shape[-1]
@@ -359,7 +383,8 @@ def fwd_level1(X, h0o, h1o, as_split: bool = False
         return None
     x3, lead = _flatten_batch(X)
     call = _build_level1(x3.shape[0], R, C // 2, h0.tobytes(), h1.tobytes(),
-                         str(x3.dtype))
+                         str(x3.dtype),
+                         None if h2 is None else h2.tobytes())
     if call is None:
         return None
 

@@ -64,14 +64,22 @@ def _split_taps(h: np.ndarray):
 
 @functools.lru_cache(maxsize=None)
 def _build_level2(B: int, R: int, C4: int, h0abytes: bytes, h0bbytes: bytes,
-                  h1abytes: bytes, h1bbytes: bytes, dtype_str: str):
-    """C4 = C // 4 (quarter-phase plane width, a multiple of 128 on TPU)."""
+                  h1abytes: bytes, h1bbytes: bytes, dtype_str: str,
+                  h2abytes: bytes = None, h2bbytes: bytes = None):
+    """C4 = C // 4 (quarter-phase plane width, a multiple of 128 on TPU).
+    *h2abytes*/*h2bbytes* supply the bandpass variant's third dual-filter
+    pair (reference ``numpy/transform2d.py:145-157``)."""
     h0a = np.frombuffer(h0abytes, dtype=np.float64)
     h0b = np.frombuffer(h0bbytes, dtype=np.float64)
     h1a = np.frombuffer(h1abytes, dtype=np.float64)
     h1b = np.frombuffer(h1bbytes, dtype=np.float64)
+    bp = h2abytes is not None
+    h2a = np.frombuffer(h2abytes, dtype=np.float64) if bp else None
+    h2b = np.frombuffer(h2bbytes, dtype=np.float64) if bp else None
     m = h0a.size
     if m % 2 or h1a.size != m or R % 4:
+        return None
+    if bp and (h2a.size != m or h2b.size != m):
         return None
     if m > 2 * _MARGIN:
         return None
@@ -80,6 +88,7 @@ def _build_level2(B: int, R: int, C4: int, h0abytes: bytes, h0bbytes: bytes,
     dtype = jnp.dtype(dtype_str)
 
     n_quads = R // 4
+    n_br = 3 if bp else 2                   # column dual-filter branches
     temp_rows = 12 * m + 24
     budget_rows = max(_TILE_BYTES // (W * max(dtype.itemsize, 4)), 1)
     tq = None
@@ -90,8 +99,9 @@ def _build_level2(B: int, R: int, C4: int, h0abytes: bytes, h0bbytes: bytes,
             continue
         if 4 * t < pad8:
             continue
-        # 8 double-buffered slabs + 16 column-branch planes + temporaries
-        if 8 * (4 * t + 2 * pad8) + 16 * t + t * temp_rows <= budget_rows:
+        # 8 double-buffered slabs + column-branch planes + temporaries
+        if (8 * (4 * t + 2 * pad8) + 8 * n_br * t
+                + t * temp_rows <= budget_rows):
             tq = t
             break
     if tq is None or pad8 > R or tq % _SUBLANE:
@@ -111,6 +121,10 @@ def _build_level2(B: int, R: int, C4: int, h0abytes: bytes, h0bbytes: bytes,
     h1b_e, h1b_o = _split_taps(h1b)
     pos0 = bool(np.sum(h0a * h0b) > 0)    # even-index tree of the h0 pair
     pos1 = bool(np.sum(h1a * h1b) > 0)
+    if bp:
+        h2a_e, h2a_o = _split_taps(h2a)
+        h2b_e, h2b_o = _split_taps(h2b)
+        pos2 = bool(np.sum(h2a * h2b) > 0)
 
     sc = float(np.sqrt(0.5))
 
@@ -135,6 +149,7 @@ def _build_level2(B: int, R: int, C4: int, h0abytes: bytes, h0bbytes: bytes,
     if use_mxu:
         Acol0 = _col_matrix(h0a, h0b).astype(dtype)
         Acol1 = _col_matrix(h1a, h1b).astype(dtype)
+        Acol2 = _col_matrix(h2a, h2b).astype(dtype) if bp else None
 
     def col_trees(q, ha_e, ha_o, hb_e, hb_o, pos):
         """Column (sublane) dual filter from row quarter-phases *q* (list of
@@ -178,11 +193,17 @@ def _build_level2(B: int, R: int, C4: int, h0abytes: bytes, h0bbytes: bytes,
         yb = corr(3, hb_e, 0) + corr(1, hb_o, 1)
         return (ya, yb) if pos else (yb, ya)
 
-    # Band groups (col source: 0=lo, 1=hi; row filter pair):
-    # (hi,h0)->bands(0,5), (hi,h1)->(1,4), (lo,h1)->(2,3).
-    groups = ((1, (h0a_e, h0a_o, h0b_e, h0b_o), pos0),
-              (1, (h1a_e, h1a_o, h1b_e, h1b_o), pos1),
-              (0, (h1a_e, h1a_o, h1b_e, h1b_o), pos1))
+    # Band groups (col source: 0=lo, 1=hi, 2=bp; row filter pair):
+    # (hi,h0)->bands(0,5), (hi,h1)->(1,4), (lo,h1)->(2,3); the bp variant
+    # takes the diagonal pair (1,4) from the third filter on both axes.
+    if bp:
+        groups = ((1, (h0a_e, h0a_o, h0b_e, h0b_o), pos0),
+                  (2, (h2a_e, h2a_o, h2b_e, h2b_o), pos2),
+                  (0, (h1a_e, h1a_o, h1b_e, h1b_o), pos1))
+    else:
+        groups = ((1, (h0a_e, h0a_o, h0b_e, h0b_o), pos0),
+                  (1, (h1a_e, h1a_o, h1b_e, h1b_o), pos1),
+                  (0, (h1a_e, h1a_o, h1b_e, h1b_o), pos1))
 
     total = B * n_tiles
     t_in = 4 * tq
@@ -235,8 +256,12 @@ def _build_level2(B: int, R: int, C4: int, h0abytes: bytes, h0bbytes: bytes,
 
     def kernel(x0, x1, x2, x3, *refs):
         if use_mxu:
-            ac0_ref, ac1_ref = refs[0], refs[1]
-            refs = refs[2:]
+            if bp:
+                ac0_ref, ac1_ref, ac2_ref = refs[0], refs[1], refs[2]
+                refs = refs[3:]
+            else:
+                ac0_ref, ac1_ref = refs[0], refs[1]
+                refs = refs[2:]
         (lolo_e_ref, lolo_o_ref, re_ref, im_ref,
          s0, s1, s2, s3, cols, sems) = refs
         b = pl.program_id(0)
@@ -287,6 +312,16 @@ def _build_level2(B: int, R: int, C4: int, h0abytes: bytes, h0bbytes: bytes,
                         cols[2, p] = lax.slice_in_dim(yhi, 0, tq, axis=0)
                         cols[3, p] = lax.slice_in_dim(yhi, tq, 2 * tq,
                                                       axis=0)
+                        if bp:
+                            ybp = jnp.dot(
+                                ac2_ref[:, :], sl,
+                                precision=jax.lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32
+                            ).astype(dtype)
+                            cols[4, p] = lax.slice_in_dim(ybp, 0, tq,
+                                                          axis=0)
+                            cols[5, p] = lax.slice_in_dim(ybp, tq, 2 * tq,
+                                                          axis=0)
                 else:
                     # Row quarter-phases of the slab window (starts at ext
                     # row 4*q0) via a sublane split reshape, per lane plane.
@@ -306,6 +341,12 @@ def _build_level2(B: int, R: int, C4: int, h0abytes: bytes, h0bbytes: bytes,
                         cols[1, p] = lo_od
                         cols[2, p] = hi_ev
                         cols[3, p] = hi_od
+                        if bp:
+                            bp_ev, bp_od = col_trees(
+                                q_by_plane[p], h2a_e, h2a_o, h2b_e, h2b_o,
+                                pos2)
+                            cols[4, p] = bp_ev
+                            cols[5, p] = bp_od
                 # Lowpass: row dual filter of the lo branches; interleave
                 # rows in-kernel, columns stay split for the wrapper.
                 le_e, le_o = row_trees([cols[0, p] for p in range(4)],
@@ -344,7 +385,7 @@ def _build_level2(B: int, R: int, C4: int, h0abytes: bytes, h0bbytes: bytes,
         acol_spec = pl.BlockSpec((2 * tq, slab_rows),
                                  lambda b, i, k: (0, 0),
                                  memory_space=pltpu.VMEM)
-        in_specs = in_specs + [acol_spec, acol_spec]
+        in_specs = in_specs + [acol_spec] * (3 if bp else 2)
     lolo_spec = pl.BlockSpec((1, 2 * tq, C4), lambda b, i, k: (b, i, 0),
                              memory_space=pltpu.VMEM)
     band_spec = pl.BlockSpec(
@@ -364,18 +405,21 @@ def _build_level2(B: int, R: int, C4: int, h0abytes: bytes, h0bbytes: bytes,
                         pltpu.VMEM((2, 4 * tq + 2 * pad8, W), dtype),
                         pltpu.VMEM((2, 4 * tq + 2 * pad8, W), dtype),
                         pltpu.VMEM((2, 4 * tq + 2 * pad8, W), dtype),
-                        pltpu.VMEM((4, 4, tq, W), dtype),
+                        pltpu.VMEM((2 * n_br, 4, tq, W), dtype),
                         pltpu.SemaphoreType.DMA((2, 4))],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
         interpret=_interpret(),
     )
     if use_mxu:
+        if bp:
+            return lambda *xs: call(*xs, Acol0, Acol1, Acol2)
         return lambda *xs: call(*xs, Acol0, Acol1)
     return call
 
 
-def fwd_level2(X, h0a, h0b, h1a, h1b, pair=None, as_split: bool = False
+def fwd_level2(X, h0a, h0b, h1a, h1b, pair=None, as_split: bool = False,
+               h2a=None, h2b=None
                ) -> Optional[Tuple[object, jnp.ndarray]]:
     """Fused level->=2 forward stage.  *X* is ``[..., R, C]`` real with R, C
     multiples of 4 (C/4 a multiple of 128 on hardware); filter arguments
@@ -391,6 +435,10 @@ def fwd_level2(X, h0a, h0b, h1a, h1b, pair=None, as_split: bool = False
     h0b = np.asarray(h0b, np.float64).reshape(-1)
     h1a = np.asarray(h1a, np.float64).reshape(-1)
     h1b = np.asarray(h1b, np.float64).reshape(-1)
+    bp = h2a is not None
+    if bp:
+        h2a = np.asarray(h2a, np.float64).reshape(-1)
+        h2b = np.asarray(h2b, np.float64).reshape(-1)
     if pair is not None:
         e, o = pair
         if e.ndim < 2 or e.dtype not in (jnp.float32, jnp.bfloat16):
@@ -418,7 +466,9 @@ def fwd_level2(X, h0a, h0b, h1a, h1b, pair=None, as_split: bool = False
     dtype_str = str((e3 if x3 is None else x3).dtype)
     call = _build_level2(B, R, C // 4, h0b.tobytes(),
                          h0a.tobytes(), h1b.tobytes(), h1a.tobytes(),
-                         dtype_str)
+                         dtype_str,
+                         h2b.tobytes() if bp else None,
+                         h2a.tobytes() if bp else None)
     if call is None:
         return None
 

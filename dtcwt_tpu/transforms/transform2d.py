@@ -214,10 +214,11 @@ class Transform2d:
         # (unless include_scale needs the materialised lowpass per level).
         pair = None
         fused = None
-        if h2o is None and engine.use_pallas():
+        if engine.use_pallas():
             from dtcwt_tpu.ops import pallas_level1
             fused = pallas_level1.fwd_level1(
-                X, h0o, h1o, as_split=not include_scale and nlevels > 1)
+                X, h0o, h1o, as_split=not include_scale and nlevels > 1,
+                h2o=h2o)
         if fused is not None:
             lp, yh1 = fused
             Yh.append(yh1)
@@ -254,12 +255,13 @@ class Transform2d:
                     lolo = _pad_multiple4(lolo, -2)
                 if lolo.shape[-1] % 4 != 0:
                     lolo = _pad_multiple4(lolo, -1)
-            if h2b is None and engine.use_pallas():
+            if engine.use_pallas():
                 from dtcwt_tpu.ops import pallas_level2
                 keep_split = (not include_scale) and _level < nlevels - 1
                 fused = pallas_level2.fwd_level2(lolo, h0a, h0b, h1a, h1b,
                                                  pair=pair,
-                                                 as_split=keep_split)
+                                                 as_split=keep_split,
+                                                 h2a=h2a, h2b=h2b)
                 if fused is not None:
                     lp, yh = fused
                     Yh.append(yh)
