@@ -79,9 +79,27 @@ def main():
     ap.add_argument("--nlevels", type=int, default=5)
     ap.add_argument("--merge", action="store_true",
                     help="merge part files into <output> and exit")
+    ap.add_argument("--coordinator", default=None,
+                    help="host:port of the jax.distributed coordinator; "
+                         "launch one process per host with matching "
+                         "--num-processes/--process-id")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     args = ap.parse_args()
 
     import jax
+
+    # Some interpreters pre-import jax pointed at an ambient accelerator
+    # (sitecustomize); honour an explicit JAX_PLATFORMS=cpu request even
+    # then (config update works post-import where the env var does not).
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    if args.coordinator is not None:
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id)
 
     rank = jax.process_index()
     size = jax.process_count()
