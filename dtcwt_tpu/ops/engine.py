@@ -27,7 +27,7 @@ import os
 import jax
 
 __all__ = ["get_engine", "set_engine", "engine", "use_pallas",
-           "use_pallas_q2c", "trace_key"]
+           "trace_key"]
 
 _VALID = ("auto", "xla", "pallas")
 _engine = os.environ.get("DTCWT_TPU_ENGINE", "auto").lower()
@@ -75,10 +75,3 @@ def use_pallas() -> bool:
         return False
     return jax.default_backend() == "tpu"
 
-
-def use_pallas_q2c() -> bool:
-    """Trace-time decision for the fused Q2C kernel specifically.  Only when
-    Pallas is *forced*: its XLA-side column pre-split costs more HBM traffic
-    than it saves (measured 9.4 vs 8.7 ms on the 4096^2 3-level forward,
-    v5e), so ``auto`` pairs the Pallas filter kernels with the XLA packing."""
-    return _engine == "pallas"

@@ -18,10 +18,12 @@ OpenCL kernel       Pallas equivalent here
                     reference's 4-outputs-per-thread odd/even tap split
                     (``opencl/lowlevel.py:543-585``) becomes a 4-way phase
                     interleave of whole row blocks.
-``Q2C_KERNEL``      :func:`q2c_fused` — fused quad→complex packing of the
-                    three highpass filter outputs into all 6 oriented
-                    subbands with the 1/sqrt(2) scale
-                    (``opencl/lowlevel.py:589-654``).
+``Q2C_KERNEL``      subsumed by the fused level kernels
+                    (:mod:`pallas_level1`/:mod:`pallas_level2` pack the six
+                    subbands in-kernel with the 1/sqrt(2) scale,
+                    ``opencl/lowlevel.py:589-654``); a standalone Pallas
+                    pack kernel measured slower than XLA's fused layout
+                    ops and was removed (r1 verdict: near-dead code).
 ==================  =========================================================
 
 Kernel design (one shape family, all three filter ops):
@@ -70,7 +72,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["filter_axis", "dfilt_axis", "ifilt_axis", "q2c_fused",
+__all__ = ["filter_axis", "dfilt_axis", "ifilt_axis",
            "supported"]
 
 # Per-tile VMEM budget covering the input slab PLUS the unrolled tap
@@ -597,90 +599,6 @@ def ifilt_axis(x, ha, hb, axis: int):
     y = call(x3)
     return _from_sublane(y.reshape(lead + y.shape[-2:]), x.ndim, axis,
                          trail=x.shape[-2:])
-
-
-# ---------------------------------------------------------------------------
-# Q2C: fused quad -> complex packing of all six oriented subbands
-# ---------------------------------------------------------------------------
-
-@functools.lru_cache(maxsize=None)
-def _build_q2c(B: int, R: int, C2: int, dtype_str: str):
-    """Kernel over column-parity-pre-split inputs: six (B, R, C2) arrays
-    (even/odd columns of lohi/hilo/hihi); outputs (B, 6, R/2, C2) re and im."""
-    if R % 2:
-        return None
-    dtype = jnp.dtype(dtype_str)
-    tr = _pick_tile(R // 2, 2, C2, 0, dtype.itemsize,
-                    temp_rows_per_unit=28)
-    if tr is None:
-        return None
-    n_tiles = (R // 2) // tr
-    sc = float(np.sqrt(0.5))
-
-    def kernel(le, lo, he, ho, ge, go, re_ref, im_ref):
-        for s, (ev_ref, od_ref) in enumerate(((le, lo), (he, ho), (ge, go))):
-            # Row-parity split via reshape (2tr, C2) -> (tr, 2, C2):
-            # quad corners a=ev-row/ev-col, b=ev/od, c=od/ev, d=od/od.
-            evr = ev_ref[0].reshape(tr, 2, C2)
-            odr = od_ref[0].reshape(tr, 2, C2)
-            a, c = evr[:, 0, :], evr[:, 1, :]
-            b, d = odr[:, 0, :], odr[:, 1, :]
-            # p = (a + jb)/sqrt2, q = (d - jc)/sqrt2; subbands (p-q, p+q).
-            re_ref[0, 2 * s] = (a - d) * sc
-            im_ref[0, 2 * s] = (b + c) * sc
-            re_ref[0, 2 * s + 1] = (a + d) * sc
-            im_ref[0, 2 * s + 1] = (b - c) * sc
-
-    in_spec = pl.BlockSpec((1, 2 * tr, C2), lambda b, i: (b, i, 0),
-                           memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, 6, tr, C2), lambda b, i: (b, 0, i, 0),
-                            memory_space=pltpu.VMEM)
-    call = pl.pallas_call(
-        kernel,
-        grid=(B, n_tiles),
-        in_specs=[in_spec] * 6,
-        out_specs=(out_spec, out_spec),
-        out_shape=(jax.ShapeDtypeStruct((B, 6, R // 2, C2), dtype),
-                   jax.ShapeDtypeStruct((B, 6, R // 2, C2), dtype)),
-        interpret=_interpret(),
-    )
-    return call
-
-
-def q2c_fused(lohi, hilo, hihi):
-    """Fused quad→complex pack of the three real highpass images into the six
-    oriented complex subbands, stacked on the trailing axis.
-
-    Subband order and the p/q combination match the reference
-    (``numpy/transform2d.py:112-130`` + ``q2c`` :301-322): returns
-    ``[..., H/2, W/2, 6]`` complex.  Returns None outside the envelope.
-    """
-    if lohi.ndim < 2 or lohi.shape != hilo.shape or hilo.shape != hihi.shape:
-        return None
-    if lohi.dtype not in (jnp.float32, jnp.bfloat16):
-        return None
-    if lohi.shape[-1] % 2 or lohi.shape[-2] % 2:
-        return None
-    a3, lead = _flatten_batch(lohi)
-    b3, _ = _flatten_batch(hilo)
-    c3, _ = _flatten_batch(hihi)
-    B, R, C = a3.shape
-    call = _build_q2c(B, R, C // 2, str(a3.dtype))
-    if call is None:
-        return None
-    # Column-parity pre-split in XLA: single-axis lane stride-2 slices lower
-    # to fast tiled copies (lane deinterleave inside Mosaic does not lower).
-    cols = []
-    for arr in (a3, b3, c3):
-        cols.append(arr[:, :, 0::2])
-        cols.append(arr[:, :, 1::2])
-    re, im = call(*cols)
-    # (B, 6, H/2, W/2) -> [..., H/2, W/2, 6] complex, band order
-    # (15, 45, 75, 105, 135, 165) deg from pairs (lohi, hihi, hilo).
-    z = lax.complex(re.astype(jnp.float32), im.astype(jnp.float32))
-    order = jnp.asarray([0, 4, 2, 3, 5, 1])   # pair-major -> degree order
-    z = jnp.moveaxis(z[:, order], 1, -1)
-    return z.reshape(lead + z.shape[-3:])
 
 
 # ---------------------------------------------------------------------------

@@ -118,13 +118,9 @@ def _interleave_planes(planes):
 def _pack_bands(lohi, hilo, hihi):
     """Quad->complex pack of the three highpass images into the 6 oriented
     subbands (order 15/45/75/105/135/165 deg, reference
-    ``numpy/transform2d.py:112-130``).  Uses the fused Pallas Q2C kernel when
-    the engine allows it, else the XLA layout ops."""
-    if engine.use_pallas_q2c():
-        from dtcwt_tpu.ops import pallas_fb
-        z = pallas_fb.q2c_fused(lohi, hilo, hihi)
-        if z is not None:
-            return z
+    ``numpy/transform2d.py:112-130``).  XLA layout ops: the fused level
+    kernels do this packing in-kernel, and a standalone Pallas pack kernel
+    measured slower than XLA's fused layout ops (removed in r2)."""
     b05 = q2c(lohi)
     b23 = q2c(hilo)
     b14 = q2c(hihi)

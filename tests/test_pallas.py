@@ -72,21 +72,6 @@ def test_ifilt_matches_xla(shape, axis, fam):
         assert _err(got, ref) < TOL
 
 
-@pytest.mark.parametrize("shape", [(64, 96), (2, 32, 64)])
-def test_q2c_fused_matches_xla(shape):
-    rng = np.random.RandomState(3)
-    lohi, hilo, hihi = (rng.randn(*shape).astype(np.float32)
-                        for _ in range(3))
-    b05 = q2c(jnp.asarray(lohi, jnp.float64))
-    b23 = q2c(jnp.asarray(hilo, jnp.float64))
-    b14 = q2c(jnp.asarray(hihi, jnp.float64))
-    ref = jnp.stack([b05[0], b14[0], b23[0], b23[1], b14[1], b05[1]], axis=-1)
-    got = pallas_fb.q2c_fused(jnp.asarray(lohi), jnp.asarray(hilo),
-                              jnp.asarray(hihi))
-    assert got is not None
-    assert _err(got, ref) < TOL
-
-
 @pytest.mark.parametrize("fam", ["near_sym_a", "near_sym_b"])
 @pytest.mark.parametrize("shape", [(256, 256), (2, 128, 256)])
 def test_fused_level1_matches_xla(fam, shape):
