@@ -199,18 +199,30 @@ def warptransform(t, avecs, levels, method=None):
     return Pyramid(t.lowpass, tuple(warped_highpasses), t.scales)
 
 
+def _shift_reflect(X, delta: int, axis: int):
+    """X shifted by *delta* along *axis* with symmetric-reflect boundary —
+    static slices + a small edge flip (a reflect-index ``take`` lowers to a
+    slow gather on TPU)."""
+    n = X.shape[axis]
+    sl = lambda a, b: jax.lax.slice_in_dim(X, a, b, axis=axis)
+    if delta > 0:
+        return jnp.concatenate(
+            [sl(delta, n), jnp.flip(sl(n - delta, n), axis=axis)], axis=axis)
+    d = -delta
+    return jnp.concatenate(
+        [jnp.flip(sl(0, d), axis=axis), sl(0, n - d)], axis=axis)
+
+
 def _boxfilter(X, kernel_size):
     """Separable odd-sized box filter with reflect boundary (reference:
     registration.py:422-446)."""
     if kernel_size % 2 == 0:
         raise ValueError("Kernel size must be odd")
     for axis_idx in range(2):
-        n = X.shape[axis_idx]
         out = X
         for delta in range(1, 1 + (kernel_size - 1) // 2):
             for sgn in (+1, -1):
-                idx = reflect(np.arange(n) + sgn * delta, -0.5, n - 0.5)
-                out = out + jnp.take(X, idx.astype(np.int64), axis=axis_idx)
+                out = out + _shift_reflect(X, sgn * delta, axis_idx)
         X = out / kernel_size
     return X
 

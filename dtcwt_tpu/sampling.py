@@ -118,11 +118,63 @@ def _rescale_grid(src_shape, dst_shape):
     return sxs, sys
 
 
+def _interp_matrix(src: int, dst: int, method: str) -> np.ndarray:
+    """(dst, src) separable interpolation operator for the regular rescale
+    grid, with the samplers' symmetric-reflect index folding baked in.
+    Identical weights/taps to the gather samplers — but a rescale is a
+    *separable regular-grid* resampling, so it runs as two (MXU) matmuls
+    instead of per-tap 2-D gathers."""
+    cs = (float(src) / float(dst)) * (np.arange(dst) + 0.5) - 0.5
+    A = np.zeros((dst, src))
+    rows = np.arange(dst)
+
+    def fold(idx):
+        return reflect(idx, -0.5, src - 0.5).astype(np.int64)
+
+    if method == "nearest":
+        A[rows, fold(np.round(cs))] = 1.0
+    elif method == "bilinear":
+        fl = np.floor(cs)
+        fr = cs - fl
+        np.add.at(A, (rows, fold(fl)), 1.0 - fr)
+        np.add.at(A, (rows, fold(fl + 1)), fr)
+    else:  # lanczos
+        a = 3
+        fl = np.floor(cs)
+        fr = cs - fl
+        for dx in range(-a + 1, a + 1):
+            w = np.sinc(fr - dx) * np.sinc((fr - dx) / a)
+            np.add.at(A, (rows, fold(fl + dx)), w)
+    return A
+
+
+def _rescale_arr(im, shape, method):
+    method = method or "lanczos"
+    if method not in ("nearest", "bilinear", "lanczos"):
+        raise NotImplementedError(
+            'Sampling method "{0}" is not implemented.'.format(method))
+    ay = jnp.asarray(_interp_matrix(im.shape[0], shape[0], method),
+                     jnp.real(im).dtype)
+    ax = jnp.asarray(_interp_matrix(im.shape[1], shape[1], method),
+                     jnp.real(im).dtype)
+    if jnp.iscomplexobj(im):
+        re = _rescale_real(jnp.real(im), ay, ax)
+        imag = _rescale_real(jnp.imag(im), ay, ax)
+        return jax.lax.complex(re, imag)
+    return _rescale_real(im, ay, ax).astype(im.dtype)
+
+
+def _rescale_real(im, ay, ax):
+    tmp = jnp.tensordot(ay, im, axes=(1, 0))          # [dh, sw, C...]
+    out = jnp.tensordot(ax, tmp, axes=(1, 1))         # [dw, dh, C...]
+    return jnp.swapaxes(out, 0, 1)
+
+
 def rescale(im, shape, method=None):
     """Resample *im* so that its (half-pixel-inclusive) extent maps onto an
     array of size *shape*."""
-    sxs, sys = _rescale_grid(im.shape, shape)
-    return sample(im, sxs, sys, method)
+    im = jnp.atleast_2d(asdevice(im))
+    return _rescale_arr(im, shape, method)
 
 
 def _phase_image(xs, ys, unwrap=True, sbs=None):
@@ -160,7 +212,7 @@ def rescale_highpass(im, shape, method=None, sbs=None):
     sxs, sys = _rescale_grid(im.shape, shape)
     X, Y = np.meshgrid(np.arange(im.shape[1]), np.arange(im.shape[0]))
     im_unwrap = im[:, :, sbs] * _phase_image(X, Y, True, sbs)
-    im_sampled = sample(im_unwrap, sxs, sys, method)
+    im_sampled = _rescale_arr(im_unwrap, shape, method)
     return im_sampled * _phase_image(sxs, sys, False, sbs)
 
 

@@ -36,12 +36,40 @@ def main():
     np.asarray(reg.estimatereg(t1, t2))   # warm-up / compile
 
     number = 20
+
+    # Per-call host loop (includes dispatch/readback overhead — on remote
+    # device tunnels this is dominated by round-trip latency):
     t0 = time.perf_counter()
     for _ in range(number):
         np.asarray(reg.estimatereg(t1, t2))
     secs = time.perf_counter() - t0
-    print("%.2fs for %d iterations => %.3fs/iteration"
-          % (secs, number, secs / number))
+    print("host loop:   %.2fs for %d iterations => %.1f ms/iteration"
+          % (secs, number, 1e3 * secs / number))
+
+    # Device-resident timing: iterations chained inside one jitted scan
+    # with a data dependence (the same methodology as bench.py).
+    import jax
+    import jax.numpy as jnp
+
+    avecs_shape = tuple(np.asarray(t1.highpasses[3].shape[:2])) + (6,)
+    levels = tuple(tuple(int(l) for l in lv)
+                   for lv in reg._default_levels(len(t1.highpasses)))
+    impl = reg._estimatereg_impl(avecs_shape, levels)
+
+    @jax.jit
+    def run(low, p1, p2):
+        def body(c, _):
+            p1c = dt.Pyramid(p1.lowpass + 0.0 * c[0, 0], p1.highpasses)
+            av = impl(p1c, p2)
+            return c + 0.0 * av[:1, :1, 0], jnp.sum(av)
+        return jax.lax.scan(body, low, None, length=number)[1].sum()
+
+    seed = jnp.zeros((1, 1), jnp.float32)
+    float(run(seed, t1, t2))
+    t0 = time.perf_counter()
+    float(run(seed, t1, t2))
+    print("device scan: %.1f ms/iteration"
+          % (1e3 * (time.perf_counter() - t0) / number))
 
 
 if __name__ == "__main__":
