@@ -23,7 +23,7 @@ in parity planes, and the only interleaves are a sublane stack in-kernel
 (rows) plus one XLA pass (columns).
 
 Identity gains only (the transform pre-scales gain_mask into the
-subbands); bandpass variants fall back.
+subbands); the bandpass variants run a third synthesis stream.
 """
 
 from __future__ import annotations
@@ -54,15 +54,21 @@ _PAIRS = ((0, 5), (2, 3), (1, 4))
 
 @functools.lru_cache(maxsize=None)
 def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
-                   dtype_str: str):
-    """H = full rows, C2 = W/2 column-plane width (x128 on TPU)."""
+                   dtype_str: str, g2bytes: bytes = None):
+    """H = full rows, C2 = W/2 column-plane width (x128 on TPU).  *g2bytes*
+    supplies the bandpass variant's third synthesis filter (reference
+    ``numpy/transform2d.py:280-291``)."""
     g0 = np.frombuffer(g0bytes, dtype=np.float64)
     g1 = np.frombuffer(g1bytes, dtype=np.float64)
+    bp = g2bytes is not None
+    g2 = np.frombuffer(g2bytes, dtype=np.float64) if bp else None
     m0, m1 = g0.size, g1.size
-    if m0 % 2 == 0 or m1 % 2 == 0 or H % 2:
+    m2 = g2.size if bp else 0
+    if m0 % 2 == 0 or m1 % 2 == 0 or H % 2 or (bp and m2 % 2 == 0):
         return None
     p0, p1 = m0 // 2, m1 // 2
-    pmax = max(p0, p1)
+    p2 = m2 // 2
+    pmax = max(p0, p1, p2)
     if pmax > _PAD or pmax // 2 + 2 > _PADQ or pmax > _MARGIN:
         return None
     G = _MARGIN
@@ -70,14 +76,15 @@ def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
     dtype = jnp.dtype(dtype_str)
     s_half = float(np.sqrt(0.5))
 
-    temp_rows = 3 * (m0 + m1) + 16
+    n_str = 3 if bp else 2     # stream groups: y1, y2 (, y2bp)
+    temp_rows = 2 * (m0 + m1 + m2) + 16
     budget_rows = max(_TILE_BYTES // (W * max(dtype.itemsize, 4)), 1)
     tr = None
     for t in (H, 256, 128, 96, 64, 48, 32, 16):
         if t > H or H % t or t % 16:
             continue
-        # 2 full-res + 12 re/im + 12 quad half-res slabs + 8 stream planes
-        if (2 * (t + 2 * _PAD) + 24 * (t // 2 + 2 * _PADQ) + 4 * t
+        # 2 full-res + 12 re/im + 12 quad half-res slabs + stream planes
+        if (2 * (t + 2 * _PAD) + 24 * (t // 2 + 2 * _PADQ) + 2 * n_str * t
                 + t * temp_rows) <= budget_rows:
             tr = t
             break
@@ -87,6 +94,7 @@ def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
 
     g0r = tuple(float(v) for v in g0[::-1])
     g1r = tuple(float(v) for v in g1[::-1])
+    g2r = tuple(float(v) for v in g2[::-1]) if bp else None
 
     def conv_full(slab, taps, pad_f):
         """Plain sublane correlation of a full-res slab (tr outputs)."""
@@ -270,11 +278,19 @@ def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
                 hl_e, hl_o = conv_planes_rows(qslabs[4 + cp_],
                                               qslabs[6 + cp_], g0, p0)
                 hh_e, hh_o = conv_planes_rows(qslabs[8 + cp_],
-                                              qslabs[10 + cp_], g1, p1)
+                                              qslabs[10 + cp_],
+                                              g2 if bp else g1,
+                                              p2 if bp else p1)
                 streams[0, 2 * 0 + cp_] = yz2[:, 0, :] + lh_e   # y1 rp0
                 streams[1, 2 * 0 + cp_] = yz2[:, 1, :] + lh_o   # y1 rp1
-                streams[0, 2 + cp_] = hl_e + hh_e               # y2 rp0
-                streams[1, 2 + cp_] = hl_o + hh_o               # y2 rp1
+                if bp:
+                    streams[0, 2 + cp_] = hl_e                  # y2 rp0
+                    streams[1, 2 + cp_] = hl_o                  # y2 rp1
+                    streams[0, 4 + cp_] = hh_e                  # y2bp rp0
+                    streams[1, 4 + cp_] = hh_o                  # y2bp rp1
+                else:
+                    streams[0, 2 + cp_] = hl_e + hh_e           # y2 rp0
+                    streams[1, 2 + cp_] = hl_o + hh_o           # y2 rp1
 
         # Lane stage: one output column parity per grid step; rows of both
         # parities interleave in-kernel via a sublane stack.
@@ -287,7 +303,12 @@ def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
                     y2e, y2o = (streams[rp, 2], streams[rp, 3])
                     a1 = conv_planes_lanes(y1e, y1o, g0, p0)[cp_out]
                     a2 = conv_planes_lanes(y2e, y2o, g1, p1)[cp_out]
-                    outs.append(a1 + a2)
+                    if bp:
+                        y3e, y3o = (streams[rp, 4], streams[rp, 5])
+                        a3 = conv_planes_lanes(y3e, y3o, g2, p2)[cp_out]
+                        outs.append(a1 + a2 + a3)
+                    else:
+                        outs.append(a1 + a2)
                 ref = out_e_ref if cp_out == 0 else out_o_ref
                 ref[0] = jnp.stack(outs, axis=1).reshape(tr, C2)
 
@@ -304,7 +325,7 @@ def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
         scratch_shapes=[pltpu.VMEM((2, tr + 2 * _PAD, W), dtype),
                         pltpu.VMEM((12, tr // 2 + 2 * _PADQ, W), dtype),
                         pltpu.VMEM((12, tr // 2 + 2 * _PADQ, W), dtype),
-                        pltpu.VMEM((2, 4, tr // 2, W), dtype),
+                        pltpu.VMEM((2, 2 * n_str, tr // 2, W), dtype),
                         pltpu.SemaphoreType.DMA((7,))],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
@@ -313,7 +334,8 @@ def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
     return call
 
 
-def inv_level1(Z, yh, g0o, g1o, planes=None) -> Optional[jnp.ndarray]:
+def inv_level1(Z, yh, g0o, g1o, planes=None, g2o=None
+               ) -> Optional[jnp.ndarray]:
     """Fused level-1 inverse.  *Z* is the ``[..., H, W]`` real lowpass, *yh*
     the ``[..., H/2, W/2, 6]`` complex level-1 highpasses; returns the
     reconstructed ``[..., H, W]`` image or None outside the envelope.
@@ -324,6 +346,7 @@ def inv_level1(Z, yh, g0o, g1o, planes=None) -> Optional[jnp.ndarray]:
     between levels (see :func:`pallas_ilevel2.inv_level2`)."""
     g0 = np.asarray(g0o, np.float64).reshape(-1)
     g1 = np.asarray(g1o, np.float64).reshape(-1)
+    g2 = None if g2o is None else np.asarray(g2o, np.float64).reshape(-1)
     if planes is not None:
         Zp = planes[0]
         H, Wd = 2 * Zp.shape[-2], 2 * Zp.shape[-1]
@@ -364,7 +387,8 @@ def inv_level1(Z, yh, g0o, g1o, planes=None) -> Optional[jnp.ndarray]:
     yh3 = yh.reshape((B,) + yh.shape[-3:])
 
     call = _build_ilevel1(B, H, C2, g0.tobytes(), g1.tobytes(),
-                          str(zdtype))
+                          str(zdtype),
+                          None if g2 is None else g2.tobytes())
     if call is None:
         return None
 

@@ -38,8 +38,9 @@ interleaves.  Structural tricks (duals of the forward kernels):
   into scratch; steps 1-4 run the lane stage for one output row-stream
   each.
 
-f32/bf16; identity gain only (the transform pre-scales gain_mask into the
-subbands).  Boundary crop (reference :262-268) stays in the transform.
+f32/bf16; identity gain only (the transform pre-scales gain_mask into
+the subbands); the bandpass variants run a third synthesis stream.
+Boundary crop (reference :262-268) stays in the transform.
 """
 
 from __future__ import annotations
@@ -93,14 +94,22 @@ def _stream_plan(m2: int, pos: bool):
 
 @functools.lru_cache(maxsize=None)
 def _build_ilevel2(B: int, L: int, C2: int, g0abytes: bytes, g0bbytes: bytes,
-                   g1abytes: bytes, g1bbytes: bytes, dtype_str: str):
-    """L = H/2 plane rows, C2 = W/2 plane cols (multiple of 128 on TPU)."""
+                   g1abytes: bytes, g1bbytes: bytes, dtype_str: str,
+                   g2abytes: bytes = None, g2bbytes: bytes = None):
+    """L = H/2 plane rows, C2 = W/2 plane cols (multiple of 128 on TPU).
+    *g2abytes*/*g2bbytes* supply the bandpass variant's third synthesis
+    pair (reference ``numpy/transform2d.py:247-258``)."""
     g0a = np.frombuffer(g0abytes, dtype=np.float64)
     g0b = np.frombuffer(g0bbytes, dtype=np.float64)
     g1a = np.frombuffer(g1abytes, dtype=np.float64)
     g1b = np.frombuffer(g1bbytes, dtype=np.float64)
+    bp = g2abytes is not None
+    g2a = np.frombuffer(g2abytes, dtype=np.float64) if bp else None
+    g2b = np.frombuffer(g2bbytes, dtype=np.float64) if bp else None
     m = g0a.size
     if m % 2 or g1a.size != m:
+        return None
+    if bp and (g2a.size != m or g2b.size != m):
         return None
     m2 = m // 2
     if m2 // 2 + 2 > _PAD or _PAD > L:
@@ -118,9 +127,11 @@ def _build_ilevel2(B: int, L: int, C2: int, g0abytes: bytes, g0bbytes: bytes,
         return (_sub_taps(ha), _sub_taps(hb), _stream_plan(m2, pos))
 
     f0 = bundle(g0a, g0b)      # Z and hl
-    f1 = bundle(g1a, g1b)      # lh and hh
+    f1 = bundle(g1a, g1b)      # lh (and hh in the standard families)
+    f2 = bundle(g2a, g2b) if bp else None   # hh via the bp filter
+    n_str = 3 if bp else 2     # stream groups: y1, y2 (, y2bp)
 
-    temp_rows = 16 * m + 24
+    temp_rows = 8 * m + 24
     budget_rows = max(_TILE_BYTES // (W * max(dtype.itemsize, 4)), 1)
     tq = None
     for t in (L, 256, 128, 96, 64, 48, 32, 16, 8):
@@ -128,8 +139,9 @@ def _build_ilevel2(B: int, L: int, C2: int, g0abytes: bytes, g0bbytes: bytes,
             continue
         if t % _SUBLANE:
             continue
-        # 16 raw + 12 quad slabs + 16 persisted streams + live temporaries
-        if 28 * (t + 2 * _PAD) + 16 * t + t * temp_rows <= budget_rows:
+        # 16 raw + 12 quad slabs + persisted streams + live temporaries
+        if (28 * (t + 2 * _PAD) + 8 * n_str * t
+                + t * temp_rows <= budget_rows):
             tq = t
             break
     if tq is None:
@@ -163,10 +175,14 @@ def _build_ilevel2(B: int, L: int, C2: int, g0abytes: bytes, g0bbytes: bytes,
     if use_mxu:
         A0 = _row_matrix(f0).astype(dtype)   # Z and hl
         A1 = _row_matrix(f1).astype(dtype)   # lh and hh
+        A2 = _row_matrix(f2).astype(dtype) if bp else None
 
     def kernel(z_hbm, re_hbm, im_hbm, mg_hbm, *refs):
         if use_mxu:
-            a0_ref, a1_ref = refs[0], refs[1]
+            if bp:
+                a0_ref, a1_ref, a2_ref = refs[0], refs[1], refs[2]
+            else:
+                a0_ref, a1_ref = refs[0], refs[1]
         out_ref, raw, qs, streams, sems = (refs[-5], refs[-4], refs[-3],
                                            refs[-2], refs[-1])
         b = pl.program_id(0)
@@ -304,15 +320,19 @@ def _build_ilevel2(B: int, L: int, C2: int, g0abytes: bytes, g0bbytes: bytes,
                     z_s = row_streams_mxu(0, a0_ref, cp)
                     lh_s = row_streams_mxu(1, a1_ref, cp)
                     hl_s = row_streams_mxu(2, a0_ref, cp)
-                    hh_s = row_streams_mxu(3, a1_ref, cp)
+                    hh_s = row_streams_mxu(3, a2_ref if bp else a1_ref, cp)
                 else:
                     z_s = row_streams(0, f0, cp)
                     lh_s = row_streams(1, f1, cp)
                     hl_s = row_streams(2, f0, cp)
-                    hh_s = row_streams(3, f1, cp)
+                    hh_s = row_streams(3, f2 if bp else f1, cp)
                 for t in range(4):
                     streams[0, 2 * t + cp] = z_s[t] + lh_s[t]     # y1
-                    streams[1, 2 * t + cp] = hl_s[t] + hh_s[t]    # y2
+                    if bp:
+                        streams[1, 2 * t + cp] = hl_s[t]          # y2
+                        streams[2, 2 * t + cp] = hh_s[t]          # y2bp
+                    else:
+                        streams[1, 2 * t + cp] = hl_s[t] + hh_s[t]
 
         # Lane stage: one output row-parity per grid step.  The two row
         # streams of that parity (s = rp and s = rp+2) interleave in-kernel
@@ -343,7 +363,12 @@ def _build_ilevel2(B: int, L: int, C2: int, g0abytes: bytes, g0bbytes: bytes,
                 for t in (rp, rp + 2):
                     y1_l = lane_streams(0, t, f0)
                     y2_l = lane_streams(1, t, f1)
-                    rows[t] = [y1_l[s] + y2_l[s] for s in range(4)]
+                    if bp:
+                        y3_l = lane_streams(2, t, f2)
+                        rows[t] = [y1_l[s] + y2_l[s] + y3_l[s]
+                                   for s in range(4)]
+                    else:
+                        rows[t] = [y1_l[s] + y2_l[s] for s in range(4)]
                 for s in range(4):
                     out_ref[0, 0, s] = jnp.stack(
                         [rows[rp][s], rows[rp + 2][s]],
@@ -354,7 +379,7 @@ def _build_ilevel2(B: int, L: int, C2: int, g0abytes: bytes, g0bbytes: bytes,
     if use_mxu:
         a_spec = pl.BlockSpec((4 * tq, 2 * Lslab), lambda b, i, k: (0, 0),
                               memory_space=pltpu.VMEM)
-        in_specs = in_specs + [a_spec, a_spec]
+        in_specs = in_specs + [a_spec] * (3 if bp else 2)
     out_spec = pl.BlockSpec(
         (1, 1, 4, 2 * tq, C2),
         lambda b, i, k: (b, jnp.maximum(k - 1, 0), 0, i, 0),
@@ -367,18 +392,21 @@ def _build_ilevel2(B: int, L: int, C2: int, g0abytes: bytes, g0bbytes: bytes,
         out_shape=jax.ShapeDtypeStruct((B, 2, 4, 2 * L, C2), dtype),
         scratch_shapes=[pltpu.VMEM((16, tq + 2 * _PAD, W), dtype),
                         pltpu.VMEM((12, tq + 2 * _PAD, W), dtype),
-                        pltpu.VMEM((2, 8, tq, W), dtype),
+                        pltpu.VMEM((n_str, 8, tq, W), dtype),
                         pltpu.SemaphoreType.DMA((5,))],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
         interpret=_interpret(),
     )
     if use_mxu:
+        if bp:
+            return lambda z, re, im, mg: call(z, re, im, mg, A0, A1, A2)
         return lambda z, re, im, mg: call(z, re, im, mg, A0, A1)
     return call
 
 
-def inv_level2(Z, yh, g0a, g0b, g1a, g1b, planes=None, as_planes=False):
+def inv_level2(Z, yh, g0a, g0b, g1a, g1b, planes=None, as_planes=False,
+               g2a=None, g2b=None):
     """Fused level->=2 inverse stage.  *Z* is the ``[..., H, W]`` real
     lowpass, *yh* the ``[..., H/2, W/2, 6]`` complex highpasses of the same
     level; filters follow the transform's call order ``ifilt(x, g0b, g0a)``
@@ -396,6 +424,10 @@ def inv_level2(Z, yh, g0a, g0b, g1a, g1b, planes=None, as_planes=False):
     g0b = np.asarray(g0b, np.float64).reshape(-1)
     g1a = np.asarray(g1a, np.float64).reshape(-1)
     g1b = np.asarray(g1b, np.float64).reshape(-1)
+    bp = g2a is not None
+    if bp:
+        g2a = np.asarray(g2a, np.float64).reshape(-1)
+        g2b = np.asarray(g2b, np.float64).reshape(-1)
     if planes is not None:
         Zp = planes[0]
         H, Wd = 2 * Zp.shape[-2], 2 * Zp.shape[-1]
@@ -429,7 +461,9 @@ def inv_level2(Z, yh, g0a, g0b, g1a, g1b, planes=None, as_planes=False):
     yh3 = yh.reshape((B,) + yh.shape[-3:])
 
     call = _build_ilevel2(B, L, C2, g0a.tobytes(), g0b.tobytes(),
-                          g1a.tobytes(), g1b.tobytes(), str(zdtype))
+                          g1a.tobytes(), g1b.tobytes(), str(zdtype),
+                          g2a.tobytes() if bp else None,
+                          g2b.tobytes() if bp else None)
     if call is None:
         return None
 

@@ -404,7 +404,7 @@ class Transform2d:
         # only valid when no boundary crop is needed.
         zplanes = None
         for level in range(nlevels - 1, 0, -1):
-            if gain_mask is None and g2b is None and engine.use_pallas():
+            if gain_mask is None and engine.use_pallas():
                 from dtcwt_tpu.ops import pallas_ilevel2
                 src = Z if zplanes is None else zplanes[0]
                 nocrop = (2 * src.shape[-2] * (2 if zplanes else 1)
@@ -414,7 +414,8 @@ class Transform2d:
                 zp = pallas_ilevel2.inv_level2(Z, Yh[level],
                                                g0a, g0b, g1a, g1b,
                                                planes=zplanes,
-                                               as_planes=nocrop)
+                                               as_planes=nocrop,
+                                               g2a=g2a, g2b=g2b)
                 if zp is not None:
                     if nocrop:
                         zplanes, Z = zp, None
@@ -447,10 +448,10 @@ class Transform2d:
             Z = _crop_to(Z, Yh[level - 1])
 
         if nlevels >= 1:
-            if gain_mask is None and g2o is None and engine.use_pallas():
+            if gain_mask is None and engine.use_pallas():
                 from dtcwt_tpu.ops import pallas_ilevel1
                 zp = pallas_ilevel1.inv_level1(Z, Yh[0], g0o, g1o,
-                                               planes=zplanes)
+                                               planes=zplanes, g2o=g2o)
                 if zp is not None:
                     return zp
             if zplanes is not None:

@@ -248,6 +248,23 @@ def test_grad_through_pallas_engine():
     assert float(jnp.abs(g_rt).max()) < 1e-6
 
 
+def test_bp_variant_fused_kernels():
+    """The bandpass families run the fused forward AND inverse kernels
+    (third filter branch / synthesis stream) — engine parity end-to-end."""
+    import dtcwt_tpu as dt
+    x = np.random.RandomState(15).rand(128, 256).astype(np.float32)
+    t = dt.Transform2d("near_sym_b_bp", "qshift_b_bp")
+    with engine.engine("xla"):
+        p_x = t.forward(x, 3)
+        r_x = np.asarray(t.inverse(p_x))
+    with engine.engine("pallas"):
+        p_p = t.forward(x, 3)
+        for a, b in zip(p_p.highpasses, p_x.highpasses):
+            assert float(np.abs(np.asarray(a) - np.asarray(b)).max()) < 1e-4
+        r_p = np.asarray(t.inverse(p_p))
+    assert float(np.abs(r_p - r_x).max()) < 1e-4
+
+
 def test_gain_mask_inverse_pallas_engine():
     """gain_mask no longer forces a fallback: the gains are applied as an
     up-front subband scale so the fused (gain-free) inverse kernels run, and
