@@ -51,62 +51,47 @@ def _bcast_weight(weight, im_ndim):
     return weight.reshape(weight.shape + (1,) * extra) if extra else weight
 
 
-def _sample_nearest(im, xs, ys):
-    return _sample_clipped(im, jnp.round(xs), jnp.round(ys))
-
-
-def _sample_bilinear(im, xs, ys):
-    xs, ys = jnp.asarray(xs), jnp.asarray(ys)
-    im = jnp.atleast_2d(jnp.asarray(im))
-    if xs.shape != ys.shape:
-        raise ValueError("Shape of xs and ys must match")
-    floor_xs, floor_ys = jnp.floor(xs), jnp.floor(ys)
-    frac_xs = _bcast_weight(xs - floor_xs, im.ndim)
-    frac_ys = _bcast_weight(ys - floor_ys, im.ndim)
-    lower = ((1.0 - frac_xs) * _sample_clipped(im, floor_xs, floor_ys)
-             + frac_xs * _sample_clipped(im, floor_xs + 1, floor_ys))
-    upper = ((1.0 - frac_xs) * _sample_clipped(im, floor_xs, floor_ys + 1)
-             + frac_xs * _sample_clipped(im, floor_xs + 1, floor_ys + 1))
-    return ((1.0 - frac_ys) * lower + frac_ys * upper).astype(im.dtype)
-
-
 def _lanczos(x, a=3.0):
     return jnp.sinc(x) * jnp.sinc(x / a)
 
 
-def _sample_lanczos(im, xs, ys):
-    xs, ys = jnp.asarray(xs), jnp.asarray(ys)
-    im = jnp.atleast_2d(jnp.asarray(im))
-    if xs.shape != ys.shape:
-        raise ValueError("Shape of xs and ys must match")
-    floor_xs, floor_ys = jnp.floor(xs), jnp.floor(ys)
-    frac_xs, frac_ys = xs - floor_xs, ys - floor_ys
+def _hat(x):
+    return jnp.maximum(0.0, 1.0 - jnp.abs(x))
 
-    a = 3
-    S = None
-    for dx in range(-a + 1, a + 1):
-        Lx = _lanczos(frac_xs - dx)
-        for dy in range(-a + 1, a + 1):
-            Ly = _lanczos(frac_ys - dy)
-            w = _bcast_weight(Lx * Ly, im.ndim)
-            contrib = w * _sample_clipped(im, floor_xs + dx, floor_ys + dy)
-            S = contrib if S is None else S + contrib
-    return S
+
+#: method -> (1-D tap offsets relative to floor(coord), tap weight function
+#: of the signed distance).  Every interpolator is the same separable
+#: gather-accumulate loop over this stencil.
+_STENCILS = {
+    "bilinear": (range(0, 2), _hat),
+    "lanczos": (range(-2, 4), _lanczos),
+}
 
 
 def sample(im, xs, ys, method=None):
     """Sample *im* at fractional centre-of-pixel coordinates (xs, ys) using
-    ``'lanczos'`` (default), ``'bilinear'`` or ``'nearest'`` interpolation."""
-    im = asdevice(im)
+    ``'lanczos'`` (default), ``'bilinear'`` or ``'nearest'`` interpolation.
+    Out-of-range coordinates reflect symmetrically (repeated end samples)."""
+    im = jnp.atleast_2d(asdevice(im))
+    xs, ys = jnp.asarray(xs), jnp.asarray(ys)
+    if xs.shape != ys.shape:
+        raise ValueError("Shape of xs and ys must match")
     method = method or "lanczos"
-    if method == "bilinear":
-        return _sample_bilinear(im, xs, ys)
-    elif method == "lanczos":
-        return _sample_lanczos(im, xs, ys)
-    elif method == "nearest":
-        return _sample_nearest(im, xs, ys)
-    raise NotImplementedError(
-        'Sampling method "{0}" is not implemented.'.format(method))
+    if method == "nearest":
+        return _sample_clipped(im, jnp.round(xs), jnp.round(ys))
+    if method not in _STENCILS:
+        raise NotImplementedError(
+            'Sampling method "{0}" is not implemented.'.format(method))
+    offsets, weight = _STENCILS[method]
+    fx, fy = jnp.floor(xs), jnp.floor(ys)
+    acc = None
+    for dx in offsets:
+        wx = weight((xs - fx) - dx)
+        for dy in offsets:
+            w = _bcast_weight(wx * weight((ys - fy) - dy), im.ndim)
+            term = w * _sample_clipped(im, fx + dx, fy + dy)
+            acc = term if acc is None else acc + term
+    return acc.astype(im.dtype) if method == "bilinear" else acc
 
 
 def _rescale_grid(src_shape, dst_shape):
