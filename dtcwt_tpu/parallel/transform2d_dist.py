@@ -312,32 +312,43 @@ class ShardedTransform2d:
         halo2 = max(v.size // 2 for v in (g0a, g1a) + ((g2a,) if g2a is not None else ()))
         halo1 = max(v.size // 2 for v in (g0o, g1o) + ((g2o,) if g2o is not None else ()))
 
-        # A spatial axis runs sharded through the whole inverse when the
-        # pyramid is crop-free along it (shapes exactly double per level —
-        # crops on a *sharded* axis would unbalance the shards) and every
-        # level's local extent stays even and >= the halo.  Axes qualify
-        # independently; crops along an unsharded axis are applied locally
-        # (reference crop rule: ``numpy/transform2d.py:262-271``).
-        def axis_ok(dim, Rax, halo_fine):
+        # Per-level, per-axis plan: synthesis at level l runs sharded on an
+        # axis when every finer level (the sharded *suffix* in synthesis
+        # order, i.e. levels <= l) has a shardable local extent AND the
+        # suffix is crop-free along that axis (crops on a sharded axis
+        # would unbalance the shards).  Coarser levels run replicated and
+        # the lowpass re-shards once at the transition — the coarse levels
+        # are tiny, the fine ones carry the work.  Crops along replicated
+        # (or not-yet-sharded) stretches apply locally (reference crop
+        # rule: ``numpy/transform2d.py:262-271``).
+        def axis_plan(dim, Rax):
+            plan = [False] * nlevels
             if Rax <= 1:
-                return False
-            ok = True
-            for level in range(nlevels - 1, 0, -1):
-                hr = hp_shapes[level][dim]
-                want = hp_shapes[level - 1][dim]
-                ok = ok and (2 * hr == want)
-                ok = ok and (2 * hr) % Rax == 0 and ((2 * hr) // Rax) % 2 == 0
-            if nlevels >= 1:
-                ok = ok and (2 * hp_shapes[0][dim]) % Rax == 0
-            lowe = low_shape[dim + 1]  # low has no trailing subband dim
-            ok = ok and lowe % Rax == 0 and (lowe // Rax) % 2 == 0 \
-                and (lowe // Rax) >= halo2
-            return ok
+                return plan
 
-        rows_ok = axis_ok(-3, R, halo1)
-        cols_ok = axis_ok(-2, Cn, halo1)
+            def level_ok(l):
+                rows_in = (2 * hp_shapes[l][dim] if l < nlevels - 1
+                           else low_shape[dim + 1])
+                halo = halo2 if l > 0 else max(halo1, halo2)
+                return (rows_in % Rax == 0 and (rows_in // Rax) % 2 == 0
+                        and (rows_in // Rax) >= halo)
 
-        if not rows_ok and not cols_ok:
+            def cropfree(l):          # no crop between level l+1 and l
+                return 2 * hp_shapes[l + 1][dim] == hp_shapes[l][dim]
+
+            for start in range(nlevels - 1, -1, -1):
+                ok = all(level_ok(l) for l in range(start + 1)) and \
+                    all(cropfree(l) for l in range(start))
+                if ok:
+                    for l in range(start + 1):
+                        plan[l] = True
+                    break
+            return plan
+
+        rplan = axis_plan(-3, R)
+        cplan = axis_plan(-2, Cn)
+
+        if not rplan[0] and not cplan[0]:
             # Replicated fallback: correctness first for awkward shapes.
             if R > 1 or Cn > 1:
                 logger.warning(
@@ -352,96 +363,114 @@ class ShardedTransform2d:
                 return single._inverse_impl(pyr, gain_mask)
             return run_repl
 
-        rax = ra if rows_ok else None
-        cax = ca if cols_ok else None
-        low_spec = P(da, rax, cax)
-        hp_specs = tuple(P(da, rax, cax, None) for _ in range(nlevels))
+        def spec(r_on, c_on, hp=False):
+            base = (da, ra if r_on else None, ca if c_on else None)
+            return P(*(base + ((None,) if hp else ())))
 
-        def col_ifilt(v, gfa, gfb):
-            if rows_ok:
-                ext = halo_exchange(v, gfa.size // 2, ra, R, axis=-2)
+        low_spec = spec(rplan[nlevels - 1], cplan[nlevels - 1])
+        hp_specs = tuple(spec(rplan[l], cplan[l], hp=True)
+                         for l in range(nlevels))
+
+        def col_pass(v, r_on, ext_w, apply):
+            if r_on:
+                ext = halo_exchange(v, ext_w, ra, R, axis=-2)
             else:
-                ext = fb.symmetric_extend(v, gfa.size // 2, -2)
-            return fb.ifilt_from_ext(ext, gfa, gfb, -2)
+                ext = fb.symmetric_extend(v, ext_w, -2)
+            return apply(ext)
 
-        def row_ifilt(v, gfa, gfb):
-            if cols_ok:
-                ext = halo_exchange(v, gfa.size // 2, ca, Cn, axis=-1)
+        def row_pass(v, c_on, ext_w, apply):
+            if c_on:
+                ext = halo_exchange(v, ext_w, ca, Cn, axis=-1)
             else:
-                ext = fb.symmetric_extend(v, gfa.size // 2, -1)
-            return fb.ifilt_from_ext(ext, gfa, gfb, -1)
+                ext = fb.symmetric_extend(v, ext_w, -1)
+            return apply(ext)
 
-        def col_filt(v, g):
-            if rows_ok:
-                ext = halo_exchange(v, g.size // 2, ra, R, axis=-2)
-            else:
-                ext = fb.symmetric_extend(v, g.size // 2, -2)
-            return fb.filter_from_ext(ext, g, -2)
-
-        def row_filt(v, g):
-            if cols_ok:
-                ext = halo_exchange(v, g.size // 2, ca, Cn, axis=-1)
-            else:
-                ext = fb.symmetric_extend(v, g.size // 2, -1)
-            return fb.filter_from_ext(ext, g, -1)
-
-        def crop_unsharded(Z, level):
-            """Undo the forward's mult-of-4 pads along unsharded axes."""
-            if not rows_ok:
-                want_h = 2 * hp_shapes[level - 1][-3]
-                if Z.shape[-2] != want_h:
-                    Z = Z[..., 1:-1, :]
-                if Z.shape[-2] != want_h:
-                    raise ValueError("Sizes of highpasses are not valid for"
-                                     " the inverse transform")
-            if not cols_ok:
-                want_w = 2 * hp_shapes[level - 1][-2]
-                if Z.shape[-1] != want_w:
-                    Z = Z[..., :, 1:-1]
-                if Z.shape[-1] != want_w:
-                    raise ValueError("Sizes of highpasses are not valid for"
-                                     " the inverse transform")
-            return Z
+        def reshard(Z, axis_name, Rax, axis):
+            """Replicated -> sharded transition: keep this shard's slice."""
+            nloc = Z.shape[axis] // Rax
+            idx = lax.axis_index(axis_name)
+            return lax.dynamic_slice_in_dim(Z, idx * nloc, nloc, axis=axis)
 
         def local_inv(lowpass, *Yh):
             Z = lowpass
+            r_on = rplan[nlevels - 1]
+            c_on = cplan[nlevels - 1]
             for level in range(nlevels - 1, 0, -1):
                 yh = Yh[level]
                 lh = c2q(yh[..., 0], yh[..., 5])
                 hl = c2q(yh[..., 2], yh[..., 3])
                 hh = c2q(yh[..., 1], yh[..., 4])
 
-                y1 = col_ifilt(Z, g0b, g0a) + col_ifilt(lh, g1b, g1a)
+                def ci(v, gfa, gfb):
+                    return col_pass(v, r_on, gfa.size // 2,
+                                    lambda e: fb.ifilt_from_ext(e, gfa, gfb,
+                                                                -2))
+
+                def ri(v, gfa, gfb):
+                    return row_pass(v, c_on, gfa.size // 2,
+                                    lambda e: fb.ifilt_from_ext(e, gfa, gfb,
+                                                                -1))
+
+                y1 = ci(Z, g0b, g0a) + ci(lh, g1b, g1a)
                 if g2b is not None:
-                    y2 = col_ifilt(hl, g0b, g0a)
-                    y2bp = col_ifilt(hh, g2b, g2a)
-                    Z = (row_ifilt(y1, g0b, g0a)
-                         + row_ifilt(y2, g1b, g1a)
-                         + row_ifilt(y2bp, g2b, g2a))
+                    y2 = ci(hl, g0b, g0a)
+                    y2bp = ci(hh, g2b, g2a)
+                    Z = (ri(y1, g0b, g0a) + ri(y2, g1b, g1a)
+                         + ri(y2bp, g2b, g2a))
                 else:
-                    y2 = col_ifilt(hl, g0b, g0a) + col_ifilt(hh, g1b, g1a)
-                    Z = row_ifilt(y1, g0b, g0a) + row_ifilt(y2, g1b, g1a)
-                Z = crop_unsharded(Z, level)
+                    y2 = ci(hl, g0b, g0a) + ci(hh, g1b, g1a)
+                    Z = ri(y1, g0b, g0a) + ri(y2, g1b, g1a)
+
+                # crops only occur along not-(yet-)sharded axes; while an
+                # axis is replicated Z carries its full global extent
+                if not r_on:
+                    want_h = 2 * hp_shapes[level - 1][-3]
+                    if Z.shape[-2] != want_h:
+                        Z = Z[..., 1:-1, :]
+                    if Z.shape[-2] != want_h:
+                        raise ValueError("Sizes of highpasses are not valid"
+                                         " for the inverse transform")
+                if not c_on:
+                    want_w = 2 * hp_shapes[level - 1][-2]
+                    if Z.shape[-1] != want_w:
+                        Z = Z[..., :, 1:-1]
+                    if Z.shape[-1] != want_w:
+                        raise ValueError("Sizes of highpasses are not valid"
+                                         " for the inverse transform")
+                # replicated -> sharded transitions for the finer level
+                if not r_on and rplan[level - 1]:
+                    Z = reshard(Z, ra, R, -2)
+                    r_on = True
+                if not c_on and cplan[level - 1]:
+                    Z = reshard(Z, ca, Cn, -1)
+                    c_on = True
             yh = Yh[0]
             lh = c2q(yh[..., 0], yh[..., 5])
             hl = c2q(yh[..., 2], yh[..., 3])
             hh = c2q(yh[..., 1], yh[..., 4])
 
-            y1 = col_filt(Z, g0o) + col_filt(lh, g1o)
+            def cf(v, g):
+                return col_pass(v, r_on, g.size // 2,
+                                lambda e: fb.filter_from_ext(e, g, -2))
+
+            def rf(v, g):
+                return row_pass(v, c_on, g.size // 2,
+                                lambda e: fb.filter_from_ext(e, g, -1))
+
+            y1 = cf(Z, g0o) + cf(lh, g1o)
             if g2o is not None:
-                y2 = col_filt(hl, g0o)
-                y2bp = col_filt(hh, g2o)
-                Z = (row_filt(y1, g0o) + row_filt(y2, g1o)
-                     + row_filt(y2bp, g2o))
+                y2 = cf(hl, g0o)
+                y2bp = cf(hh, g2o)
+                Z = rf(y1, g0o) + rf(y2, g1o) + rf(y2bp, g2o)
             else:
-                y2 = col_filt(hl, g0o) + col_filt(hh, g1o)
-                Z = row_filt(y1, g0o) + row_filt(y2, g1o)
+                y2 = cf(hl, g0o) + cf(hh, g1o)
+                Z = rf(y1, g0o) + rf(y2, g1o)
             return Z
 
         shmapped = jax.shard_map(
             local_inv, mesh=self.mesh,
             in_specs=(low_spec,) + hp_specs,
-            out_specs=P(da, rax, cax), check_vma=False)
+            out_specs=spec(rplan[0], cplan[0]), check_vma=False)
 
         @jax.jit
         def run(pyr, gain_mask):

@@ -150,6 +150,26 @@ def test_sharded_inverse_with_width_crop():
     assert np.abs(rec - want).max() < 1e-12
 
 
+def test_sharded_inverse_resharding_transition():
+    """Deep pyramids whose coarse levels cannot shard no longer force a
+    fully-replicated inverse: the coarse levels run replicated and the
+    lowpass re-shards at the finest shardable level (r1 all-or-nothing)."""
+    import dtcwt_tpu as dt
+    mesh = _mesh3(2, 2, 2)
+    st = ShardedTransform2d(mesh, cols_axis="cols")
+    t = dt.Transform2d()
+    X = np.random.RandomState(21).rand(2, 256, 256)
+    ps = st.forward(X, nlevels=6)     # coarsest level: 8x8 on 2x2 spatial
+    rec = np.asarray(st.inverse(ps))
+    want = np.asarray(t.inverse(t.forward(X, nlevels=6)))
+    assert np.abs(rec - want).max() < 1e-11
+    # gain_mask through the transitioning inverse
+    gm = np.linspace(0.0, 1.5, 36).reshape(6, 6)
+    got = np.asarray(st.inverse(ps, gm))
+    want_g = np.asarray(t.inverse(t.forward(X, nlevels=6), gm))
+    assert np.abs(got - want_g).max() < 1e-11
+
+
 def test_sharded_degraded_plan_warns(caplog):
     """Silent loss of parallelism is no longer silent: an unusable mesh axis
     logs a warning (once per built configuration)."""
