@@ -275,22 +275,29 @@ class ShardedTransform3d:
             # grid doubles
             return low_shape[-3] * (2 ** (nlevels - 1 - level)) // 2
 
-        # Depth sharding through the whole inverse needs: crop-free depth
-        # (shapes exactly double per level), every level's local depth even
-        # and >= the halo, and odd-length level-1 synthesis filters (the
-        # even-filter rule trims global samples).
-        ok = R > 1 and g0o.size % 2 == 1
-        for level in range(nlevels - 1, 0, -1):
-            dr, want = dshape(level), dshape(level - 1)
-            ok = ok and (2 * dr == want)
-            ok = ok and (2 * dr) % R == 0 and ((2 * dr) // R) % 2 == 0
-        if nlevels >= 1:
-            ok = ok and (2 * dshape(0)) % R == 0
-        lowd = low_shape[-3]
-        ok = ok and lowd % R == 0 and (lowd // R) % 2 == 0 \
-            and (lowd // R) >= halo2
+        # Per-level depth plan: the largest crop-free suffix of fine levels
+        # whose local depths stay shardable runs depth-sharded; coarser
+        # levels run replicated (they are tiny) and the lowpass re-shards
+        # once at the transition.  Even-length level-1 synthesis filters
+        # trim global samples, so they force the whole plan replicated.
+        def level_ok(l):
+            d_in = 2 * dshape(l) if l < nlevels - 1 else low_shape[-3]
+            halo = halo2 if l > 0 else max(halo1, halo2)
+            return (d_in % R == 0 and (d_in // R) % 2 == 0
+                    and (d_in // R) >= halo)
 
-        if not ok:
+        def cropfree_d(l):
+            return 2 * dshape(l + 1) == dshape(l)
+
+        plan = [False] * nlevels
+        if R > 1 and g0o.size % 2 == 1:
+            for start in range(nlevels - 1, -1, -1):
+                if (all(level_ok(l) for l in range(start + 1))
+                        and all(cropfree_d(l) for l in range(start))):
+                    plan[:start + 1] = [True] * (start + 1)
+                    break
+
+        if not plan[0]:
             if R > 1:
                 logger.warning(
                     "ShardedTransform3d.inverse: pyramid shapes (lowpass %s)"
@@ -304,22 +311,32 @@ class ShardedTransform3d:
                 return single._inverse_impl(pyr)
             return run_repl
 
-        sharded_spec = P(da, ra, None, None)
+        def spec(on, hp=False):
+            base = (da, ra if on else None, None, None)
+            return P(*(base + ((None,) if hp else ())))
+
+        low_spec = spec(plan[nlevels - 1])
         hp_specs = tuple(
-            None if hp_shapes[l] is None else P(da, ra, None, None, None)
+            None if hp_shapes[l] is None else spec(plan[l], hp=True)
             for l in range(nlevels))
 
-        def depth_ifilt(v, ga, gb):
-            ext = halo_exchange(v, ga.size // 2, ra, R, axis=-3)
+        def depth_ifilt(v, ga, gb, on):
+            if on:
+                ext = halo_exchange(v, ga.size // 2, ra, R, axis=-3)
+            else:
+                ext = fb.symmetric_extend(v, ga.size // 2, -3)
             return fb.ifilt_from_ext(ext, ga, gb, -3)
 
-        def depth_filt(v, g):
-            ext = halo_exchange(v, g.size // 2, ra, R, axis=-3)
+        def depth_filt(v, g, on):
+            if on:
+                ext = halo_exchange(v, g.size // 2, ra, R, axis=-3)
+            else:
+                ext = fb.symmetric_extend(v, g.size // 2, -3)
             return fb.filter_from_ext(ext, g, -3)
 
         crop = 1 if self.ext_mode == 4 else 2
 
-        def synth2(oct_):
+        def synth2(oct_, on):
             """Level >= 2 separable synthesis, reference pass order
             (-2, -3, -1) with the depth (-3) pass halo-exchanged."""
             U = {}
@@ -329,12 +346,12 @@ class ShardedTransform3d:
                                  + fb.ifilt_axis(oct_[(i, 1, k)], g1b, g1a, -2))
             V = {}
             for k in range(2):
-                V[k] = depth_ifilt(U[(0, k)], g0b, g0a) \
-                    + depth_ifilt(U[(1, k)], g1b, g1a)
+                V[k] = depth_ifilt(U[(0, k)], g0b, g0a, on) \
+                    + depth_ifilt(U[(1, k)], g1b, g1a, on)
             return (fb.ifilt_axis(V[0], g0b, g0a, -1)
                     + fb.ifilt_axis(V[1], g1b, g1a, -1))
 
-        def synth1(oct_):
+        def synth1(oct_, on):
             U = {}
             for i in range(2):
                 for k in range(2):
@@ -342,50 +359,62 @@ class ShardedTransform3d:
                                  + fb.filter_axis(oct_[(i, 1, k)], g1o, -2))
             V = {}
             for k in range(2):
-                V[k] = depth_filt(U[(0, k)], g0o) + depth_filt(U[(1, k)], g1o)
+                V[k] = depth_filt(U[(0, k)], g0o, on) \
+                    + depth_filt(U[(1, k)], g1o, on)
             return (fb.filter_axis(V[0], g0o, -1)
                     + fb.filter_axis(V[1], g1o, -1))
 
         def local_inv(lowpass, *Yh):
             Yl = lowpass
+            d_on = plan[nlevels - 1]
             for level in range(nlevels - 1, 0, -1):
                 oct_ = {o: c2cube(Yh[level][..., 4 * n:4 * n + 4])
                         for n, o in enumerate(_OCTANTS)}
                 oct_[(0, 0, 0)] = Yl
-                Yl = synth2(oct_)
-                # ext_mode crops on the (unsharded) H/W axes; depth crops
-                # are excluded by the sharding plan.  Reference crop rule:
-                # crop when 2*curr_grid != finer_grid (transform3d.py
-                # :505-524).
+                Yl = synth2(oct_, d_on)
+                # ext_mode crops: H/W are never sharded; depth crops only
+                # occur on the replicated stretch (plan excludes them on
+                # the sharded suffix).  Reference crop rule: crop when
+                # 2*curr_grid != finer_grid (transform3d.py:505-524).
                 curr = hp_shapes[level][-4:-1]
                 if hp_shapes[level - 1] is not None:
                     prev = hp_shapes[level - 1][-4:-1]
                 else:
                     prev = tuple(2 * s for s in curr)
+                if not d_on and 2 * curr[0] != prev[0]:
+                    Yl = lax.slice_in_dim(Yl, crop, Yl.shape[-3] - crop,
+                                          axis=-3)
                 if 2 * curr[1] != prev[1]:
                     Yl = lax.slice_in_dim(Yl, crop, Yl.shape[-2] - crop,
                                           axis=-2)
                 if 2 * curr[2] != prev[2]:
                     Yl = lax.slice_in_dim(Yl, crop, Yl.shape[-1] - crop,
                                           axis=-1)
+                if not d_on and plan[level - 1]:
+                    # replicated -> sharded transition for the finer level
+                    nloc = Yl.shape[-3] // R
+                    idx = lax.axis_index(ra)
+                    Yl = lax.dynamic_slice_in_dim(Yl, idx * nloc, nloc,
+                                                  axis=-3)
+                    d_on = True
             if nlevels >= 1:
                 if Yh[0] is None:
                     # discard_level_1 synthesis, reference pass order
                     # (-2, -3, -1); requires odd filters (plan-enforced)
                     Yl = fb.filter_axis(Yl, g0o, -2)
-                    Yl = depth_filt(Yl, g0o)
+                    Yl = depth_filt(Yl, g0o, d_on)
                     Yl = fb.filter_axis(Yl, g0o, -1)
                 else:
                     oct_ = {o: c2cube(Yh[0][..., 4 * n:4 * n + 4])
                             for n, o in enumerate(_OCTANTS)}
                     oct_[(0, 0, 0)] = Yl
-                    Yl = synth1(oct_)
+                    Yl = synth1(oct_, d_on)
             return Yl
 
         shmapped = jax.shard_map(
             local_inv, mesh=self.mesh,
-            in_specs=(sharded_spec,) + hp_specs,
-            out_specs=sharded_spec, check_vma=False)
+            in_specs=(low_spec,) + hp_specs,
+            out_specs=spec(plan[0]), check_vma=False)
 
         @jax.jit
         def run(pyr):

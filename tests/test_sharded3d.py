@@ -94,6 +94,19 @@ def test_sharded3d_depth_degrade_warns(caplog):
     assert any("depth axis" in r.message for r in caplog.records)
 
 
+def test_sharded3d_inverse_resharding_transition():
+    """Deep pyramids with unshardable coarse levels keep their fine levels
+    depth-sharded: replicated coarse synthesis, one re-shard slice."""
+    mesh = _mesh(2, 4)
+    st = ShardedTransform3d(mesh)
+    t = Transform3d()
+    X = RNG.rand(2, 64, 32, 32)
+    ps = st.forward(X, nlevels=4)       # coarsest depth 4 < halo on 4 shards
+    rec = np.asarray(st.inverse(ps))
+    want = np.asarray(t.inverse(t.forward(X, nlevels=4)))
+    assert np.abs(rec - want).max() < 1e-11
+
+
 def test_sharded3d_grad_flows():
     mesh = _mesh(2, 4)
     st = ShardedTransform3d(mesh)
