@@ -96,6 +96,42 @@ def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
     g1r = tuple(float(v) for v in g1[::-1])
     g2r = tuple(float(v) for v in g2[::-1]) if bp else None
 
+    # Row-stage banded MXU operators: per-tap sublane shifts each cost a
+    # VMEM relayout, so the full-res z correlation and the two-phase
+    # polyphase pair convolutions run as matmuls instead (operand = the
+    # slab / the concatenated [P0; P1] pair slabs).
+    use_mxu = not _interpret()
+    zrows = tr + 2 * _PAD
+    qrows = tr // 2 + 2 * _PADQ
+    if use_mxu:
+        Az = np.zeros((tr, zrows), np.float32)
+        for r_ in range(tr):
+            for k_, tv in enumerate(g0[::-1]):
+                Az[r_, _PAD - p0 + r_ + k_] += float(tv)
+
+        def _qmat(h, pad_f):
+            hr = h[::-1]
+            n = tr // 2
+            A = np.zeros((2 * n, 2 * qrows), np.float32)
+            for idx in range(h.size):
+                d = idx - pad_f
+                tv = float(hr[idx])
+                for j in range(n):
+                    if d % 2 == 0:
+                        u = d // 2
+                        A[j, _PADQ + u + j] += tv
+                        A[n + j, qrows + _PADQ + u + j] += tv
+                    else:
+                        u = (d - 1) // 2
+                        A[j, qrows + _PADQ + u + j] += tv
+                        A[n + j, _PADQ + u + 1 + j] += tv
+            return A
+
+        Az = Az.astype(dtype)
+        Aq0 = _qmat(g0, p0).astype(dtype)
+        Aq1 = _qmat(g1, p1).astype(dtype)
+        Aq2 = _qmat(g2, p2).astype(dtype) if bp else None
+
     def conv_full(slab, taps, pad_f):
         """Plain sublane correlation of a full-res slab (tr outputs)."""
         acc = None
@@ -159,8 +195,14 @@ def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
             oo = so if oo is None else oo + so
         return oe, oo
 
-    def kernel(z_hbm, re_hbm, im_hbm, mz_hbm, mq_hbm, out_e_ref, out_o_ref,
-               zslabs, raw, qslabs, streams, sems):
+    def kernel(z_hbm, re_hbm, im_hbm, mz_hbm, mq_hbm, *refs):
+        if use_mxu:
+            az_ref, aq0_ref, aq1_ref = refs[0], refs[1], refs[2]
+            refs = refs[3:]
+            if bp:
+                aq2_ref = refs[0]
+                refs = refs[1:]
+        (out_e_ref, out_o_ref, zslabs, raw, qslabs, streams, sems) = refs
         b = pl.program_id(0)
         i = pl.program_id(1)
         k = pl.program_id(2)
@@ -271,16 +313,39 @@ def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
             # full-res Z part, polyphase planes for the quad parts.
             # quad slab index: 4*src + 2*rp + cp, sources (lh, hl, hh).
             for cp_ in range(2):
-                yz = conv_full(zslabs[cp_], g0r, p0)
-                yz2 = yz.reshape(tr // 2, 2, W)
-                lh_e, lh_o = conv_planes_rows(qslabs[0 + cp_],
-                                              qslabs[2 + cp_], g1, p1)
-                hl_e, hl_o = conv_planes_rows(qslabs[4 + cp_],
-                                              qslabs[6 + cp_], g0, p0)
-                hh_e, hh_o = conv_planes_rows(qslabs[8 + cp_],
-                                              qslabs[10 + cp_],
-                                              g2 if bp else g1,
-                                              p2 if bp else p1)
+                if use_mxu:
+                    yz = jnp.dot(az_ref[:, :], zslabs[cp_],
+                                 precision=jax.lax.Precision.HIGHEST,
+                                 preferred_element_type=jnp.float32
+                                 ).astype(dtype)
+                    yz2 = yz.reshape(tr // 2, 2, W)
+
+                    def rowq(base, a_ref):
+                        win = jnp.concatenate(
+                            [qslabs[base + cp_], qslabs[base + 2 + cp_]],
+                            axis=0)
+                        y = jnp.dot(a_ref[:, :], win,
+                                    precision=jax.lax.Precision.HIGHEST,
+                                    preferred_element_type=jnp.float32
+                                    ).astype(dtype)
+                        n = tr // 2
+                        return (lax.slice_in_dim(y, 0, n, axis=0),
+                                lax.slice_in_dim(y, n, 2 * n, axis=0))
+
+                    lh_e, lh_o = rowq(0, aq1_ref)
+                    hl_e, hl_o = rowq(4, aq0_ref)
+                    hh_e, hh_o = rowq(8, aq2_ref if bp else aq1_ref)
+                else:
+                    yz = conv_full(zslabs[cp_], g0r, p0)
+                    yz2 = yz.reshape(tr // 2, 2, W)
+                    lh_e, lh_o = conv_planes_rows(qslabs[0 + cp_],
+                                                  qslabs[2 + cp_], g1, p1)
+                    hl_e, hl_o = conv_planes_rows(qslabs[4 + cp_],
+                                                  qslabs[6 + cp_], g0, p0)
+                    hh_e, hh_o = conv_planes_rows(qslabs[8 + cp_],
+                                                  qslabs[10 + cp_],
+                                                  g2 if bp else g1,
+                                                  p2 if bp else p1)
                 streams[0, 2 * 0 + cp_] = yz2[:, 0, :] + lh_e   # y1 rp0
                 streams[1, 2 * 0 + cp_] = yz2[:, 1, :] + lh_o   # y1 rp1
                 if bp:
@@ -313,12 +378,19 @@ def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
                 ref[0] = jnp.stack(outs, axis=1).reshape(tr, C2)
 
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    in_specs = [hbm, hbm, hbm, hbm, hbm]
+    if use_mxu:
+        in_specs.append(pl.BlockSpec((tr, zrows), lambda b, i, k: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        aq_spec = pl.BlockSpec((tr, 2 * qrows), lambda b, i, k: (0, 0),
+                               memory_space=pltpu.VMEM)
+        in_specs += [aq_spec, aq_spec] + ([aq_spec] if bp else [])
     out_spec = pl.BlockSpec((1, tr, C2), lambda b, i, k: (b, i, 0),
                             memory_space=pltpu.VMEM)
     call = pl.pallas_call(
         kernel,
         grid=(B, n_tiles, 3),
-        in_specs=[hbm, hbm, hbm, hbm, hbm],
+        in_specs=in_specs,
         out_specs=(out_spec, out_spec),
         out_shape=(jax.ShapeDtypeStruct((B, H, C2), dtype),
                    jax.ShapeDtypeStruct((B, H, C2), dtype)),
@@ -331,6 +403,9 @@ def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
         interpret=_interpret(),
     )
+    if use_mxu:
+        mats = (Az, Aq0, Aq1) + ((Aq2,) if bp else ())
+        return lambda *xs: call(*xs, *mats)
     return call
 
 

@@ -139,8 +139,8 @@ def _build_ilevel2(B: int, L: int, C2: int, g0abytes: bytes, g0bbytes: bytes,
             continue
         if t % _SUBLANE:
             continue
-        # 16 raw + 12 quad slabs + persisted streams + live temporaries
-        if (28 * (t + 2 * _PAD) + 8 * n_str * t
+        # 2x16 double-buffered raw + 12 quad slabs + streams + temps
+        if (44 * (t + 2 * _PAD) + 8 * n_str * t
                 + t * temp_rows <= budget_rows):
             tq = t
             break
@@ -189,99 +189,10 @@ def _build_ilevel2(B: int, L: int, C2: int, g0abytes: bytes, g0bbytes: bytes,
         i = pl.program_id(1)
         k = pl.program_id(2)
 
-        @pl.when(k == 0)
-        def _():
-            g0 = i * tq
-
-            # Overlapped rectangular DMAs: z/re/im interiors into the
-            # margin-aligned lane window, plus the pre-flipped margin strip
-            # into the two 128-lane margin blocks.
-            def start_all(src_lo, nrows, dst_lo):
-                cps = [
-                    pltpu.make_async_copy(
-                        z_hbm.at[b, :, pl.ds(src_lo, nrows), :],
-                        raw.at[pl.ds(0, 4), pl.ds(dst_lo, nrows),
-                               pl.ds(G, C2)],
-                        sems.at[0]),
-                    pltpu.make_async_copy(
-                        re_hbm.at[b, :, pl.ds(src_lo, nrows), :],
-                        raw.at[pl.ds(4, 6), pl.ds(dst_lo, nrows),
-                               pl.ds(G, C2)],
-                        sems.at[1]),
-                    pltpu.make_async_copy(
-                        im_hbm.at[b, :, pl.ds(src_lo, nrows), :],
-                        raw.at[pl.ds(10, 6), pl.ds(dst_lo, nrows),
-                               pl.ds(G, C2)],
-                        sems.at[2]),
-                    pltpu.make_async_copy(
-                        mg_hbm.at[b, :, pl.ds(src_lo, nrows), pl.ds(0, G)],
-                        raw.at[:, pl.ds(dst_lo, nrows), pl.ds(0, G)],
-                        sems.at[3]),
-                    pltpu.make_async_copy(
-                        mg_hbm.at[b, :, pl.ds(src_lo, nrows), pl.ds(G, G)],
-                        raw.at[:, pl.ds(dst_lo, nrows), pl.ds(G + C2, G)],
-                        sems.at[4]),
-                ]
-                for c in cps:
-                    c.start()
-                for c in cps:
-                    c.wait()
-
-            if n_tiles == 1:
-                start_all(0, tq, _PAD)
-            else:
-                @pl.when(i == 0)
-                def _():
-                    start_all(0, tq + _PAD, _PAD)
-
-                src0 = pl.multiple_of(g0 - _PAD, _SUBLANE)
-
-                if n_tiles > 2:
-                    @pl.when(jnp.logical_and(i > 0, i < n_tiles - 1))
-                    def _():
-                        start_all(src0, tq + 2 * _PAD, 0)
-
-                @pl.when(i == n_tiles - 1)
-                def _():
-                    start_all(src0, tq + _PAD, 0)
-
-            # Quad slabs: whole-slab VPU combinations of the re/im band
-            # planes (c2q in parity-plane space): for pair (A, B)
-            #   (rp0,cp0)=s(reA+reB)  (rp0,cp1)=s(imA+imB)
-            #   (rp1,cp0)=s(imA-imB)  (rp1,cp1)=s(reB-reA)
-            sc = jnp.asarray(s_half, dtype)
-            for src, (A, B) in enumerate(_PAIRS):
-                reA, reB = raw[4 + A], raw[4 + B]
-                imA, imB = raw[10 + A], raw[10 + B]
-                qs[4 * src + 0] = (reA + reB) * sc
-                qs[4 * src + 1] = (imA + imB) * sc
-                qs[4 * src + 2] = (imA - imB) * sc
-                qs[4 * src + 3] = (reB - reA) * sc
-
-            # Mirror fills: plane[g0 + s - _PAD] lives at slab row s; on
-            # the first/last tile the halo rows are the parity-swapped
-            # reflection (P0[-u] = P1[u-1], P0[L+u] = P1[L-1-u]).
-            @pl.when(i == 0)
-            def _():
-                for p in range(4):
-                    for s in range(_PAD):
-                        raw[p, s, :] = raw[p ^ 2, 2 * _PAD - 1 - s, :]
-                for p in range(12):
-                    for s in range(_PAD):
-                        qs[p, s, :] = qs[p ^ 2, 2 * _PAD - 1 - s, :]
-
-            @pl.when(i == n_tiles - 1)
-            def _():
-                for p in range(4):
-                    for s in range(tq + _PAD, tq + 2 * _PAD):
-                        raw[p, s, :] = raw[p ^ 2, 2 * (tq + _PAD) - 1 - s, :]
-                for p in range(12):
-                    for s in range(tq + _PAD, tq + 2 * _PAD):
-                        qs[p, s, :] = qs[p ^ 2, 2 * (tq + _PAD) - 1 - s, :]
-
+        def run_stages(buf):
             def src_plane(src_idx, phase, cp):
                 if src_idx == 0:
-                    return raw[2 * phase + cp]
+                    return raw[buf, 2 * phase + cp]
                 return qs[4 * (src_idx - 1) + 2 * phase + cp]
 
             # Row-direction (column) interpolation stage: for each column
@@ -333,6 +244,128 @@ def _build_ilevel2(B: int, L: int, C2: int, g0abytes: bytes, g0bbytes: bytes,
                         streams[2, 2 * t + cp] = hh_s[t]          # y2bp
                     else:
                         streams[1, 2 * t + cp] = hl_s[t] + hh_s[t]
+
+
+        @pl.when(k == 0)
+        def _():
+            t = b * n_tiles + i
+            total = B * n_tiles
+
+            # Overlapped rectangular DMAs (z/re/im interiors into the
+            # margin-aligned lane window + margin strips), double-buffered:
+            # tile t uses raw[t % 2] and issues tile t+1's copies right
+            # after its own wait so they overlap this tile's compute.
+            def _dma_all(t_, buf, start: bool):
+                b_ = t_ // n_tiles
+                i_ = t_ % n_tiles
+
+                def op(src_lo, nrows, dst_lo):
+                    cps = [
+                        pltpu.make_async_copy(
+                            z_hbm.at[b_, :, pl.ds(src_lo, nrows), :],
+                            raw.at[buf, pl.ds(0, 4), pl.ds(dst_lo, nrows),
+                                   pl.ds(G, C2)],
+                            sems.at[buf, 0]),
+                        pltpu.make_async_copy(
+                            re_hbm.at[b_, :, pl.ds(src_lo, nrows), :],
+                            raw.at[buf, pl.ds(4, 6), pl.ds(dst_lo, nrows),
+                                   pl.ds(G, C2)],
+                            sems.at[buf, 1]),
+                        pltpu.make_async_copy(
+                            im_hbm.at[b_, :, pl.ds(src_lo, nrows), :],
+                            raw.at[buf, pl.ds(10, 6), pl.ds(dst_lo, nrows),
+                                   pl.ds(G, C2)],
+                            sems.at[buf, 2]),
+                        pltpu.make_async_copy(
+                            mg_hbm.at[b_, :, pl.ds(src_lo, nrows),
+                                      pl.ds(0, G)],
+                            raw.at[buf, :, pl.ds(dst_lo, nrows),
+                                   pl.ds(0, G)],
+                            sems.at[buf, 3]),
+                        pltpu.make_async_copy(
+                            mg_hbm.at[b_, :, pl.ds(src_lo, nrows),
+                                      pl.ds(G, G)],
+                            raw.at[buf, :, pl.ds(dst_lo, nrows),
+                                   pl.ds(G + C2, G)],
+                            sems.at[buf, 4]),
+                    ]
+                    for c in cps:
+                        c.start() if start else c.wait()
+
+                if n_tiles == 1:
+                    op(0, tq, _PAD)
+                    return
+
+                @pl.when(i_ == 0)
+                def _():
+                    op(0, tq + _PAD, _PAD)
+
+                src0 = pl.multiple_of(i_ * tq - _PAD, _SUBLANE)
+
+                if n_tiles > 2:
+                    @pl.when(jnp.logical_and(i_ > 0, i_ < n_tiles - 1))
+                    def _():
+                        op(src0, tq + 2 * _PAD, 0)
+
+                @pl.when(i_ == n_tiles - 1)
+                def _():
+                    op(src0, tq + _PAD, 0)
+
+            def stage(buf):
+                @pl.when(t == 0)
+                def _():
+                    _dma_all(t, buf, True)
+                _dma_all(t, buf, False)
+
+                @pl.when(t + 1 < total)
+                def _():
+                    _dma_all(t + 1, 1 - buf, True)
+
+                # Quad slabs: whole-slab VPU combinations of the re/im band
+                # planes (c2q in parity-plane space): for pair (A, B)
+                #   (rp0,cp0)=s(reA+reB)  (rp0,cp1)=s(imA+imB)
+                #   (rp1,cp0)=s(imA-imB)  (rp1,cp1)=s(reB-reA)
+                sc = jnp.asarray(s_half, dtype)
+                for src, (A, B) in enumerate(_PAIRS):
+                    reA, reB = raw[buf, 4 + A], raw[buf, 4 + B]
+                    imA, imB = raw[buf, 10 + A], raw[buf, 10 + B]
+                    qs[4 * src + 0] = (reA + reB) * sc
+                    qs[4 * src + 1] = (imA + imB) * sc
+                    qs[4 * src + 2] = (imA - imB) * sc
+                    qs[4 * src + 3] = (reB - reA) * sc
+
+                # Mirror fills: plane[g0 + s - _PAD] lives at slab row s; on
+                # the first/last tile the halo rows are the parity-swapped
+                # reflection (P0[-u] = P1[u-1], P0[L+u] = P1[L-1-u]).
+                @pl.when(i == 0)
+                def _():
+                    for p in range(4):
+                        for s in range(_PAD):
+                            raw[buf, p, s, :] = raw[buf, p ^ 2,
+                                                    2 * _PAD - 1 - s, :]
+                    for p in range(12):
+                        for s in range(_PAD):
+                            qs[p, s, :] = qs[p ^ 2, 2 * _PAD - 1 - s, :]
+
+                @pl.when(i == n_tiles - 1)
+                def _():
+                    for p in range(4):
+                        for s in range(tq + _PAD, tq + 2 * _PAD):
+                            raw[buf, p, s, :] = raw[
+                                buf, p ^ 2, 2 * (tq + _PAD) - 1 - s, :]
+                    for p in range(12):
+                        for s in range(tq + _PAD, tq + 2 * _PAD):
+                            qs[p, s, :] = qs[p ^ 2, 2 * (tq + _PAD) - 1 - s, :]
+
+                run_stages(buf)
+
+            @pl.when(t % 2 == 0)
+            def _():
+                stage(0)
+
+            @pl.when(t % 2 == 1)
+            def _():
+                stage(1)
 
         # Lane stage: one output row-parity per grid step.  The two row
         # streams of that parity (s = rp and s = rp+2) interleave in-kernel
@@ -390,10 +423,10 @@ def _build_ilevel2(B: int, L: int, C2: int, g0abytes: bytes, g0bbytes: bytes,
         in_specs=in_specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((B, 2, 4, 2 * L, C2), dtype),
-        scratch_shapes=[pltpu.VMEM((16, tq + 2 * _PAD, W), dtype),
+        scratch_shapes=[pltpu.VMEM((2, 16, tq + 2 * _PAD, W), dtype),
                         pltpu.VMEM((12, tq + 2 * _PAD, W), dtype),
                         pltpu.VMEM((n_str, 8, tq, W), dtype),
-                        pltpu.SemaphoreType.DMA((5,))],
+                        pltpu.SemaphoreType.DMA((2, 5))],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
         interpret=_interpret(),
