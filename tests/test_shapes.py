@@ -72,7 +72,9 @@ def test_transform1d_shapes(N, C, nlevels):
         n //= 2
         assert p.highpasses[level].shape == (n, C)
         assert p.highpasses[level].dtype == jnp.complex128
-    assert p.lowpass.shape == (n, C)
+    # the lowpass is always twice the coarsest subband (level 1 is
+    # undecimated; every further level halves both together)
+    assert p.lowpass.shape == (2 * n, C)
 
 
 @pytest.mark.parametrize("shape,nlevels,ext_mode", [
