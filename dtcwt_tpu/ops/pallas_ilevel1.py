@@ -46,7 +46,7 @@ __all__ = ["inv_level1"]
 _MARGIN = 128            # boundary columns per side (DMA lane alignment)
 _PAD = 16                # halo rows for the full-res (Z) slabs
 _PADQ = 8                # halo rows for the half-res quad-plane slabs
-_TILE_BYTES = 14 * 1024 * 1024
+_TILE_BYTES = 24 * 1024 * 1024
 
 # band pairs per quad source: lh=(0,5), hl=(2,3), hh=(1,4)
 _PAIRS = ((0, 5), (2, 3), (1, 4))
@@ -400,7 +400,8 @@ def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
                         pltpu.VMEM((2, 2 * n_str, tr // 2, W), dtype),
                         pltpu.SemaphoreType.DMA((7,))],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )
     if use_mxu:

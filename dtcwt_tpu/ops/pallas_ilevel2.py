@@ -62,7 +62,7 @@ __all__ = ["inv_level2"]
 
 _MARGIN = 128            # boundary columns per side (DMA lane alignment)
 _PAD = 8                 # row halo per plane (covers m2//2 + 2 for m <= 18)
-_TILE_BYTES = 14 * 1024 * 1024
+_TILE_BYTES = 24 * 1024 * 1024
 
 # band pairs per quad source: lh=(0,5), hl=(2,3), hh=(1,4)
 _PAIRS = ((0, 5), (2, 3), (1, 4))
@@ -428,7 +428,8 @@ def _build_ilevel2(B: int, L: int, C2: int, g0abytes: bytes, g0bbytes: bytes,
                         pltpu.VMEM((n_str, 8, tq, W), dtype),
                         pltpu.SemaphoreType.DMA((2, 5))],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )
     if use_mxu:

@@ -55,7 +55,7 @@ from dtcwt_tpu.ops.pallas_fb import (
 __all__ = ["fwd_level1"]
 
 _MARGIN = 64              # reflected boundary columns per side (split units)
-_TILE_BYTES = 14 * 1024 * 1024
+_TILE_BYTES = 24 * 1024 * 1024
 
 
 def _corr_rows(ext, taps, n_out: int, offset: int):
@@ -350,7 +350,8 @@ def _build_level1(B: int, R: int, C2: int, h0bytes: bytes, h1bytes: bytes,
                         pltpu.VMEM((2 * n_br, tr, W), dtype),
                         pltpu.SemaphoreType.DMA((2, 2))],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )
     if use_mxu:

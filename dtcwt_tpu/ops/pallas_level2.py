@@ -52,7 +52,7 @@ from dtcwt_tpu.ops.pallas_fb import (
 __all__ = ["fwd_level2"]
 
 _MARGIN = 64              # boundary columns per side, in quarter-phase units
-_TILE_BYTES = 14 * 1024 * 1024
+_TILE_BYTES = 24 * 1024 * 1024
 
 
 def _split_taps(h: np.ndarray):
@@ -408,7 +408,8 @@ def _build_level2(B: int, R: int, C4: int, h0abytes: bytes, h0bbytes: bytes,
                         pltpu.VMEM((2 * n_br, 4, tq, W), dtype),
                         pltpu.SemaphoreType.DMA((2, 4))],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )
     if use_mxu:
