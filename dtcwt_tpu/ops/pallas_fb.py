@@ -112,6 +112,7 @@ def _pick_tile(n_units: int, rows_per_unit: int, C: int, pad8: int,
     count covers the halo; None if no valid tile exists (caller falls back
     to XLA).  *temp_rows_per_unit* estimates the unrolled-tap temporary rows
     per output unit (~the total sub-filter tap count)."""
+    strict = not _interpret()
     budget_rows = max(_TILE_BYTES // max(C * max(itemsize, 4), 1), 1)
     best = None
     for t in (n_units, 512, 384, 256, 192, 128, 96, 64, 48, 32, 16, 8, 4, 2, 1):
@@ -120,8 +121,14 @@ def _pick_tile(n_units: int, rows_per_unit: int, C: int, pad8: int,
         t_in = t * rows_per_unit
         if t_in < pad8:
             continue
-        if t < n_units and t_in % _SUBLANE:
-            continue   # multi-tile DMA offsets must be provably 8-aligned
+        if (strict or t < n_units) and t_in % _SUBLANE:
+            # DMA slice sizes (not just offsets) must be sublane-aligned:
+            # Mosaic rejects e.g. a 130-row HBM->VMEM copy even at offset 0
+            # ("slice shape along dimension 1 must be aligned to tiling"),
+            # including the single-tile whole-axis copy.  The interpreter
+            # has no such limit — stay loose there so CPU tests keep their
+            # coverage of the in-kernel mirror fills at awkward sizes.
+            continue
         if t_in + 2 * pad8 + t * temp_rows_per_unit <= budget_rows:
             best = t if best is None else max(best, t)
             if t == n_units:

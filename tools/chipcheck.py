@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Real-hardware kernel validation sweep.
+
+The Pallas CPU interpreter accepts programs Mosaic rejects (strided vector
+slices, unaligned DMA offsets, scoped-VMEM overflows all pass CPU tests and
+fail on the chip), so CI greenness does not prove the kernels lower.  This
+script is the automated version of the post-change discipline: run every
+fused/primitive kernel configuration the library dispatches to, on the real
+device, and compare against the XLA engine.
+
+Exit code 0 = every configuration matched; prints one line per check.
+
+Usage: python tools/chipcheck.py          (needs the TPU visible to JAX)
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.realpath(
+    os.path.join(os.path.dirname(__file__), '..')))
+
+import numpy as np
+
+TOL = 1e-3   # f32 engine-parity bar (reference's own OpenCL bar, 1e-3)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import dtcwt_tpu as dt
+    from dtcwt_tpu.ops import engine
+
+    if jax.default_backend() == "cpu":
+        print("WARNING: running on CPU — this only exercises the "
+              "interpreter, not Mosaic. Run with the TPU visible.")
+
+    failures = []
+
+    def check(name, got, want):
+        err = float(np.abs(np.asarray(got) - np.asarray(want)).max())
+        status = "ok" if err < TOL else "FAIL"
+        print("%-52s %s  (err %.2e)" % (name, status, err))
+        if err >= TOL:
+            failures.append(name)
+
+    def split(z):
+        re, im = jax.jit(lambda a: (a.real, a.imag))(z)
+        return np.asarray(re) + 1j * np.asarray(im)
+
+    rng = np.random.RandomState(0)
+
+    # 2-D: every family class x representative shapes, fwd + inv
+    cases = [
+        ("near_sym_a", "qshift_a"), ("near_sym_b", "qshift_b"),
+        ("near_sym_b_bp", "qshift_b_bp"), ("antonini", "qshift_c"),
+        ("legall", "qshift_d"),
+    ]
+    shapes = [(512, 512), (4, 256, 384), (130, 256)]
+    for biort, qshift in cases:
+        t = dt.Transform2d(biort, qshift)
+        for shape in shapes:
+            x = rng.rand(*shape).astype(np.float32)
+            p = t.forward(x, 3)
+            with engine.engine("xla"):
+                pw = t.forward(x, 3)
+                rw = t.inverse(pw)
+            for lvl, (a, b) in enumerate(zip(p.highpasses, pw.highpasses)):
+                check("2d %s %s fwd L%d" % (biort, shape, lvl),
+                      split(a), split(b))
+            check("2d %s %s inv" % (biort, shape), t.inverse(p), rw)
+
+    # gain_mask through the fused inverse
+    t = dt.Transform2d()
+    x = rng.rand(512, 512).astype(np.float32)
+    gm = np.linspace(0.0, 1.5, 18).reshape(6, 3).astype(np.float32)
+    p = t.forward(x, 3)
+    with engine.engine("xla"):
+        want = t.inverse(p, gm)
+    check("2d gain_mask inv", t.inverse(p, gm), want)
+
+    # 1-D incl. lane folding at r == halo (16-tap qshift_c)
+    for fam, N in [("qshift_a", 1 << 16), ("qshift_c", 16384)]:
+        t1 = dt.Transform1d("near_sym_a", fam)
+        s = rng.rand(N).astype(np.float32)
+        p1 = t1.forward(s, 5)
+        with engine.engine("xla"):
+            w1 = t1.inverse(t1.forward(s, 5))
+        check("1d %s N=%d roundtrip" % (fam, N), t1.inverse(p1), w1)
+
+    # 3-D whole-volume path
+    t3 = dt.Transform3d()
+    v = rng.rand(64, 64, 64).astype(np.float32)
+    p3 = t3.forward(v, 3)
+    with engine.engine("xla"):
+        w3 = t3.inverse(t3.forward(v, 3))
+    check("3d 64^3 roundtrip", t3.inverse(p3), w3)
+
+    # gradient through the Pallas dispatch (linear-transpose VJP); must run
+    # under jit — eager complex intermediates hit the axon tunnel's
+    # unimplemented complex-transfer path (CLAUDE.md)
+    g = jax.jit(jax.grad(lambda a: jnp.sum(
+        t._inverse_impl(t._forward_impl(a, nlevels=2, include_scale=False),
+                        None) ** 2)))(jnp.asarray(x))
+    ok = bool(np.isfinite(np.asarray(g)).all())
+    print("%-52s %s" % ("grad fwd+inv finite", "ok" if ok else "FAIL"))
+    if not ok:
+        failures.append("grad")
+
+    if failures:
+        print("\n%d FAILURES: %s" % (len(failures), failures))
+        return 1
+    print("\nall kernel configurations match the XLA engine on %s"
+          % jax.default_backend())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
