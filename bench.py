@@ -64,6 +64,19 @@ def main():
             return c + s * 0.0, s
         return jax.lax.scan(body, a, None, length=iters)[1].sum()
 
+    # Native plane-layout roundtrip (layout='planes'): the band-major
+    # PlanePyramid the fused kernels emit/consume directly — skips the
+    # complex [..., 6] assembly and the inverse's band re-split.
+    @jax.jit
+    def run_rt_planes(a):
+        def body(c, _):
+            p = t._forward_impl(c, nlevels=3, include_scale=False,
+                                layout="planes")
+            r = t._inverse_impl(p, None)
+            s = jnp.sum(r)
+            return c + s * 0.0, s
+        return jax.lax.scan(body, a, None, length=iters)[1].sum()
+
     # subtract the scan-carry update cost (~one 4096^2 elementwise pass),
     # measured with an identity body
     @jax.jit
@@ -75,10 +88,12 @@ def main():
 
     fwd_s = timed(run_fwd)
     rt_s = timed(run_rt)
+    rtp_s = timed(run_rt_planes)
     carry_s = timed(run_carry)
 
     fwd_frame = max(fwd_s - carry_s, 1e-9)
     rt_frame = max(rt_s - carry_s, 1e-9)
+    rtp_frame = max(rtp_s - carry_s, 1e-9)
     fwd_fps = 1.0 / fwd_frame
     rt_fps = 1.0 / rt_frame
     print(json.dumps({
@@ -91,6 +106,8 @@ def main():
         "forward_ms": round(fwd_frame * 1e3, 2),
         "inverse_ms": round((rt_frame - fwd_frame) * 1e3, 2),
         "roundtrip_ms": round(rt_frame * 1e3, 2),
+        "roundtrip_planes_ms": round(rtp_frame * 1e3, 2),
+        "roundtrip_planes_fps": round(1.0 / rtp_frame, 2),
     }))
 
 

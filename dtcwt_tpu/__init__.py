@@ -11,13 +11,15 @@ swappable NumPy/OpenCL/TF backends.
 
 from dtcwt_tpu._version import __version__
 from dtcwt_tpu.coeffs import biort, qshift, BIORT_NAMES, QSHIFT_NAMES
-from dtcwt_tpu.transforms.pyramid import Pyramid
+from dtcwt_tpu.transforms.pyramid import (
+    Pyramid, PlanePyramid, PLANE_BAND_ORDER)
 from dtcwt_tpu.transforms.transform1d import Transform1d
 from dtcwt_tpu.transforms.transform2d import Transform2d
 
 __all__ = [
     "__version__",
-    "Pyramid", "Transform1d", "Transform2d", "Transform3d",
+    "Pyramid", "PlanePyramid", "PLANE_BAND_ORDER",
+    "Transform1d", "Transform2d", "Transform3d",
     "biort", "qshift", "BIORT_NAMES", "QSHIFT_NAMES",
     "backend_name", "push_backend", "pop_backend", "preserve_backend_stack",
 ]

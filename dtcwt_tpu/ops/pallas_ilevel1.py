@@ -50,11 +50,14 @@ _TILE_BYTES = 24 * 1024 * 1024
 
 # band pairs per quad source: lh=(0,5), hl=(2,3), hh=(1,4)
 _PAIRS = ((0, 5), (2, 3), (1, 4))
+# the same pairs at their PLANE_BAND_ORDER (0,5,1,4,2,3) positions
+_PAIRS_PO = ((0, 1), (4, 5), (2, 3))
 
 
 @functools.lru_cache(maxsize=None)
 def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
-                   dtype_str: str, g2bytes: bytes = None):
+                   dtype_str: str, g2bytes: bytes = None,
+                   pair_order: bool = False):
     """H = full rows, C2 = W/2 column-plane width (x128 on TPU).  *g2bytes*
     supplies the bandpass variant's third synthesis filter (reference
     ``numpy/transform2d.py:280-291``)."""
@@ -275,7 +278,8 @@ def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
 
             # Quad slabs: whole-slab VPU c2q in parity-plane space.
             sc = jnp.asarray(s_half, dtype)
-            for src, (A, Bb) in enumerate(_PAIRS):
+            for src, (A, Bb) in enumerate(_PAIRS_PO if pair_order
+                                          else _PAIRS):
                 reA, reB = raw[A], raw[Bb]
                 imA, imB = raw[6 + A], raw[6 + Bb]
                 qslabs[4 * src + 0] = (reA + reB) * sc
@@ -410,7 +414,7 @@ def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
     return call
 
 
-def inv_level1(Z, yh, g0o, g1o, planes=None, g2o=None
+def inv_level1(Z, yh, g0o, g1o, planes=None, g2o=None, bands=None
                ) -> Optional[jnp.ndarray]:
     """Fused level-1 inverse.  *Z* is the ``[..., H, W]`` real lowpass, *yh*
     the ``[..., H/2, W/2, 6]`` complex level-1 highpasses; returns the
@@ -419,7 +423,10 @@ def inv_level1(Z, yh, g0o, g1o, planes=None, g2o=None
     *planes* accepts the previous fused level's ``as_planes=True`` output
     (``(p00, p01, p10, p11)`` (row-parity, col-parity) quarter planes of the
     lowpass) in place of *Z*, skipping the interleaved-image round trip
-    between levels (see :func:`pallas_ilevel2.inv_level2`)."""
+    between levels (see :func:`pallas_ilevel2.inv_level2`).  *bands*
+    accepts the subbands as the plane-layout pair ``(re, im)`` — band-major
+    ``[..., 6, H/2, W/2]`` f32 planes in PLANE_BAND_ORDER — in place of
+    *yh*, skipping the band transpose."""
     g0 = np.asarray(g0o, np.float64).reshape(-1)
     g1 = np.asarray(g1o, np.float64).reshape(-1)
     g2 = None if g2o is None else np.asarray(g2o, np.float64).reshape(-1)
@@ -433,11 +440,17 @@ def inv_level1(Z, yh, g0o, g1o, planes=None, g2o=None
         zdim, zdtype = Z.ndim, Z.dtype
     if zdim < 2 or zdtype not in (jnp.float32, jnp.bfloat16):
         return None
-    if not jnp.issubdtype(yh.dtype, jnp.complexfloating):
-        return None
+    if bands is not None:
+        if bands[0].dtype not in (jnp.float32, jnp.bfloat16):
+            return None
+        if bands[0].shape[-3:] != (6, H // 2, Wd // 2):
+            return None
+    else:
+        if not jnp.issubdtype(yh.dtype, jnp.complexfloating):
+            return None
+        if yh.shape[-3:] != (H // 2, Wd // 2, 6):
+            return None
     if H % 2 or Wd % 2:
-        return None
-    if yh.shape[-3:] != (H // 2, Wd // 2, 6):
         return None
     C2 = Wd // 2
     if not _interpret() and C2 % _LANE:
@@ -460,26 +473,40 @@ def inv_level1(Z, yh, g0o, g1o, planes=None, g2o=None
         B = z3.shape[0]
         ze, zo = z3[:, :, 0::2], z3[:, :, 1::2]
         zdtype = z3.dtype
-    yh3 = yh.reshape((B,) + yh.shape[-3:])
 
     call = _build_ilevel1(B, H, C2, g0.tobytes(), g1.tobytes(),
                           str(zdtype),
-                          None if g2 is None else g2.tobytes())
+                          None if g2 is None else g2.tobytes(),
+                          pair_order=bands is not None)
     if call is None:
         return None
 
-    # One band transpose — the only full-size XLA pass.  c2q, margins and
-    # the parity-plane stack all happen inside the kernel.
-    yhp = jnp.moveaxis(yh3, -1, 1)                 # (B, 6, h, w)
-    rep = jnp.real(yhp).astype(zdtype)
-    imp = jnp.imag(yhp).astype(zdtype)
+    L = H // 2
+    if bands is not None:
+        # Plane-layout input: band planes arrive kernel-ready — no
+        # transpose pass.  Margin partners sit adjacent (p ^ 1).
+        rep = bands[0].reshape((B, 6, L, C2)).astype(zdtype)
+        imp = bands[1].reshape((B, 6, L, C2)).astype(zdtype)
+
+        def partner(a):
+            return jnp.flip(a.reshape(B, 3, 2, L, C2),
+                            axis=2).reshape(B, 6, L, C2)
+    else:
+        # One band transpose — the only full-size XLA pass.  c2q, margins
+        # and the parity-plane stack all happen inside the kernel.
+        yh3 = yh.reshape((B,) + yh.shape[-3:])
+        yhp = jnp.moveaxis(yh3, -1, 1)             # (B, 6, h, w)
+        rep = jnp.real(yhp).astype(zdtype)
+        imp = jnp.imag(yhp).astype(zdtype)
+
+        def partner(a):
+            return jnp.flip(a, axis=1)             # degree partner 5 - A
 
     z2 = jnp.stack([ze, zo], axis=1).astype(zdtype)    # (B, 2, H, C2)
 
     # Pre-flipped margin strips [left | right]: z planes swap cp partners;
-    # re margins of band A are the flipped im edges of band 5-A (and vice
-    # versa) — c2q's quad reflection swaps the re/im roles, and 5-A is the
-    # paired band under (0,5),(2,3),(1,4).
+    # re margins of band A are the flipped im edges of its quad partner
+    # (and vice versa) — c2q's quad reflection swaps the re/im roles.
     G = _MARGIN
 
     def edges(a):
@@ -487,8 +514,8 @@ def inv_level1(Z, yh, g0o, g1o, planes=None, g2o=None
                                 jnp.flip(a[..., -G:], axis=-1)], axis=-1)
 
     mz = edges(jnp.stack([zo, ze], axis=1).astype(zdtype))
-    mq = jnp.concatenate([edges(jnp.flip(imp, axis=1)),
-                          edges(jnp.flip(rep, axis=1))], axis=1)
+    mq = jnp.concatenate([edges(partner(imp)),
+                          edges(partner(rep))], axis=1)
 
     out_e, out_o = call(z2, rep, imp, mz, mq)
     out = jnp.stack([out_e, out_o], axis=-1).reshape((B, H, Wd))

@@ -66,6 +66,8 @@ _TILE_BYTES = 24 * 1024 * 1024
 
 # band pairs per quad source: lh=(0,5), hl=(2,3), hh=(1,4)
 _PAIRS = ((0, 5), (2, 3), (1, 4))
+# the same pairs at their PLANE_BAND_ORDER (0,5,1,4,2,3) positions
+_PAIRS_PO = ((0, 1), (4, 5), (2, 3))
 
 
 def _sub_taps(h: np.ndarray):
@@ -95,10 +97,14 @@ def _stream_plan(m2: int, pos: bool):
 @functools.lru_cache(maxsize=None)
 def _build_ilevel2(B: int, L: int, C2: int, g0abytes: bytes, g0bbytes: bytes,
                    g1abytes: bytes, g1bbytes: bytes, dtype_str: str,
-                   g2abytes: bytes = None, g2bbytes: bytes = None):
+                   g2abytes: bytes = None, g2bbytes: bytes = None,
+                   pair_order: bool = False):
     """L = H/2 plane rows, C2 = W/2 plane cols (multiple of 128 on TPU).
     *g2abytes*/*g2bbytes* supply the bandpass variant's third synthesis
-    pair (reference ``numpy/transform2d.py:247-258``)."""
+    pair (reference ``numpy/transform2d.py:247-258``).  With *pair_order*
+    the re/im band planes arrive in the forward kernels' native
+    PLANE_BAND_ORDER (0,5,1,4,2,3) instead of degree order, so the quad
+    pairs sit at adjacent positions."""
     g0a = np.frombuffer(g0abytes, dtype=np.float64)
     g0b = np.frombuffer(g0bbytes, dtype=np.float64)
     g1a = np.frombuffer(g1abytes, dtype=np.float64)
@@ -326,7 +332,8 @@ def _build_ilevel2(B: int, L: int, C2: int, g0abytes: bytes, g0bbytes: bytes,
                 #   (rp0,cp0)=s(reA+reB)  (rp0,cp1)=s(imA+imB)
                 #   (rp1,cp0)=s(imA-imB)  (rp1,cp1)=s(reB-reA)
                 sc = jnp.asarray(s_half, dtype)
-                for src, (A, B) in enumerate(_PAIRS):
+                for src, (A, B) in enumerate(_PAIRS_PO if pair_order
+                                             else _PAIRS):
                     reA, reB = raw[buf, 4 + A], raw[buf, 4 + B]
                     imA, imB = raw[buf, 10 + A], raw[buf, 10 + B]
                     qs[4 * src + 0] = (reA + reB) * sc
@@ -440,7 +447,7 @@ def _build_ilevel2(B: int, L: int, C2: int, g0abytes: bytes, g0bbytes: bytes,
 
 
 def inv_level2(Z, yh, g0a, g0b, g1a, g1b, planes=None, as_planes=False,
-               g2a=None, g2b=None):
+               g2a=None, g2b=None, bands=None):
     """Fused level->=2 inverse stage.  *Z* is the ``[..., H, W]`` real
     lowpass, *yh* the ``[..., H/2, W/2, 6]`` complex highpasses of the same
     level; filters follow the transform's call order ``ifilt(x, g0b, g0a)``
@@ -453,6 +460,11 @@ def inv_level2(Z, yh, g0a, g0b, g1a, g1b, planes=None, as_planes=False,
     *planes* accepts the previous call's ``as_planes=True`` output — the
     ``(p00, p01, p10, p11)`` (row-parity, col-parity) quarter planes of the
     lowpass, each ``[..., H/2, W/2]`` — in place of *Z*.
+
+    *bands* accepts the level's subbands as the plane-layout pair
+    ``(re, im)`` — band-major ``[..., 6, H/2, W/2]`` f32 planes in
+    PLANE_BAND_ORDER — in place of *yh*, skipping the band transpose (the
+    wrapper's one full-size XLA pass).
     """
     g0a = np.asarray(g0a, np.float64).reshape(-1)
     g0b = np.asarray(g0b, np.float64).reshape(-1)
@@ -472,11 +484,17 @@ def inv_level2(Z, yh, g0a, g0b, g1a, g1b, planes=None, as_planes=False,
         zdim, zdtype = Z.ndim, Z.dtype
     if zdim < 2 or zdtype not in (jnp.float32, jnp.bfloat16):
         return None
-    if not jnp.issubdtype(yh.dtype, jnp.complexfloating):
-        return None
+    if bands is not None:
+        if bands[0].dtype not in (jnp.float32, jnp.bfloat16):
+            return None
+        if bands[0].shape[-3:] != (6, H // 2, Wd // 2):
+            return None
+    else:
+        if not jnp.issubdtype(yh.dtype, jnp.complexfloating):
+            return None
+        if yh.shape[-3:] != (H // 2, Wd // 2, 6):
+            return None
     if H % 2 or Wd % 2:
-        return None
-    if yh.shape[-3:] != (H // 2, Wd // 2, 6):
         return None
     L, C2 = H // 2, Wd // 2
     if not _interpret() and C2 % _LANE:
@@ -492,20 +510,34 @@ def inv_level2(Z, yh, g0a, g0b, g1a, g1b, planes=None, as_planes=False,
         z3, lead = _flatten_batch(Z)
         B = z3.shape[0]
         zdtype = z3.dtype
-    yh3 = yh.reshape((B,) + yh.shape[-3:])
 
     call = _build_ilevel2(B, L, C2, g0a.tobytes(), g0b.tobytes(),
                           g1a.tobytes(), g1b.tobytes(), str(zdtype),
                           g2a.tobytes() if bp else None,
-                          g2b.tobytes() if bp else None)
+                          g2b.tobytes() if bp else None,
+                          pair_order=bands is not None)
     if call is None:
         return None
 
-    # One band transpose — the only full-size XLA pass.  c2q, margins and
-    # the parity-plane stack all happen inside the kernel.
-    yhp = jnp.moveaxis(yh3, -1, 1)                 # (B, 6, h, w)
-    rep = jnp.real(yhp).astype(zdtype)
-    imp = jnp.imag(yhp).astype(zdtype)
+    if bands is not None:
+        # Plane-layout input: the band planes arrive kernel-ready — no
+        # transpose pass at all.  Margin partners sit adjacent (p ^ 1).
+        rep = bands[0].reshape((B, 6, L, C2)).astype(zdtype)
+        imp = bands[1].reshape((B, 6, L, C2)).astype(zdtype)
+
+        def partner(a):
+            return jnp.flip(a.reshape(B, 3, 2, L, C2),
+                            axis=2).reshape(B, 6, L, C2)
+    else:
+        # One band transpose — the only full-size XLA pass.  c2q, margins
+        # and the parity-plane stack all happen inside the kernel.
+        yh3 = yh.reshape((B,) + yh.shape[-3:])
+        yhp = jnp.moveaxis(yh3, -1, 1)             # (B, 6, h, w)
+        rep = jnp.real(yhp).astype(zdtype)
+        imp = jnp.imag(yhp).astype(zdtype)
+
+        def partner(a):
+            return jnp.flip(a, axis=1)             # degree partner 5 - A
 
     if planes is not None:
         z4 = jnp.stack(list(p4), axis=1)           # (B, 4, L, C2)
@@ -527,8 +559,8 @@ def inv_level2(Z, yh, g0a, g0b, g1a, g1b, planes=None, as_planes=False,
     zsw = jnp.concatenate([z4[:, 1:2], z4[:, 0:1], z4[:, 3:4], z4[:, 2:3]],
                           axis=1)
     marg = jnp.concatenate(
-        [edges(zsw), edges(jnp.flip(imp, axis=1)),
-         edges(jnp.flip(rep, axis=1))], axis=1)    # (B, 16, L, 2G)
+        [edges(zsw), edges(partner(imp)),
+         edges(partner(rep))], axis=1)             # (B, 16, L, 2G)
 
     # (B, 2, 4, 2L, C2): [row-parity, lane-stream, rows, lanes]; the kernel
     # already interleaved the two row streams of each parity over sublanes,

@@ -319,10 +319,14 @@ def _build_level1(B: int, R: int, C2: int, h0bytes: bytes, h1bytes: bytes,
                 a, c = ye2[:, 0, :], ye2[:, 1, :]
                 bq, d = yo2[:, 0, :], yo2[:, 1, :]
                 # p = (a + jb)/sqrt2, q = (d - jc)/sqrt2; bands (p-q, p+q).
-                re_ref[0, 0, 0] = (a - d) * sc
-                im_ref[0, 0, 0] = (bq + c) * sc
-                re_ref[0, 0, 1] = (a + d) * sc
-                im_ref[0, 0, 1] = (bq - c) * sc
+                # Each k-step writes one adjacent band-pair block (positions
+                # 2g, 2g+1 of the 6-band dim) so write-backs overlap the
+                # next step's compute; the resulting band order is the
+                # pair order PLANE_BAND_ORDER = (0,5,1,4,2,3).
+                re_ref[0, 0] = (a - d) * sc
+                im_ref[0, 0] = (bq + c) * sc
+                re_ref[0, 1] = (a + d) * sc
+                im_ref[0, 1] = (bq - c) * sc
 
     in_spec = pl.BlockSpec(memory_space=pltpu.HBM)
     in_specs = [in_spec, in_spec]
@@ -333,8 +337,8 @@ def _build_level1(B: int, R: int, C2: int, h0bytes: bytes, h1bytes: bytes,
     lolo_spec = pl.BlockSpec((1, tr, C2), lambda b, i, k: (b, i, 0),
                              memory_space=pltpu.VMEM)
     band_spec = pl.BlockSpec(
-        (1, 1, 2, tr // 2, C2),
-        lambda b, i, k: (b, jnp.maximum(k - 1, 0), 0, i, 0),
+        (1, 2, tr // 2, C2),
+        lambda b, i, k: (b, jnp.maximum(k - 1, 0), i, 0),
         memory_space=pltpu.VMEM)
     call = pl.pallas_call(
         kernel,
@@ -343,8 +347,8 @@ def _build_level1(B: int, R: int, C2: int, h0bytes: bytes, h1bytes: bytes,
         out_specs=(lolo_spec, lolo_spec, band_spec, band_spec),
         out_shape=(jax.ShapeDtypeStruct((B, R, C2), dtype),
                    jax.ShapeDtypeStruct((B, R, C2), dtype),
-                   jax.ShapeDtypeStruct((B, 3, 2, R // 2, C2), dtype),
-                   jax.ShapeDtypeStruct((B, 3, 2, R // 2, C2), dtype)),
+                   jax.ShapeDtypeStruct((B, 6, R // 2, C2), dtype),
+                   jax.ShapeDtypeStruct((B, 6, R // 2, C2), dtype)),
         scratch_shapes=[pltpu.VMEM((2, tr + 2 * pad8, W), dtype),
                         pltpu.VMEM((2, tr + 2 * pad8, W), dtype),
                         pltpu.VMEM((2 * n_br, tr, W), dtype),
@@ -359,7 +363,8 @@ def _build_level1(B: int, R: int, C2: int, h0bytes: bytes, h1bytes: bytes,
     return call
 
 
-def fwd_level1(X, h0o, h1o, as_split: bool = False, h2o=None
+def fwd_level1(X, h0o, h1o, as_split: bool = False, h2o=None,
+               as_planes: bool = False
                ) -> Optional[Tuple[object, jnp.ndarray]]:
     """Fused level-1 forward.  *X* is ``[..., R, C]`` real (R, C even; C/2 a
     multiple of 128 on hardware so the split planes stay lane-aligned);
@@ -368,7 +373,11 @@ def fwd_level1(X, h0o, h1o, as_split: bool = False, h2o=None
 
     With ``as_split`` the lowpass is returned as its even/odd column planes
     ``(lolo_e, lolo_o)`` uninterleaved, so a following fused decimating level
-    can consume it without the interleave + re-split round trip.
+    can consume it without the interleave + re-split round trip.  With
+    ``as_planes`` the subbands come back as the kernel's native band-major
+    f32 plane pair ``(re [..., 6, R/2, C/2], im [...])`` in degree order,
+    skipping the complex ``[..., 6]`` interleave pass entirely (the
+    plane-layout pyramid path).
     """
     h0 = np.asarray(h0o, np.float64).reshape(-1)
     h1 = np.asarray(h1o, np.float64).reshape(-1)
@@ -400,14 +409,18 @@ def fwd_level1(X, h0o, h1o, as_split: bool = False, h2o=None
 
     lolo_e, lolo_o, re, im = call(xe_ext, xo_ext)
 
-    # (B, 3, 2, R/2, C2): groups x (p-q, p+q) -> band order 0..5.
-    z = lax.complex(re.astype(jnp.float32), im.astype(jnp.float32))
-    z = z.reshape(z.shape[0], 6, R // 2, C // 2)
-    # static-slice band reorder ((05,14,23) pairs -> degrees): an index-
-    # array permutation (z[:, order]) lowers to a slow full-array gather
-    yh1 = jnp.stack([z[:, 0], z[:, 2], z[:, 4], z[:, 5], z[:, 3], z[:, 1]],
-                    axis=-1)                  # (B, R/2, C/2, 6)
-    yh1 = yh1.reshape(lead + yh1.shape[-3:])
+    # (B, 6, R/2, C2) band planes in the kernel's pair order
+    # PLANE_BAND_ORDER = (0,5,1,4,2,3) — band pairs (p-q, p+q) adjacent.
+    if as_planes:
+        yh1 = (re.reshape(lead + re.shape[-3:]),
+               im.reshape(lead + im.shape[-3:]))
+    else:
+        z = lax.complex(re.astype(jnp.float32), im.astype(jnp.float32))
+        # static-slice band reorder (pair order -> degrees): an index-array
+        # permutation (z[:, order]) lowers to a slow full-array gather
+        yh1 = jnp.stack([z[:, 0], z[:, 2], z[:, 4], z[:, 5], z[:, 3],
+                         z[:, 1]], axis=-1)   # (B, R/2, C/2, 6)
+        yh1 = yh1.reshape(lead + yh1.shape[-3:])
     if as_split:
         return ((lolo_e.reshape(lead + lolo_e.shape[-2:]),
                  lolo_o.reshape(lead + lolo_o.shape[-2:])), yh1)

@@ -374,10 +374,12 @@ def _build_level2(B: int, R: int, C4: int, h0abytes: bytes, h0bbytes: bytes,
                 a, bq = row_trees(ev_planes, *taps, pos)
                 c, d = row_trees(od_planes, *taps, pos)
                 # p = (a + jb)/sqrt2, q = (d - jc)/sqrt2; bands (p-q, p+q).
-                re_ref[0, 0, 0] = (a - d) * sc
-                im_ref[0, 0, 0] = (bq + c) * sc
-                re_ref[0, 0, 1] = (a + d) * sc
-                im_ref[0, 0, 1] = (bq - c) * sc
+                # Adjacent band-pair blocks per k-step (see pallas_level1);
+                # band order is PLANE_BAND_ORDER = (0,5,1,4,2,3).
+                re_ref[0, 0] = (a - d) * sc
+                im_ref[0, 0] = (bq + c) * sc
+                re_ref[0, 1] = (a + d) * sc
+                im_ref[0, 1] = (bq - c) * sc
 
     in_spec = pl.BlockSpec(memory_space=pltpu.HBM)
     in_specs = [in_spec] * 4
@@ -389,8 +391,8 @@ def _build_level2(B: int, R: int, C4: int, h0abytes: bytes, h0bbytes: bytes,
     lolo_spec = pl.BlockSpec((1, 2 * tq, C4), lambda b, i, k: (b, i, 0),
                              memory_space=pltpu.VMEM)
     band_spec = pl.BlockSpec(
-        (1, 1, 2, tq, C4),
-        lambda b, i, k: (b, jnp.maximum(k - 1, 0), 0, i, 0),
+        (1, 2, tq, C4),
+        lambda b, i, k: (b, jnp.maximum(k - 1, 0), i, 0),
         memory_space=pltpu.VMEM)
     call = pl.pallas_call(
         kernel,
@@ -399,8 +401,8 @@ def _build_level2(B: int, R: int, C4: int, h0abytes: bytes, h0bbytes: bytes,
         out_specs=(lolo_spec, lolo_spec, band_spec, band_spec),
         out_shape=(jax.ShapeDtypeStruct((B, R // 2, C4), dtype),
                    jax.ShapeDtypeStruct((B, R // 2, C4), dtype),
-                   jax.ShapeDtypeStruct((B, 3, 2, R // 4, C4), dtype),
-                   jax.ShapeDtypeStruct((B, 3, 2, R // 4, C4), dtype)),
+                   jax.ShapeDtypeStruct((B, 6, R // 4, C4), dtype),
+                   jax.ShapeDtypeStruct((B, 6, R // 4, C4), dtype)),
         scratch_shapes=[pltpu.VMEM((2, 4 * tq + 2 * pad8, W), dtype),
                         pltpu.VMEM((2, 4 * tq + 2 * pad8, W), dtype),
                         pltpu.VMEM((2, 4 * tq + 2 * pad8, W), dtype),
@@ -420,7 +422,7 @@ def _build_level2(B: int, R: int, C4: int, h0abytes: bytes, h0bbytes: bytes,
 
 
 def fwd_level2(X, h0a, h0b, h1a, h1b, pair=None, as_split: bool = False,
-               h2a=None, h2b=None
+               h2a=None, h2b=None, as_planes: bool = False
                ) -> Optional[Tuple[object, jnp.ndarray]]:
     """Fused level->=2 forward stage.  *X* is ``[..., R, C]`` real with R, C
     multiples of 4 (C/4 a multiple of 128 on hardware); filter arguments
@@ -430,7 +432,10 @@ def fwd_level2(X, h0a, h0b, h1a, h1b, pair=None, as_split: bool = False,
 
     *pair* optionally supplies the input as its even/odd column planes (the
     uninterleaved lowpass of an upstream fused level) in place of *X*; with
-    ``as_split`` the output lowpass is likewise returned as planes.
+    ``as_split`` the output lowpass is likewise returned as planes.  With
+    ``as_planes`` the subbands come back as the band-major f32 plane pair
+    ``(re [..., 6, R/4, C/4], im [...])`` in degree order (plane-layout
+    pyramid path — no complex interleave pass).
     """
     h0a = np.asarray(h0a, np.float64).reshape(-1)
     h0b = np.asarray(h0b, np.float64).reshape(-1)
@@ -488,13 +493,18 @@ def fwd_level2(X, h0a, h0b, h1a, h1b, pair=None, as_split: bool = False,
 
     lolo_e, lolo_o, re, im = call(*ext)
 
-    z = lax.complex(re.astype(jnp.float32), im.astype(jnp.float32))
-    z = z.reshape(z.shape[0], 6, R // 4, C // 4)
-    # static-slice band reorder ((05,14,23) pairs -> degrees): an index-
-    # array permutation (z[:, order]) lowers to a slow full-array gather
-    yh = jnp.stack([z[:, 0], z[:, 2], z[:, 4], z[:, 5], z[:, 3], z[:, 1]],
-                   axis=-1)
-    yh = yh.reshape(lead + yh.shape[-3:])
+    # (B, 6, R/4, C4) band planes in the kernel's pair order
+    # PLANE_BAND_ORDER = (0,5,1,4,2,3) — band pairs (p-q, p+q) adjacent.
+    if as_planes:
+        yh = (re.reshape(lead + re.shape[-3:]),
+              im.reshape(lead + im.shape[-3:]))
+    else:
+        z = lax.complex(re.astype(jnp.float32), im.astype(jnp.float32))
+        # static-slice band reorder (pair order -> degrees): an index-array
+        # permutation (z[:, order]) lowers to a slow full-array gather
+        yh = jnp.stack([z[:, 0], z[:, 2], z[:, 4], z[:, 5], z[:, 3],
+                        z[:, 1]], axis=-1)
+        yh = yh.reshape(lead + yh.shape[-3:])
     if as_split:
         return ((lolo_e.reshape(lead + lolo_e.shape[-2:]),
                  lolo_o.reshape(lead + lolo_o.shape[-2:])), yh)

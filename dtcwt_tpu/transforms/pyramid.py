@@ -14,7 +14,18 @@ from typing import Optional, Tuple
 
 import jax
 
-__all__ = ["Pyramid"]
+__all__ = ["Pyramid", "PlanePyramid", "PLANE_BAND_ORDER"]
+
+#: Band order of :class:`PlanePyramid` planes: plane ``p`` holds the subband
+#: whose *degree index* (the reference's 15/45/75/105/135/165-degree order,
+#: ``numpy/transform2d.py:112-130``) is ``PLANE_BAND_ORDER[p]``.  This is the
+#: fused kernels' native "pair order" — the (p-q, p+q) quad pairs (0,5),
+#: (1,4), (2,3) sit adjacent — so forward kernels emit it and inverse kernels
+#: consume it with zero relayout passes.
+PLANE_BAND_ORDER = (0, 5, 1, 4, 2, 3)
+
+# position of degree band d in the plane order (inverse permutation)
+_PLANE_POS = tuple(PLANE_BAND_ORDER.index(d) for d in range(6))
 
 
 @jax.tree_util.register_pytree_node_class
@@ -57,6 +68,92 @@ class Pyramid:
     def __repr__(self):
         hp = ", ".join(str(tuple(h.shape)) for h in self.highpasses)
         return "Pyramid(lowpass={}, highpasses=[{}]{})".format(
+            tuple(self.lowpass.shape), hp,
+            "" if self.scales is None else ", scales=%d" % len(self.scales))
+
+
+@jax.tree_util.register_pytree_node_class
+class PlanePyramid:
+    """A 2-D DTCWT pyramid in the TPU-native **band-plane layout**.
+
+    Instead of the reference's complex ``[..., H_l, W_l, 6]`` subband arrays
+    (interleaved at the finest granularity — hostile to the TPU's (8, 128)
+    vector layout), each level holds two real band-major f32 arrays
+    ``[..., 6, H_l, W_l]`` (``highpasses_re`` / ``highpasses_im``) in
+    :data:`PLANE_BAND_ORDER`.  Produced by ``Transform2d.forward(...,
+    layout='planes')`` and consumed by ``Transform2d.inverse``; under the
+    Pallas engine a jitted forward→process→inverse chain in this layout
+    skips both full-size relayout passes (the complex ``[..., 6]`` assembly
+    and the inverse's band re-split), the two largest non-kernel costs of
+    the transform.
+
+    Convert with :meth:`interleaved` / :meth:`from_interleaved` at the API
+    boundary when reference-layout subbands are needed.
+    """
+
+    __slots__ = ("lowpass", "highpasses_re", "highpasses_im", "scales")
+
+    def __init__(self, lowpass, highpasses_re: Tuple, highpasses_im: Tuple,
+                 scales: Optional[Tuple] = None):
+        self.lowpass = lowpass
+        self.highpasses_re = tuple(highpasses_re)
+        self.highpasses_im = tuple(highpasses_im)
+        self.scales = None if scales is None else tuple(scales)
+
+    # -- pytree protocol ----------------------------------------------------
+    def tree_flatten(self):
+        return (self.lowpass, self.highpasses_re, self.highpasses_im,
+                self.scales), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    # -- conversions ---------------------------------------------------------
+    def interleaved(self) -> "Pyramid":
+        """The reference-layout :class:`Pyramid` (complex ``[..., 6]``
+        subbands in degree order).  One relayout pass per level."""
+        import jax.numpy as jnp
+        from jax import lax
+
+        def pack(re, im):
+            z = lax.complex(jnp.asarray(re), jnp.asarray(im))
+            # static-slice band reorder (plane order -> degrees); an index-
+            # array permutation would lower to a full-array gather
+            return jnp.stack([z[..., p, :, :] for p in _PLANE_POS], axis=-1)
+
+        return Pyramid(self.lowpass,
+                       tuple(pack(re, im) for re, im in
+                             zip(self.highpasses_re, self.highpasses_im)),
+                       self.scales)
+
+    @classmethod
+    def from_interleaved(cls, p: "Pyramid") -> "PlanePyramid":
+        """Split a reference-layout pyramid into band planes."""
+        import jax.numpy as jnp
+
+        def split(yh):
+            yh = jnp.asarray(yh)
+            zp = jnp.stack([yh[..., d] for d in PLANE_BAND_ORDER], axis=-3)
+            return jnp.real(zp), jnp.imag(zp)
+
+        planes = [split(h) for h in p.highpasses]
+        return cls(p.lowpass, tuple(r for r, _ in planes),
+                   tuple(i for _, i in planes), p.scales)
+
+    # -- conveniences --------------------------------------------------------
+    @property
+    def nlevels(self) -> int:
+        return len(self.highpasses_re)
+
+    def block_until_ready(self):
+        jax.block_until_ready((self.lowpass, self.highpasses_re,
+                               self.highpasses_im, self.scales))
+        return self
+
+    def __repr__(self):
+        hp = ", ".join(str(tuple(h.shape)) for h in self.highpasses_re)
+        return "PlanePyramid(lowpass={}, planes=[{}]{})".format(
             tuple(self.lowpass.shape), hp,
             "" if self.scales is None else ", scales=%d" % len(self.scales))
 

@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from dtcwt_tpu.coeffs import biort as _biort, qshift as _qshift
 from dtcwt_tpu.ops import engine, fb
 from dtcwt_tpu.ops.packing import q2c, c2q
-from dtcwt_tpu.transforms.pyramid import Pyramid, pyramid_to_device
+from dtcwt_tpu.transforms.pyramid import (
+    Pyramid, PlanePyramid, PLANE_BAND_ORDER, _PLANE_POS, pyramid_to_device)
 
 __all__ = ["Transform2d", "DEFAULT_BIORT", "DEFAULT_QSHIFT"]
 
@@ -82,10 +83,11 @@ def _gains(gain_mask, band0: int, band1: int, level: int):
     return gain_mask[band0, level], gain_mask[band1, level]
 
 
-def _crop_to(Z, yh_next):
+def _crop_to(Z, next_hw):
     """Crop rows/cols that exist only because the forward pass padded this
-    level to a multiple of 4 (reference: ``numpy/transform2d.py:262-271``)."""
-    want = tuple(2 * s for s in yh_next.shape[-3:-1])
+    level to a multiple of 4 (reference: ``numpy/transform2d.py:262-271``).
+    *next_hw* is the next-finer level's subband (h, w)."""
+    want = tuple(2 * s for s in next_hw)
     if Z.shape[-2] != want[0]:
         Z = Z[..., 1:-1, :]
     if Z.shape[-1] != want[1]:
@@ -128,6 +130,20 @@ def _pack_bands(lohi, hilo, hihi):
                      axis=-1)
 
 
+def _yh_to_planes(yh):
+    """Interleaved complex ``[..., h, w, 6]`` subbands -> plane-layout
+    ``(re, im)`` band-major ``[..., 6, h, w]`` pair in PLANE_BAND_ORDER
+    (XLA-path fallback of the kernels' native plane output)."""
+    zp = jnp.stack([yh[..., d] for d in PLANE_BAND_ORDER], axis=-3)
+    return jnp.real(zp), jnp.imag(zp)
+
+
+def _planes_to_yh(re, im):
+    """Plane-layout ``(re, im)`` pair -> interleaved complex subbands."""
+    z = jax.lax.complex(jnp.asarray(re), jnp.asarray(im))
+    return jnp.stack([z[..., p, :, :] for p in _PLANE_POS], axis=-1)
+
+
 class Transform2d:
     """An n-level 2-D DTCWT parameterised by *biort* (level-1) and *qshift*
     (level>=2) wavelets — named families or explicit coefficient tuples."""
@@ -136,23 +152,33 @@ class Transform2d:
         self.biort = normalize_biort(biort)
         self.qshift = normalize_qshift(qshift)
         self._fwd = jax.jit(self._forward_impl,
-                            static_argnames=("nlevels", "include_scale", "ek"))
+                            static_argnames=("nlevels", "include_scale",
+                                             "layout", "ek"))
         self._inv = jax.jit(self._inverse_impl, static_argnames=("ek",))
 
     # ------------------------------------------------------------------
     # forward
     # ------------------------------------------------------------------
-    def forward(self, X, nlevels: int = 3, include_scale: bool = False) -> Pyramid:
+    def forward(self, X, nlevels: int = 3, include_scale: bool = False,
+                layout: str = "interleaved") -> Pyramid:
         """Forward transform of a ``[..., H, W]`` real array into a
         :class:`Pyramid` with 6 oriented complex subbands per level.
 
         Odd-sized inputs are extended by duplicating the bottom row and/or
         rightmost column before decomposition (reference semantics,
         ``numpy/transform2d.py:84-94``).
+
+        ``layout='planes'`` returns a :class:`PlanePyramid` instead — the
+        TPU-native band-major f32 plane layout the fused kernels emit
+        natively (see :data:`dtcwt_tpu.PLANE_BAND_ORDER`).  ``inverse``
+        accepts either container; plane-layout chains skip the two
+        full-size subband relayout passes under the Pallas engine.
         """
         X = jnp.asarray(X)
         if X.ndim < 2:
             raise ValueError("Transform2d.forward needs at least a 2-D input")
+        if layout not in ("interleaved", "planes"):
+            raise ValueError("layout must be 'interleaved' or 'planes'")
         if X.shape[-2] % 2 or X.shape[-1] % 2:
             # Reference behaviour: warn when silently extending odd sizes
             # (numpy/transform2d.py:164-183).
@@ -165,12 +191,13 @@ class Transform2d:
                 "to decomposition.", ext[0], ext[1],
                 X.shape[-2], X.shape[-1])
         return self._fwd(X, nlevels=nlevels, include_scale=include_scale,
-                         ek=engine.trace_key())
+                         layout=layout, ek=engine.trace_key())
 
     def _forward_impl(self, X, *, nlevels: int, include_scale: bool,
-                      ek=None) -> Pyramid:
+                      layout: str = "interleaved", ek=None) -> Pyramid:
         impl = lambda x: self._forward_body(x, nlevels=nlevels,
-                                            include_scale=include_scale)
+                                            include_scale=include_scale,
+                                            layout=layout)
         if engine.use_pallas():
             # Pallas kernels have no autodiff rule; the transform is linear,
             # so grads go through the XLA path's linear transpose.
@@ -179,8 +206,9 @@ class Transform2d:
             return linear_vjp(impl, spec)(X)
         return impl(X)
 
-    def _forward_body(self, X, *, nlevels: int,
-                      include_scale: bool) -> Pyramid:
+    def _forward_body(self, X, *, nlevels: int, include_scale: bool,
+                      layout: str = "interleaved") -> Pyramid:
+        planes = layout == "planes"
         b = self.biort
         h0o, h1o = b[0], b[2]
         h2o = b[4] if len(b) == 6 else None
@@ -197,6 +225,8 @@ class Transform2d:
             X = _dup_edge(X, -1)
 
         if nlevels == 0:
+            if planes:
+                return PlanePyramid(X, (), (), () if include_scale else None)
             return Pyramid(X, (), () if include_scale else None)
 
         Yh = []
@@ -214,7 +244,7 @@ class Transform2d:
             from dtcwt_tpu.ops import pallas_level1
             fused = pallas_level1.fwd_level1(
                 X, h0o, h1o, as_split=not include_scale and nlevels > 1,
-                h2o=h2o)
+                h2o=h2o, as_planes=planes)
         if fused is not None:
             lp, yh1 = fused
             Yh.append(yh1)
@@ -233,7 +263,8 @@ class Transform2d:
                 im14 = fb.filter_axis(ba, h2o, -1)
             else:
                 im14 = fb.filter_axis(hi, h1o, -1)
-            Yh.append(_pack_bands(im05, im23, im14))
+            yh1 = _pack_bands(im05, im23, im14)
+            Yh.append(_yh_to_planes(yh1) if planes else yh1)
         if include_scale:
             Yscale.append(lolo)
 
@@ -257,7 +288,8 @@ class Transform2d:
                 fused = pallas_level2.fwd_level2(lolo, h0a, h0b, h1a, h1b,
                                                  pair=pair,
                                                  as_split=keep_split,
-                                                 h2a=h2a, h2b=h2b)
+                                                 h2a=h2a, h2b=h2b,
+                                                 as_planes=planes)
                 if fused is not None:
                     lp, yh = fused
                     Yh.append(yh)
@@ -281,13 +313,18 @@ class Transform2d:
                 im14 = fb.dfilt_axis(ba, h2b, h2a, -1)
             else:
                 im14 = fb.dfilt_axis(hi, h1b, h1a, -1)
-            Yh.append(_pack_bands(im05, im23, im14))
+            yh = _pack_bands(im05, im23, im14)
+            Yh.append(_yh_to_planes(yh) if planes else yh)
             if include_scale:
                 Yscale.append(lolo)
 
         if pair is not None:
             lolo = _interleave_cols(pair)
-        return Pyramid(lolo, tuple(Yh), tuple(Yscale) if include_scale else None)
+        scales = tuple(Yscale) if include_scale else None
+        if planes:
+            return PlanePyramid(lolo, tuple(r for r, _ in Yh),
+                                tuple(i for _, i in Yh), scales)
+        return Pyramid(lolo, tuple(Yh), scales)
 
     # ------------------------------------------------------------------
     # channel/batch layout adapters
@@ -360,10 +397,15 @@ class Transform2d:
     # inverse
     # ------------------------------------------------------------------
     def inverse(self, pyramid: Pyramid, gain_mask=None):
-        """Inverse transform.  *gain_mask* is an optional ``(6, nlevels)``
-        array of per-subband gains (reference: ``transform2d.py:190-295``)."""
+        """Inverse transform of a :class:`Pyramid` or :class:`PlanePyramid`.
+        *gain_mask* is an optional ``(6, nlevels)`` array of per-subband
+        gains in degree order (reference: ``transform2d.py:190-295``)."""
         gm = None if gain_mask is None else jnp.asarray(gain_mask)
-        pyramid = pyramid_to_device(pyramid)
+        if isinstance(pyramid, PlanePyramid):
+            from dtcwt_tpu.utils import asdevice
+            pyramid = jax.tree_util.tree_map(asdevice, pyramid)
+        else:
+            pyramid = pyramid_to_device(pyramid)
         return self._inv(pyramid, gm, ek=engine.trace_key())
 
     def _inverse_impl(self, pyramid: Pyramid, gain_mask, *, ek=None):
@@ -374,9 +416,20 @@ class Transform2d:
             # remaining map linear in the pyramid — ``linear_vjp`` cannot
             # close over the traced gain_mask operand — and (b) letting the
             # fused Pallas inverse kernels run on the gain-free problem.
-            Yh = tuple(h * gain_mask[:, i]
-                       for i, h in enumerate(pyramid.highpasses))
-            pyramid = Pyramid(pyramid.lowpass, Yh, pyramid.scales)
+            if isinstance(pyramid, PlanePyramid):
+                # plane position p holds degree band PLANE_BAND_ORDER[p]
+                gp = jnp.stack([gain_mask[d] for d in PLANE_BAND_ORDER])
+                pyramid = PlanePyramid(
+                    pyramid.lowpass,
+                    tuple(r * gp[:, i, None, None]
+                          for i, r in enumerate(pyramid.highpasses_re)),
+                    tuple(m * gp[:, i, None, None]
+                          for i, m in enumerate(pyramid.highpasses_im)),
+                    pyramid.scales)
+            else:
+                Yh = tuple(h * gain_mask[:, i]
+                           for i, h in enumerate(pyramid.highpasses))
+                pyramid = Pyramid(pyramid.lowpass, Yh, pyramid.scales)
         impl = lambda p: self._inverse_body(p, None)
         if engine.use_pallas():
             from dtcwt_tpu.ops.linearize import linear_vjp
@@ -393,9 +446,18 @@ class Transform2d:
         g0a, g0b, g1a, g1b = q[2], q[3], q[6], q[7]
         g2a, g2b = (q[10], q[11]) if len(q) == 12 else (None, None)
 
-        Yh = pyramid.highpasses
+        plane_pyr = isinstance(pyramid, PlanePyramid)
+        if plane_pyr:
+            Yb = tuple(zip(pyramid.highpasses_re, pyramid.highpasses_im))
+            hw = lambda lvl: Yb[lvl][0].shape[-2:]
+            yh_at = lambda lvl: _planes_to_yh(*Yb[lvl])
+            nlevels = len(Yb)
+        else:
+            Yh = pyramid.highpasses
+            hw = lambda lvl: Yh[lvl].shape[-3:-1]
+            yh_at = lambda lvl: Yh[lvl]
+            nlevels = len(Yh)
         Z = jnp.asarray(pyramid.lowpass)
-        nlevels = len(Yh)
 
         # Consecutive fused inverse levels chain in (row, col)-parity plane
         # space: the 4x4 output-stream -> image transpose plus the next
@@ -408,19 +470,19 @@ class Transform2d:
                 from dtcwt_tpu.ops import pallas_ilevel2
                 src = Z if zplanes is None else zplanes[0]
                 nocrop = (2 * src.shape[-2] * (2 if zplanes else 1)
-                          == 2 * Yh[level - 1].shape[-3]
+                          == 2 * hw(level - 1)[0]
                           and 2 * src.shape[-1] * (2 if zplanes else 1)
-                          == 2 * Yh[level - 1].shape[-2])
-                zp = pallas_ilevel2.inv_level2(Z, Yh[level],
-                                               g0a, g0b, g1a, g1b,
-                                               planes=zplanes,
-                                               as_planes=nocrop,
-                                               g2a=g2a, g2b=g2b)
+                          == 2 * hw(level - 1)[1])
+                zp = pallas_ilevel2.inv_level2(
+                    Z, None if plane_pyr else Yh[level],
+                    g0a, g0b, g1a, g1b,
+                    planes=zplanes, as_planes=nocrop, g2a=g2a, g2b=g2b,
+                    bands=Yb[level] if plane_pyr else None)
                 if zp is not None:
                     if nocrop:
                         zplanes, Z = zp, None
                     else:
-                        Z = _crop_to(zp, Yh[level - 1])
+                        Z = _crop_to(zp, hw(level - 1))
                         zplanes = None
                     continue
             if zplanes is not None:
@@ -429,7 +491,7 @@ class Transform2d:
             g_lh = _gains(gain_mask, 0, 5, level)
             g_hl = _gains(gain_mask, 2, 3, level)
             g_hh = _gains(gain_mask, 1, 4, level)
-            yh = Yh[level]
+            yh = yh_at(level)
             lh = c2q(yh[..., 0], yh[..., 5], *g_lh)
             hl = c2q(yh[..., 2], yh[..., 3], *g_hl)
             hh = c2q(yh[..., 1], yh[..., 4], *g_hh)
@@ -445,13 +507,15 @@ class Transform2d:
                 y2 = fb.ifilt_axis(hl, g0b, g0a, -2) + fb.ifilt_axis(hh, g1b, g1a, -2)
                 Z = fb.ifilt_axis(y1, g0b, g0a, -1) + fb.ifilt_axis(y2, g1b, g1a, -1)
 
-            Z = _crop_to(Z, Yh[level - 1])
+            Z = _crop_to(Z, hw(level - 1))
 
         if nlevels >= 1:
             if gain_mask is None and engine.use_pallas():
                 from dtcwt_tpu.ops import pallas_ilevel1
-                zp = pallas_ilevel1.inv_level1(Z, Yh[0], g0o, g1o,
-                                               planes=zplanes, g2o=g2o)
+                zp = pallas_ilevel1.inv_level1(
+                    Z, None if plane_pyr else Yh[0], g0o, g1o,
+                    planes=zplanes, g2o=g2o,
+                    bands=Yb[0] if plane_pyr else None)
                 if zp is not None:
                     return zp
             if zplanes is not None:
@@ -460,7 +524,7 @@ class Transform2d:
             g_lh = _gains(gain_mask, 0, 5, 0)
             g_hl = _gains(gain_mask, 2, 3, 0)
             g_hh = _gains(gain_mask, 1, 4, 0)
-            yh = Yh[0]
+            yh = yh_at(0)
             lh = c2q(yh[..., 0], yh[..., 5], *g_lh)
             hl = c2q(yh[..., 2], yh[..., 3], *g_hl)
             hh = c2q(yh[..., 1], yh[..., 4], *g_hh)

@@ -69,6 +69,23 @@ def main():
                       split(a), split(b))
             check("2d %s %s inv" % (biort, shape), t.inverse(p), rw)
 
+    # plane-layout (band-major) path: fused kernels emit/consume natively
+    t = dt.Transform2d()
+    x = rng.rand(512, 512).astype(np.float32)
+    pp = t.forward(x, 3, layout="planes")
+    with engine.engine("xla"):
+        want_p = t.forward(x, 3)
+        want_r = t.inverse(want_p)
+    for lvl, (re, im, w) in enumerate(zip(pp.highpasses_re,
+                                          pp.highpasses_im,
+                                          want_p.highpasses)):
+        got = np.asarray(re) + 1j * np.asarray(im)
+        wantb = np.stack([split(w[..., d]) for d in
+                          (0, 5, 1, 4, 2, 3)], axis=-3)
+        check("2d planes fwd L%d" % lvl, got.real, wantb.real)
+        check("2d planes fwd L%d im" % lvl, got.imag, wantb.imag)
+    check("2d planes inv", t.inverse(pp), want_r)
+
     # gain_mask through the fused inverse
     t = dt.Transform2d()
     x = rng.rand(512, 512).astype(np.float32)
