@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from jax import lax
 
 __all__ = ["q2c", "c2q", "q2c1d", "c2q1d", "cube2c", "c2cube",
-           "interleave_axis"]
+           "cube2c_planes", "c2cube_planes", "interleave_axis"]
 
 _SQRT_HALF = np.sqrt(0.5)
 
@@ -84,16 +84,13 @@ def _split2(y, axis: int):
     return y[tuple(idx_e)], y[tuple(idx_o)]
 
 
-def cube2c(y):
-    """Convert a real octet-sampled 3-D highpass volume ``[..., 2P, 2Q, 2R]``
-    into its four complex directional subbands, each ``[..., P, Q, R]``,
-    stacked on a new trailing axis.
-
-    Implements eqs. (6)-(9) of Chen & Kingsbury, "Efficient Registration of
-    Nonrigid 3-D Bodies", IEEE TIP 21(1), 2012 (reference:
-    ``numpy/transform3d.py:532-579``).  Corner extraction is done one axis at
-    a time (TPU: compound multi-axis strided slices lower to slow gathers).
-    """
+def _cube_corner_combos(y):
+    """The eight 3-D octet corners and their p/q/r/s re/im combinations
+    (eqs. (6)-(9) of Chen & Kingsbury, "Efficient Registration of Nonrigid
+    3-D Bodies", IEEE TIP 21(1), 2012; reference
+    ``numpy/transform3d.py:532-579``).  Corner extraction is done one axis
+    at a time (TPU: compound multi-axis strided slices lower to slow
+    gathers).  Returns ``(re4, im4)`` lists in p, q, r, s order."""
     e0, o0 = _split2(y, y.ndim - 3)
     e0e1, e0o1 = _split2(e0, y.ndim - 2)
     o0e1, o0o1 = _split2(o0, y.ndim - 2)
@@ -103,12 +100,28 @@ def cube2c(y):
     D, H = _split2(o0o1, y.ndim - 1)
 
     half = jnp.asarray(0.5, y.dtype)
+    re4 = [(A - G - D - F) * half, (A - G + D + F) * half,
+           (A + G + D - F) * half, (A + G - D + F) * half]
+    im4 = [(B - H + C + E) * half, (-B + H + C + E) * half,
+           (B + H - C + E) * half, (-B - H - C + E) * half]
+    return re4, im4
 
-    p = lax.complex((A - G - D - F) * half, (B - H + C + E) * half)
-    q = lax.complex((A - G + D + F) * half, (-B + H + C + E) * half)
-    r = lax.complex((A + G + D - F) * half, (B + H - C + E) * half)
-    s = lax.complex((A + G - D + F) * half, (-B - H - C + E) * half)
-    return jnp.stack([p, q, r, s], axis=-1)
+
+def cube2c(y):
+    """Convert a real octet-sampled 3-D highpass volume ``[..., 2P, 2Q, 2R]``
+    into its four complex directional subbands, each ``[..., P, Q, R]``,
+    stacked on a new trailing axis (see :func:`_cube_corner_combos`)."""
+    re4, im4 = _cube_corner_combos(y)
+    return jnp.stack([lax.complex(r, i) for r, i in zip(re4, im4)], axis=-1)
+
+
+def cube2c_planes(y):
+    """:func:`cube2c` in the plane layout: returns ``(re, im)`` real arrays
+    with the four directional subbands stacked on a new *band-major* axis
+    (``[..., 4, P, Q, R]``) — no complex ops, so backends that emulate
+    complex arithmetic (X64Combine custom calls) pay nothing."""
+    re4, im4 = _cube_corner_combos(y)
+    return jnp.stack(re4, axis=-4), jnp.stack(im4, axis=-4)
 
 
 def c2cube(z):
@@ -116,11 +129,19 @@ def c2cube(z):
     back to the real octet volume ``[..., 2P, 2Q, 2R]`` (reference:
     ``numpy/transform3d.py:581-619``)."""
     p, q, r, s = (z[..., i] for i in range(4))
-    pr, pi = jnp.real(p), jnp.imag(p)
-    qr, qi = jnp.real(q), jnp.imag(q)
-    rr, ri = jnp.real(r), jnp.imag(r)
-    sr, si = jnp.real(s), jnp.imag(s)
+    return _c2cube_parts(jnp.real(p), jnp.imag(p), jnp.real(q), jnp.imag(q),
+                         jnp.real(r), jnp.imag(r), jnp.real(s), jnp.imag(s))
 
+
+def c2cube_planes(re, im):
+    """Inverse of :func:`cube2c_planes`: band-major ``[..., 4, P, Q, R]``
+    re/im planes back to the real octet volume — no complex ops."""
+    pr, qr, rr, sr = (re[..., i, :, :, :] for i in range(4))
+    pi, qi, ri, si = (im[..., i, :, :, :] for i in range(4))
+    return _c2cube_parts(pr, pi, qr, qi, rr, ri, sr, si)
+
+
+def _c2cube_parts(pr, pi, qr, qi, rr, ri, sr, si):
     half = jnp.asarray(0.5, pr.dtype)
     # corners indexed (i, j, k) = (dim-3, dim-2, dim-1) parity
     c000 = (pr + qr + rr + sr) * half

@@ -46,7 +46,12 @@ __all__ = ["inv_level1"]
 _MARGIN = 128            # boundary columns per side (DMA lane alignment)
 _PAD = 16                # halo rows for the full-res (Z) slabs
 _PADQ = 8                # halo rows for the half-res quad-plane slabs
-_TILE_BYTES = 24 * 1024 * 1024
+# This kernel holds 26 half/full-res slabs + stream planes live at once, so
+# it runs out of row budget long before VMEM: 48 MB (tr 32 -> 80 at 4096^2)
+# measured 8.78 vs 9.09 ms roundtrip in an alternating same-process A/B;
+# 72 MB regressed (10.6 ms).  The other kernels keep 24 MB (their sweet
+# spot from the r2 sweep).
+_TILE_BYTES = 48 * 1024 * 1024
 
 # band pairs per quad source: lh=(0,5), hl=(2,3), hh=(1,4)
 _PAIRS = ((0, 5), (2, 3), (1, 4))

@@ -87,37 +87,47 @@ class PlanePyramid:
     and the inverse's band re-split), the two largest non-kernel costs of
     the transform.
 
+    The same container carries the 3-D transform's plane layout
+    (``kind='3d'``): band-major ``[..., 28, P_l, Q_l, R_l]`` planes in the
+    reference's own octant band order (no permutation).
+
     Convert with :meth:`interleaved` / :meth:`from_interleaved` at the API
     boundary when reference-layout subbands are needed.
     """
 
-    __slots__ = ("lowpass", "highpasses_re", "highpasses_im", "scales")
+    __slots__ = ("lowpass", "highpasses_re", "highpasses_im", "scales",
+                 "kind")
 
     def __init__(self, lowpass, highpasses_re: Tuple, highpasses_im: Tuple,
-                 scales: Optional[Tuple] = None):
+                 scales: Optional[Tuple] = None, kind: str = "2d"):
         self.lowpass = lowpass
         self.highpasses_re = tuple(highpasses_re)
         self.highpasses_im = tuple(highpasses_im)
         self.scales = None if scales is None else tuple(scales)
+        self.kind = kind
 
     # -- pytree protocol ----------------------------------------------------
     def tree_flatten(self):
         return (self.lowpass, self.highpasses_re, self.highpasses_im,
-                self.scales), None
+                self.scales), self.kind
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, kind=aux)
 
     # -- conversions ---------------------------------------------------------
     def interleaved(self) -> "Pyramid":
-        """The reference-layout :class:`Pyramid` (complex ``[..., 6]``
-        subbands in degree order).  One relayout pass per level."""
+        """The reference-layout :class:`Pyramid` (complex band-minor
+        subbands).  One relayout pass per level."""
         import jax.numpy as jnp
         from jax import lax
 
         def pack(re, im):
+            if re is None:
+                return None
             z = lax.complex(jnp.asarray(re), jnp.asarray(im))
+            if self.kind == "3d":
+                return jnp.moveaxis(z, -4, -1)
             # static-slice band reorder (plane order -> degrees); an index-
             # array permutation would lower to a full-array gather
             return jnp.stack([z[..., p, :, :] for p in _PLANE_POS], axis=-1)
@@ -128,18 +138,25 @@ class PlanePyramid:
                        self.scales)
 
     @classmethod
-    def from_interleaved(cls, p: "Pyramid") -> "PlanePyramid":
+    def from_interleaved(cls, p: "Pyramid", kind: str = "2d"
+                         ) -> "PlanePyramid":
         """Split a reference-layout pyramid into band planes."""
         import jax.numpy as jnp
 
         def split(yh):
+            if yh is None:
+                return None, None
             yh = jnp.asarray(yh)
-            zp = jnp.stack([yh[..., d] for d in PLANE_BAND_ORDER], axis=-3)
+            if kind == "3d":
+                zp = jnp.moveaxis(yh, -1, -4)
+            else:
+                zp = jnp.stack([yh[..., d] for d in PLANE_BAND_ORDER],
+                               axis=-3)
             return jnp.real(zp), jnp.imag(zp)
 
         planes = [split(h) for h in p.highpasses]
         return cls(p.lowpass, tuple(r for r, _ in planes),
-                   tuple(i for _, i in planes), p.scales)
+                   tuple(i for _, i in planes), p.scales, kind=kind)
 
     # -- conveniences --------------------------------------------------------
     @property

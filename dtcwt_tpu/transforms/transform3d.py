@@ -25,8 +25,10 @@ import jax
 import jax.numpy as jnp
 
 from dtcwt_tpu.ops import engine, fb
-from dtcwt_tpu.ops.packing import cube2c, c2cube
-from dtcwt_tpu.transforms.pyramid import Pyramid, pyramid_to_device
+from dtcwt_tpu.ops.packing import (cube2c, c2cube, cube2c_planes,
+                                   c2cube_planes)
+from dtcwt_tpu.transforms.pyramid import (Pyramid, PlanePyramid,
+                                          pyramid_to_device)
 from dtcwt_tpu.transforms.transform2d import (
     DEFAULT_BIORT, DEFAULT_QSHIFT, normalize_biort, normalize_qshift)
 
@@ -74,20 +76,30 @@ class Transform3d:
         self.ext_mode = ext_mode
         self._fwd = jax.jit(self._forward_impl,
                             static_argnames=("nlevels", "include_scale",
-                                             "discard_level_1", "ek"))
+                                             "discard_level_1", "layout",
+                                             "ek"))
         self._inv = jax.jit(self._inverse_impl, static_argnames=("ek",))
 
     # ------------------------------------------------------------------
     # forward
     # ------------------------------------------------------------------
     def forward(self, X, nlevels: int = 3, include_scale: bool = False,
-                discard_level_1: bool = False) -> Pyramid:
+                discard_level_1: bool = False,
+                layout: str = "interleaved") -> Pyramid:
         """Forward transform of a ``[..., D, H, W]`` real volume.  Each
         highpass level is ``[..., D', H', W', 28]`` complex; with
-        ``discard_level_1`` the first entry is ``None`` (1:1 redundancy)."""
+        ``discard_level_1`` the first entry is ``None`` (1:1 redundancy).
+
+        ``layout='planes'`` returns a :class:`PlanePyramid` (``kind='3d'``)
+        holding each level as band-major re/im f32 planes
+        ``[..., 28, D', H', W']`` in the reference's octant band order —
+        no complex packing on the forward and no band re-split on the
+        inverse (``inverse`` accepts either container)."""
         X = jnp.asarray(X)
         if X.ndim < 3:
             raise ValueError("Transform3d.forward needs at least a 3-D input")
+        if layout not in ("interleaved", "planes"):
+            raise ValueError("layout must be 'interleaved' or 'planes'")
         div = 2 if self.ext_mode == 4 else 4
         for d in (-3, -2, -1):
             if X.shape[d] % div != 0:
@@ -95,21 +107,23 @@ class Transform3d:
                     "Input shape should be a multiple of %d in each direction"
                     " when ext_mode == %d" % (div, self.ext_mode))
         return self._fwd(X, nlevels=nlevels, include_scale=include_scale,
-                         discard_level_1=discard_level_1,
+                         discard_level_1=discard_level_1, layout=layout,
                          ek=engine.trace_key())
 
     def _forward_impl(self, X, *, nlevels, include_scale, discard_level_1,
-                      ek=None):
+                      layout="interleaved", ek=None):
         impl = lambda x: self._forward_body(
             x, nlevels=nlevels, include_scale=include_scale,
-            discard_level_1=discard_level_1)
+            discard_level_1=discard_level_1, layout=layout)
         if engine.use_pallas():
             from dtcwt_tpu.ops.linearize import linear_vjp
             spec = jax.ShapeDtypeStruct(X.shape, X.dtype)
             return linear_vjp(impl, spec)(X)
         return impl(X)
 
-    def _forward_body(self, X, *, nlevels, include_scale, discard_level_1):
+    def _forward_body(self, X, *, nlevels, include_scale, discard_level_1,
+                      layout="interleaved"):
+        planes = layout == "planes"
         b = self.biort
         h0o, h1o = b[0], b[2]
         q = self.qshift
@@ -124,19 +138,34 @@ class Transform3d:
         for level in range(nlevels):
             if level == 0 and discard_level_1:
                 Yl = self._level1_lowpass_only(Yl, h0o)
-                Yh.append(None)
+                Yh.append((None, None) if planes else None)
             elif level == 0:
-                Yl, hp = self._level1_fwd(Yl, h0o, h1o)
+                Yl, hp = self._level1_fwd(Yl, h0o, h1o, planes=planes)
                 Yh.append(hp)
             else:
-                Yl, hp = self._level2_fwd(Yl, h0a, h0b, h1a, h1b)
+                Yl, hp = self._level2_fwd(Yl, h0a, h0b, h1a, h1b,
+                                          planes=planes)
                 Yh.append(hp)
             if include_scale:
                 Yscale.append(Yl)
-        return Pyramid(Yl, tuple(Yh), tuple(Yscale) if include_scale else None)
+        scales = tuple(Yscale) if include_scale else None
+        if planes:
+            return PlanePyramid(Yl, tuple(r for r, _ in Yh),
+                                tuple(i for _, i in Yh), scales, kind="3d")
+        return Pyramid(Yl, tuple(Yh), scales)
 
     @staticmethod
-    def _level1_fwd(X, h0o, h1o):
+    def _pack_octants(octs, planes: bool):
+        """Concatenate the 7 octant packs into the 28-band level: trailing
+        band axis (interleaved complex) or leading band-major plane axis."""
+        if planes:
+            parts = [cube2c_planes(v) for v in octs]
+            return (jnp.concatenate([r for r, _ in parts], axis=-4),
+                    jnp.concatenate([i for _, i in parts], axis=-4))
+        return jnp.concatenate([cube2c(v) for v in octs], axis=-1)
+
+    @staticmethod
+    def _level1_fwd(X, h0o, h1o, planes: bool = False):
         # Separable tree along dims (-1, -2, -3); branch index 0 = lowpass.
         # (The reference's double-size work array and its even-filter edge
         # pads are not needed: the padded samples are never consumed.)
@@ -163,8 +192,8 @@ class Transform3d:
         else:
             def trim(v):
                 return v
-        hp = jnp.concatenate([cube2c(trim(oct_[o])) for o in _OCTANTS],
-                             axis=-1)
+        hp = Transform3d._pack_octants([trim(oct_[o]) for o in _OCTANTS],
+                                       planes)
         return lll, hp
 
     @staticmethod
@@ -178,7 +207,7 @@ class Transform3d:
         out = fb.filter_axis(out, h0o, -3)
         return out
 
-    def _level2_fwd(self, X, h0a, h0b, h1a, h1b):
+    def _level2_fwd(self, X, h0a, h0b, h1a, h1b, planes: bool = False):
         div = self.ext_mode
         rep = 1 if div == 4 else 2
         for ax in (-3, -2, -1):
@@ -194,16 +223,21 @@ class Transform3d:
                 oct_[(0, j, k)] = fb.dfilt_axis(v, h0b, h0a, -3)
                 oct_[(1, j, k)] = fb.dfilt_axis(v, h1b, h1a, -3)
         lll = oct_[(0, 0, 0)]
-        hp = jnp.concatenate([cube2c(oct_[o]) for o in _OCTANTS], axis=-1)
+        hp = self._pack_octants([oct_[o] for o in _OCTANTS], planes)
         return lll, hp
 
     # ------------------------------------------------------------------
     # inverse
     # ------------------------------------------------------------------
     def inverse(self, pyramid: Pyramid):
-        """Inverse transform.  A ``None`` first highpass entry (from
+        """Inverse transform of a :class:`Pyramid` or 3-D
+        :class:`PlanePyramid`.  A ``None`` first highpass entry (from
         ``discard_level_1``) is treated as zero."""
-        pyramid = pyramid_to_device(pyramid)
+        if isinstance(pyramid, PlanePyramid):
+            from dtcwt_tpu.utils import asdevice
+            pyramid = jax.tree_util.tree_map(asdevice, pyramid)
+        else:
+            pyramid = pyramid_to_device(pyramid)
         return self._inv(pyramid, ek=engine.trace_key())
 
     def _inverse_impl(self, pyramid: Pyramid, *, ek=None):
@@ -221,22 +255,32 @@ class Transform3d:
         q = self.qshift
         g0a, g0b, g1a, g1b = q[2], q[3], q[6], q[7]
 
-        Yh = pyramid.highpasses
+        if isinstance(pyramid, PlanePyramid):
+            Yb = tuple(zip(pyramid.highpasses_re, pyramid.highpasses_im))
+            has = lambda lvl: Yb[lvl][0] is not None
+            spatial = lambda lvl: Yb[lvl][0].shape[-3:]
+            oct_at = lambda lvl: self._octants_planes(*Yb[lvl])
+            nlevels = len(Yb)
+        else:
+            Yh = pyramid.highpasses
+            has = lambda lvl: Yh[lvl] is not None
+            spatial = lambda lvl: Yh[lvl].shape[-4:-1]
+            oct_at = lambda lvl: self._octants(Yh[lvl])
+            nlevels = len(Yh)
         Yl = jnp.asarray(pyramid.lowpass)
-        nlevels = len(Yh)
 
         for level in range(nlevels - 1, 0, -1):
-            if Yh[level - 1] is not None:
-                prev_shape = Yh[level - 1].shape[-4:-1]
+            if has(level - 1):
+                prev_shape = spatial(level - 1)
             else:
-                prev_shape = tuple(2 * s for s in Yh[level].shape[-4:-1])
-            Yl = self._level2_inv(Yl, Yh[level], g0a, g0b, g1a, g1b,
-                                  prev_shape)
+                prev_shape = tuple(2 * s for s in spatial(level))
+            Yl = self._level2_inv(Yl, oct_at(level), spatial(level),
+                                  g0a, g0b, g1a, g1b, prev_shape)
         if nlevels >= 1:
-            if Yh[0] is None:
+            if not has(0):
                 Yl = self._level1_inv_lowpass_only(Yl, g0o)
             else:
-                Yl = self._level1_inv(Yl, Yh[0], g0o, g1o)
+                Yl = self._level1_inv(Yl, oct_at(0), g0o, g1o)
         return Yl
 
     @staticmethod
@@ -245,6 +289,16 @@ class Transform3d:
         out = {}
         for n, o in enumerate(_OCTANTS):
             out[o] = c2cube(Yh[..., 4 * n:4 * n + 4])
+        return out
+
+    @staticmethod
+    def _octants_planes(re, im):
+        """Octet volumes from band-major plane-layout re/im arrays
+        (``[..., 28, P, Q, R]``) — no complex ops."""
+        out = {}
+        for n, o in enumerate(_OCTANTS):
+            out[o] = c2cube_planes(re[..., 4 * n:4 * n + 4, :, :, :],
+                                   im[..., 4 * n:4 * n + 4, :, :, :])
         return out
 
     @staticmethod
@@ -261,8 +315,7 @@ class Transform3d:
             V[k] = ifilt(U[(0, k)], g0f, -3) + ifilt(U[(1, k)], g1f, -3)
         return ifilt(V[0], g0f, -1) + ifilt(V[1], g1f, -1)
 
-    def _level2_inv(self, Yl, Yh, g0a, g0b, g1a, g1b, prev_shape):
-        oct_ = self._octants(Yh)
+    def _level2_inv(self, Yl, oct_, curr, g0a, g0b, g1a, g1b, prev_shape):
         oct_[(0, 0, 0)] = Yl
 
         def ifilt(v, gf, ax):
@@ -272,15 +325,13 @@ class Transform3d:
         out = self._synth(oct_, (g0a, g0b), (g1a, g1b), ifilt)
 
         crop = 1 if self.ext_mode == 4 else 2
-        curr = Yh.shape[-4:-1]
         for d, ax in enumerate((-3, -2, -1)):
             if 2 * curr[d] != prev_shape[d]:
                 out = _crop(out, ax, crop)
         return out
 
     @staticmethod
-    def _level1_inv(Yl, Yh, g0o, g1o):
-        oct_ = Transform3d._octants(Yh)
+    def _level1_inv(Yl, oct_, g0o, g1o):
         even = g0o.size % 2 == 0
         if even:
             # drop the lowpass's extra trailing sample per dim (reference

@@ -134,3 +134,48 @@ def test_layout_validation():
     t = dt.Transform2d()
     with pytest.raises(ValueError):
         t.forward(_rand((32, 32)), 2, layout="bogus")
+    with pytest.raises(ValueError):
+        dt.Transform3d().forward(_rand((8, 8, 8)), 2, layout="bogus")
+
+
+# ---------------------------------------------------------------------------
+# 3-D plane layout (kind='3d': [..., 28, P, Q, R] planes, octant band order)
+# ---------------------------------------------------------------------------
+
+def test_3d_planes_match_interleaved_f64_xla():
+    t3 = dt.Transform3d()
+    v = _rand((32, 32, 32), dtype=np.float64)
+    with engine.engine("xla"):
+        p = t3.forward(v, 3)
+        pp = t3.forward(v, 3, layout="planes")
+        assert isinstance(pp, PlanePyramid) and pp.kind == "3d"
+        assert pp.highpasses_re[0].shape[-4] == 28
+        for a, b in zip(p.highpasses, pp.interleaved().highpasses):
+            assert float(jnp.abs(a - b).max()) < 1e-13
+        r = t3.inverse(pp)
+        rs = t3.inverse(p)
+    assert float(jnp.abs(r - rs).max()) < 1e-13
+    assert float(jnp.abs(r - v).max()) < 1e-10
+
+
+def test_3d_planes_pallas_and_discard_level_1():
+    t3 = dt.Transform3d()
+    v = _rand((32, 32, 32))
+    pp = t3.forward(v, 2, layout="planes")
+    p = t3.forward(v, 2)
+    for a, b in zip(p.highpasses, pp.interleaved().highpasses):
+        assert float(jnp.abs(a - b).max()) < 1e-4
+    assert float(jnp.abs(t3.inverse(pp) - t3.inverse(p)).max()) < 1e-4
+    pd = t3.forward(v, 2, discard_level_1=True, layout="planes")
+    assert pd.highpasses_re[0] is None
+    rd = t3.inverse(pd)
+    rds = t3.inverse(t3.forward(v, 2, discard_level_1=True))
+    assert float(jnp.abs(rd - rds).max()) < 1e-4
+
+
+def test_3d_from_interleaved_roundtrip_exact():
+    t3 = dt.Transform3d()
+    p = t3.forward(_rand((16, 16, 32)), 2)
+    p2 = PlanePyramid.from_interleaved(p, kind="3d").interleaved()
+    for a, b in zip(p.highpasses, p2.highpasses):
+        assert float(jnp.abs(a - b).max()) == 0.0
