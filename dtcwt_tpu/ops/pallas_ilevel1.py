@@ -91,8 +91,9 @@ def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
     for t in (H, 256, 128, 96, 64, 48, 32, 16):
         if t > H or H % t or t % 16:
             continue
-        # 2 full-res + 12 re/im + 12 quad half-res slabs + stream planes
-        if (2 * (t + 2 * _PAD) + 24 * (t // 2 + 2 * _PADQ) + 2 * n_str * t
+        # 2x2 full-res + 2x12 re/im (double-buffered) + 12 quad half-res
+        # slabs + stream planes
+        if (4 * (t + 2 * _PAD) + 36 * (t // 2 + 2 * _PADQ) + 2 * n_str * t
                 + t * temp_rows) <= budget_rows:
             tr = t
             break
@@ -217,154 +218,179 @@ def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
 
         @pl.when(k == 0)
         def _():
-            # Overlapped DMAs.  Descriptor: (src (P,rows,cols) at batch b,
-            # dst slab, rows per tile, row halo, src lane window, dst lane
-            # window, semaphore index).
-            descs = (
-                (z_hbm, zslabs, tr, _PAD, None, pl.ds(G, C2), 0),
-                (mz_hbm, zslabs, tr, _PAD, pl.ds(0, G), pl.ds(0, G), 1),
-                (mz_hbm, zslabs, tr, _PAD, pl.ds(G, G),
-                 pl.ds(G + C2, G), 2),
-                (re_hbm, raw, tr // 2, _PADQ, None, pl.ds(G, C2), 3),
-                (im_hbm, raw, tr // 2, _PADQ, None, pl.ds(G, C2), 4),
-                (mq_hbm, raw, tr // 2, _PADQ, pl.ds(0, G), pl.ds(0, G), 5),
-                (mq_hbm, raw, tr // 2, _PADQ, pl.ds(G, G),
-                 pl.ds(G + C2, G), 6),
-            )
+            t = b * n_tiles + i
+            total = B * n_tiles
 
-            def dst(slab, src, t_in, pad, scol, dcol, sem, lo, n, dlo):
-                sref = (src.at[b, :, pl.ds(lo, n), scol] if scol is not None
-                        else src.at[b, :, pl.ds(lo, n), :])
-                dref = slab.at[:, pl.ds(dlo, n), dcol]
-                return pltpu.make_async_copy(sref, dref, sems.at[sem])
+            # Double-buffered overlapped DMAs (tile t uses buffer t % 2;
+            # tile t+1's copies are issued right after the wait so they
+            # overlap this tile's quad build + row stage).  Descriptor:
+            # (src (P,rows,cols), dst slab, rows per tile, row halo, src
+            # lane window, dst lane window, semaphore index).
+            def _dma_all(t_, buf, start: bool):
+                b_ = t_ // n_tiles
+                i_ = t_ % n_tiles
+                descs = (
+                    (z_hbm, "z", tr, _PAD, None, pl.ds(G, C2), 0),
+                    (mz_hbm, "z", tr, _PAD, pl.ds(0, G), pl.ds(0, G), 1),
+                    (mz_hbm, "z", tr, _PAD, pl.ds(G, G),
+                     pl.ds(G + C2, G), 2),
+                    (re_hbm, "r0", tr // 2, _PADQ, None, pl.ds(G, C2), 3),
+                    (im_hbm, "r6", tr // 2, _PADQ, None, pl.ds(G, C2), 4),
+                    (mq_hbm, "rall", tr // 2, _PADQ, pl.ds(0, G),
+                     pl.ds(0, G), 5),
+                    (mq_hbm, "rall", tr // 2, _PADQ, pl.ds(G, G),
+                     pl.ds(G + C2, G), 6),
+                )
 
-            def dst_ri(src, t_in, pad, scol, dcol, sem, lo, n, dlo, p_lo):
-                sref = (src.at[b, :, pl.ds(lo, n), scol] if scol is not None
-                        else src.at[b, :, pl.ds(lo, n), :])
-                dref = raw.at[pl.ds(p_lo, 6), pl.ds(dlo, n), dcol]
-                return pltpu.make_async_copy(sref, dref, sems.at[sem])
+                def op(row_sel):
+                    cps = []
+                    for (src, which, t_in, pad, scol, dcol, sem) in descs:
+                        lo, n, dlo = row_sel(t_in, pad)
+                        sref = (src.at[b_, :, pl.ds(lo, n), scol]
+                                if scol is not None
+                                else src.at[b_, :, pl.ds(lo, n), :])
+                        if which == "z":
+                            dref = zslabs.at[buf, :, pl.ds(dlo, n), dcol]
+                        elif which == "r0":
+                            dref = raw.at[buf, pl.ds(0, 6),
+                                          pl.ds(dlo, n), dcol]
+                        elif which == "r6":
+                            dref = raw.at[buf, pl.ds(6, 6),
+                                          pl.ds(dlo, n), dcol]
+                        else:
+                            dref = raw.at[buf, :, pl.ds(dlo, n), dcol]
+                        cps.append(pltpu.make_async_copy(
+                            sref, dref, sems.at[buf, sem]))
+                    for c in cps:
+                        c.start() if start else c.wait()
 
-            def run(row_sel):
-                cps = []
-                for (src, slab, t_in, pad, scol, dcol, sem) in descs:
-                    lo, n, dlo = row_sel(i, t_in, pad)
-                    if src is re_hbm:
-                        cps.append(dst_ri(src, t_in, pad, scol, dcol, sem,
-                                          lo, n, dlo, 0))
-                    elif src is im_hbm:
-                        cps.append(dst_ri(src, t_in, pad, scol, dcol, sem,
-                                          lo, n, dlo, 6))
-                    else:
-                        cps.append(dst(slab, src, t_in, pad, scol, dcol,
-                                       sem, lo, n, dlo))
-                for c in cps:
-                    c.start()
-                for c in cps:
-                    c.wait()
+                if n_tiles == 1:
+                    op(lambda tn, p: (0, tn, p))
+                    return
 
-            if n_tiles == 1:
-                run(lambda i_, t, p: (0, t, p))
-            else:
-                @pl.when(i == 0)
+                @pl.when(i_ == 0)
                 def _():
-                    run(lambda i_, t, p: (0, t + p, p))
+                    op(lambda tn, p: (0, tn + p, p))
 
                 if n_tiles > 2:
-                    @pl.when(jnp.logical_and(i > 0, i < n_tiles - 1))
+                    @pl.when(jnp.logical_and(i_ > 0, i_ < n_tiles - 1))
                     def _():
-                        run(lambda i_, t, p:
-                            (pl.multiple_of(i_ * t - p, _SUBLANE),
-                             t + 2 * p, 0))
+                        op(lambda tn, p:
+                           (pl.multiple_of(i_ * tn - p, _SUBLANE),
+                            tn + 2 * p, 0))
+
+                @pl.when(i_ == n_tiles - 1)
+                def _():
+                    op(lambda tn, p:
+                       (pl.multiple_of(i_ * tn - p, _SUBLANE), tn + p, 0))
+
+            def stage(buf):
+                @pl.when(t == 0)
+                def _():
+                    _dma_all(t, buf, True)
+                _dma_all(t, buf, False)
+
+                @pl.when(t + 1 < total)
+                def _():
+                    _dma_all(t + 1, 1 - buf, True)
+
+                # Quad slabs: whole-slab VPU c2q in parity-plane space.
+                sc = jnp.asarray(s_half, dtype)
+                for src, (A, Bb) in enumerate(_PAIRS_PO if pair_order
+                                              else _PAIRS):
+                    reA, reB = raw[buf, A], raw[buf, Bb]
+                    imA, imB = raw[buf, 6 + A], raw[buf, 6 + Bb]
+                    qslabs[4 * src + 0] = (reA + reB) * sc
+                    qslabs[4 * src + 1] = (imA + imB) * sc
+                    qslabs[4 * src + 2] = (imA - imB) * sc
+                    qslabs[4 * src + 3] = (reB - reA) * sc
+
+                # Mirror fills: Z slabs self-mirror (row reflection stays
+                # in the same column plane); quad slabs swap row-parity
+                # partners.
+                @pl.when(i == 0)
+                def _():
+                    for p in range(2):
+                        for s_ in range(_PAD):
+                            zslabs[buf, p, s_, :] = zslabs[
+                                buf, p, 2 * _PAD - 1 - s_, :]
+                    for p in range(12):
+                        q = p ^ 2
+                        for s_ in range(_PADQ):
+                            qslabs[p, s_, :] = qslabs[
+                                q, 2 * _PADQ - 1 - s_, :]
 
                 @pl.when(i == n_tiles - 1)
                 def _():
-                    run(lambda i_, t, p:
-                        (pl.multiple_of(i_ * t - p, _SUBLANE), t + p, 0))
+                    for p in range(2):
+                        for s_ in range(tr + _PAD, tr + 2 * _PAD):
+                            zslabs[buf, p, s_, :] = zslabs[
+                                buf, p, 2 * (tr + _PAD) - 1 - s_, :]
+                    for p in range(12):
+                        q = p ^ 2
+                        hq = tr // 2
+                        for s_ in range(hq + _PADQ, hq + 2 * _PADQ):
+                            qslabs[p, s_, :] = qslabs[
+                                q, 2 * (hq + _PADQ) - 1 - s_, :]
 
-            # Quad slabs: whole-slab VPU c2q in parity-plane space.
-            sc = jnp.asarray(s_half, dtype)
-            for src, (A, Bb) in enumerate(_PAIRS_PO if pair_order
-                                          else _PAIRS):
-                reA, reB = raw[A], raw[Bb]
-                imA, imB = raw[6 + A], raw[6 + Bb]
-                qslabs[4 * src + 0] = (reA + reB) * sc
-                qslabs[4 * src + 1] = (imA + imB) * sc
-                qslabs[4 * src + 2] = (imA - imB) * sc
-                qslabs[4 * src + 3] = (reB - reA) * sc
+                # Row stage per column parity: y = colfilter(Z|hl, g0o) +
+                # colfilter(lh|hh, g1o), row-parity split via reshape for
+                # the full-res Z part, polyphase planes for the quad parts.
+                # quad slab index: 4*src + 2*rp + cp, sources (lh, hl, hh).
+                for cp_ in range(2):
+                    if use_mxu:
+                        yz = jnp.dot(az_ref[:, :], zslabs[buf, cp_],
+                                     precision=jax.lax.Precision.HIGHEST,
+                                     preferred_element_type=jnp.float32
+                                     ).astype(dtype)
+                        yz2 = yz.reshape(tr // 2, 2, W)
 
-            # Mirror fills: Z slabs self-mirror (row reflection stays in
-            # the same column plane); quad slabs swap row-parity partners.
-            @pl.when(i == 0)
+                        def rowq(base, a_ref, cp_=cp_):
+                            win = jnp.concatenate(
+                                [qslabs[base + cp_],
+                                 qslabs[base + 2 + cp_]], axis=0)
+                            y = jnp.dot(a_ref[:, :], win,
+                                        precision=jax.lax.Precision.HIGHEST,
+                                        preferred_element_type=jnp.float32
+                                        ).astype(dtype)
+                            n = tr // 2
+                            return (lax.slice_in_dim(y, 0, n, axis=0),
+                                    lax.slice_in_dim(y, n, 2 * n, axis=0))
+
+                        lh_e, lh_o = rowq(0, aq1_ref)
+                        hl_e, hl_o = rowq(4, aq0_ref)
+                        hh_e, hh_o = rowq(8, aq2_ref if bp else aq1_ref)
+                    else:
+                        yz = conv_full(zslabs[buf, cp_], g0r, p0)
+                        yz2 = yz.reshape(tr // 2, 2, W)
+                        lh_e, lh_o = conv_planes_rows(qslabs[0 + cp_],
+                                                      qslabs[2 + cp_],
+                                                      g1, p1)
+                        hl_e, hl_o = conv_planes_rows(qslabs[4 + cp_],
+                                                      qslabs[6 + cp_],
+                                                      g0, p0)
+                        hh_e, hh_o = conv_planes_rows(qslabs[8 + cp_],
+                                                      qslabs[10 + cp_],
+                                                      g2 if bp else g1,
+                                                      p2 if bp else p1)
+                    streams[0, 2 * 0 + cp_] = yz2[:, 0, :] + lh_e   # y1 rp0
+                    streams[1, 2 * 0 + cp_] = yz2[:, 1, :] + lh_o   # y1 rp1
+                    if bp:
+                        streams[0, 2 + cp_] = hl_e                  # y2 rp0
+                        streams[1, 2 + cp_] = hl_o                  # y2 rp1
+                        streams[0, 4 + cp_] = hh_e                  # y2bp rp0
+                        streams[1, 4 + cp_] = hh_o                  # y2bp rp1
+                    else:
+                        streams[0, 2 + cp_] = hl_e + hh_e           # y2 rp0
+                        streams[1, 2 + cp_] = hl_o + hh_o           # y2 rp1
+
+            @pl.when(t % 2 == 0)
             def _():
-                for p in range(2):
-                    for s_ in range(_PAD):
-                        zslabs[p, s_, :] = zslabs[p, 2 * _PAD - 1 - s_, :]
-                for p in range(12):
-                    q = p ^ 2
-                    for s_ in range(_PADQ):
-                        qslabs[p, s_, :] = qslabs[q, 2 * _PADQ - 1 - s_, :]
+                stage(0)
 
-            @pl.when(i == n_tiles - 1)
+            @pl.when(t % 2 == 1)
             def _():
-                for p in range(2):
-                    for s_ in range(tr + _PAD, tr + 2 * _PAD):
-                        zslabs[p, s_, :] = zslabs[
-                            p, 2 * (tr + _PAD) - 1 - s_, :]
-                for p in range(12):
-                    q = p ^ 2
-                    hq = tr // 2
-                    for s_ in range(hq + _PADQ, hq + 2 * _PADQ):
-                        qslabs[p, s_, :] = qslabs[
-                            q, 2 * (hq + _PADQ) - 1 - s_, :]
-
-            # Row stage per column parity: y = colfilter(Z|hl, g0o) +
-            # colfilter(lh|hh, g1o), row-parity split via reshape for the
-            # full-res Z part, polyphase planes for the quad parts.
-            # quad slab index: 4*src + 2*rp + cp, sources (lh, hl, hh).
-            for cp_ in range(2):
-                if use_mxu:
-                    yz = jnp.dot(az_ref[:, :], zslabs[cp_],
-                                 precision=jax.lax.Precision.HIGHEST,
-                                 preferred_element_type=jnp.float32
-                                 ).astype(dtype)
-                    yz2 = yz.reshape(tr // 2, 2, W)
-
-                    def rowq(base, a_ref):
-                        win = jnp.concatenate(
-                            [qslabs[base + cp_], qslabs[base + 2 + cp_]],
-                            axis=0)
-                        y = jnp.dot(a_ref[:, :], win,
-                                    precision=jax.lax.Precision.HIGHEST,
-                                    preferred_element_type=jnp.float32
-                                    ).astype(dtype)
-                        n = tr // 2
-                        return (lax.slice_in_dim(y, 0, n, axis=0),
-                                lax.slice_in_dim(y, n, 2 * n, axis=0))
-
-                    lh_e, lh_o = rowq(0, aq1_ref)
-                    hl_e, hl_o = rowq(4, aq0_ref)
-                    hh_e, hh_o = rowq(8, aq2_ref if bp else aq1_ref)
-                else:
-                    yz = conv_full(zslabs[cp_], g0r, p0)
-                    yz2 = yz.reshape(tr // 2, 2, W)
-                    lh_e, lh_o = conv_planes_rows(qslabs[0 + cp_],
-                                                  qslabs[2 + cp_], g1, p1)
-                    hl_e, hl_o = conv_planes_rows(qslabs[4 + cp_],
-                                                  qslabs[6 + cp_], g0, p0)
-                    hh_e, hh_o = conv_planes_rows(qslabs[8 + cp_],
-                                                  qslabs[10 + cp_],
-                                                  g2 if bp else g1,
-                                                  p2 if bp else p1)
-                streams[0, 2 * 0 + cp_] = yz2[:, 0, :] + lh_e   # y1 rp0
-                streams[1, 2 * 0 + cp_] = yz2[:, 1, :] + lh_o   # y1 rp1
-                if bp:
-                    streams[0, 2 + cp_] = hl_e                  # y2 rp0
-                    streams[1, 2 + cp_] = hl_o                  # y2 rp1
-                    streams[0, 4 + cp_] = hh_e                  # y2bp rp0
-                    streams[1, 4 + cp_] = hh_o                  # y2bp rp1
-                else:
-                    streams[0, 2 + cp_] = hl_e + hh_e           # y2 rp0
-                    streams[1, 2 + cp_] = hl_o + hh_o           # y2 rp1
+                stage(1)
 
         # Lane stage: one output column parity per grid step; rows of both
         # parities interleave in-kernel via a sublane stack.
@@ -403,11 +429,11 @@ def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
         out_specs=(out_spec, out_spec),
         out_shape=(jax.ShapeDtypeStruct((B, H, C2), dtype),
                    jax.ShapeDtypeStruct((B, H, C2), dtype)),
-        scratch_shapes=[pltpu.VMEM((2, tr + 2 * _PAD, W), dtype),
-                        pltpu.VMEM((12, tr // 2 + 2 * _PADQ, W), dtype),
+        scratch_shapes=[pltpu.VMEM((2, 2, tr + 2 * _PAD, W), dtype),
+                        pltpu.VMEM((2, 12, tr // 2 + 2 * _PADQ, W), dtype),
                         pltpu.VMEM((12, tr // 2 + 2 * _PADQ, W), dtype),
                         pltpu.VMEM((2, 2 * n_str, tr // 2, W), dtype),
-                        pltpu.SemaphoreType.DMA((7,))],
+                        pltpu.SemaphoreType.DMA((2, 7))],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),

@@ -56,6 +56,9 @@ __all__ = ["fwd_level1"]
 
 _MARGIN = 64              # reflected boundary columns per side (split units)
 _TILE_BYTES = 24 * 1024 * 1024
+# Total column-stage taps at which the banded-MXU matmul beats the per-tap
+# sublane shift chains (each shift is a VMEM relayout).
+_MXU_MIN_TAPS = 16
 
 
 def _corr_rows(ext, taps, n_out: int, offset: int):
@@ -120,9 +123,7 @@ def _build_level1(B: int, R: int, C2: int, h0bytes: bytes, h1bytes: bytes,
 
     # Column stage as one stacked banded matmul per plane: rows [0,tr) = lo
     # branch, [tr,2tr) = hi branch, taps indexed straight off the slab.
-    # Only pays for the long biorthogonal families (near_sym_b: 13+19 taps);
-    # short filters stay on the cheaper shift chains.
-    use_mxu = (m0 + m1 + m2) >= 16 and not _interpret()
+    use_mxu = (m0 + m1 + m2) >= _MXU_MIN_TAPS and not _interpret()
     slab_rows = tr + 2 * pad8
     if use_mxu:
         ent = [(i, (pad8 - p0) + i + k, h0r[k])
