@@ -86,10 +86,35 @@ def main():
             return c + s * 0.0, s
         return jax.lax.scan(body, a, None, length=iters)[1].sum()
 
+    # 3-D volume roundtrip (dual-stream tree kernels, ops/pallas_dual.py):
+    # 256^3 3-level, the reference's worst-scaling case (Python plane loops,
+    # numpy/transform3d.py:208-289).
+    t3 = dt.Transform3d()
+    v = jnp.asarray(np.random.RandomState(1).rand(256, 256, 256)
+                    .astype(np.float32))
+    float(v.sum())
+    iters3 = 5
+
+    @jax.jit
+    def run_rt3(a):
+        def body(c, _):
+            p = t3._forward_impl(c, nlevels=3, include_scale=False,
+                                 discard_level_1=False)
+            r = t3._inverse_impl(p)
+            return r, jnp.sum(r)
+        return jax.lax.scan(body, a, None, length=iters3)[1].sum()
+
+    def timed3(run):
+        float(run(v))
+        t0 = time.time()
+        float(run(v))
+        return (time.time() - t0) / iters3
+
     fwd_s = timed(run_fwd)
     rt_s = timed(run_rt)
     rtp_s = timed(run_rt_planes)
     carry_s = timed(run_carry)
+    rt3_s = timed3(run_rt3)
 
     fwd_frame = max(fwd_s - carry_s, 1e-9)
     rt_frame = max(rt_s - carry_s, 1e-9)
@@ -108,6 +133,8 @@ def main():
         "roundtrip_ms": round(rt_frame * 1e3, 2),
         "roundtrip_planes_ms": round(rtp_frame * 1e3, 2),
         "roundtrip_planes_fps": round(1.0 / rtp_frame, 2),
+        "vol3d_256_roundtrip_ms": round(rt3_s * 1e3, 2),
+        "vol3d_256_roundtrip_mvox_per_s": round(256 ** 3 / rt3_s / 1e6, 1),
     }))
 
 

@@ -106,12 +106,15 @@ def _flatten_batch(x) -> Tuple[jnp.ndarray, Tuple[int, ...]]:
 
 
 def _pick_tile(n_units: int, rows_per_unit: int, C: int, pad8: int,
-               itemsize: int, temp_rows_per_unit: int) -> Optional[int]:
+               itemsize: int, temp_rows_per_unit: int,
+               n_slabs: int = 1) -> Optional[int]:
     """Largest tile size (in output units) dividing *n_units* whose input
-    slab plus live compute temporaries fit the VMEM budget and whose row
+    slab(s) plus live compute temporaries fit the VMEM budget and whose row
     count covers the halo; None if no valid tile exists (caller falls back
     to XLA).  *temp_rows_per_unit* estimates the unrolled-tap temporary rows
-    per output unit (~the total sub-filter tap count)."""
+    per output unit (~the total sub-filter tap count); *n_slabs* is the
+    number of same-shape input slabs resident at once (dual-stream kernels
+    hold two)."""
     strict = not _interpret()
     budget_rows = max(_TILE_BYTES // max(C * max(itemsize, 4), 1), 1)
     best = None
@@ -129,7 +132,8 @@ def _pick_tile(n_units: int, rows_per_unit: int, C: int, pad8: int,
             # has no such limit — stay loose there so CPU tests keep their
             # coverage of the in-kernel mirror fills at awkward sizes.
             continue
-        if t_in + 2 * pad8 + t * temp_rows_per_unit <= budget_rows:
+        if (n_slabs * (t_in + 2 * pad8) + t * temp_rows_per_unit
+                <= budget_rows):
             best = t if best is None else max(best, t)
             if t == n_units:
                 return t
@@ -137,7 +141,8 @@ def _pick_tile(n_units: int, rows_per_unit: int, C: int, pad8: int,
 
 
 def _pick_tiles_2d(n_units: int, rows_per_unit: int, C: int, pad8: int,
-                   itemsize: int, temp_rows_per_unit: int):
+                   itemsize: int, temp_rows_per_unit: int,
+                   n_slabs: int = 1):
     """(tile_units, lane_tile) for a sublane kernel: widest lane tile whose
     slab still admits a valid row tile (lane tiles must divide C and stay
     128-aligned); None if nothing fits."""
@@ -148,7 +153,7 @@ def _pick_tiles_2d(n_units: int, rows_per_unit: int, C: int, pad8: int,
         if tc % _LANE and tc != C:
             continue
         t = _pick_tile(n_units, rows_per_unit, tc, pad8, itemsize,
-                       temp_rows_per_unit)
+                       temp_rows_per_unit, n_slabs)
         if t is not None:
             return t, tc
     return None, None
@@ -202,13 +207,17 @@ def _load_slab(x_hbm, b, scratch, sem, *, tile_idx, n_tiles: int,
     # hint Mosaic that the dynamic source offset is sublane-aligned.
     src0 = pl.multiple_of(g0 - pad8, _SUBLANE)
 
-    @pl.when(jnp.logical_and(tile_idx > 0, tile_idx < n_tiles - 1))
-    def _():
-        cp = pltpu.make_async_copy(
-            x_hbm.at[b, pl.ds(src0, t_in + 2 * pad8), csl],
-            scratch.at[:, :], sem)
-        cp.start()
-        cp.wait()
+    if n_tiles > 2:
+        # Interior tiles exist only for n_tiles >= 3; with exactly two tiles
+        # this branch is dead but would still TRACE a full-slab copy larger
+        # than the input axis (t_in + 2*pad8 > R), a static shape error.
+        @pl.when(jnp.logical_and(tile_idx > 0, tile_idx < n_tiles - 1))
+        def _():
+            cp = pltpu.make_async_copy(
+                x_hbm.at[b, pl.ds(src0, t_in + 2 * pad8), csl],
+                scratch.at[:, :], sem)
+            cp.start()
+            cp.wait()
 
     @pl.when(tile_idx == n_tiles - 1)
     def _():
@@ -494,6 +503,29 @@ def dfilt_axis(x, ha, hb, axis: int):
 # IFILTER: interpolate-by-2 dual filter along the sublane axis
 # ---------------------------------------------------------------------------
 
+def _ifilt_plan(ha: np.ndarray, hb: np.ndarray):
+    """(phase, taps, offset) per output row stream t (out[4i+t]) — the four
+    parity cases of fb.ifilt_from_ext, shared by the single-stream kernel
+    below and the dual-stream ``ifilt2_sum`` kernel (pallas_dual)."""
+    m2 = ha.size // 2
+    ha_e = tuple(float(v) for v in ha[0::2][::-1])
+    ha_o = tuple(float(v) for v in ha[1::2][::-1])
+    hb_e = tuple(float(v) for v in hb[0::2][::-1])
+    hb_o = tuple(float(v) for v in hb[1::2][::-1])
+    pos = bool(np.sum(ha * hb) > 0)
+    if m2 % 2 == 0:
+        if pos:
+            return (("ev", ha_o, 0), ("od", hb_o, 0),
+                    ("ev", ha_e, 1), ("od", hb_e, 1))
+        return (("od", ha_o, 0), ("ev", hb_o, 0),
+                ("od", ha_e, 1), ("ev", hb_e, 1))
+    if pos:
+        return (("ev", ha_e, 0), ("od", hb_e, 1),
+                ("ev", ha_o, 0), ("od", hb_o, 1))
+    return (("od", ha_e, 1), ("ev", hb_e, 0),
+            ("od", ha_o, 1), ("ev", hb_o, 0))
+
+
 @functools.lru_cache(maxsize=None)
 def _build_ifilt(B: int, R: int, C: int, habytes: bytes, hbbytes: bytes,
                  dtype_str: str):
@@ -513,29 +545,9 @@ def _build_ifilt(B: int, R: int, C: int, habytes: bytes, hbbytes: bytes,
         return None
     n_tiles = n_quads // tq
     n_ctiles = C // tc
-    ha_e = tuple(float(v) for v in ha[0::2][::-1])
-    ha_o = tuple(float(v) for v in ha[1::2][::-1])
-    hb_e = tuple(float(v) for v in hb[0::2][::-1])
-    hb_o = tuple(float(v) for v in hb[1::2][::-1])
-    pos = bool(np.sum(ha * hb) > 0)
     off = pad8 - m2           # window start: extended index 2*q0 (phase 0)
     par_ev, par_od = m2 % 2, (m2 + 1) % 2
-    # (phase, taps, offset) per output row stream t (out[4i+t]); mirrors the
-    # four parity cases of fb.ifilt_from_ext exactly.
-    if m2 % 2 == 0:
-        if pos:
-            plan = (("ev", ha_o, 0), ("od", hb_o, 0),
-                    ("ev", ha_e, 1), ("od", hb_e, 1))
-        else:
-            plan = (("od", ha_o, 0), ("ev", hb_o, 0),
-                    ("od", ha_e, 1), ("ev", hb_e, 1))
-    else:
-        if pos:
-            plan = (("ev", ha_e, 0), ("od", hb_e, 1),
-                    ("ev", ha_o, 0), ("od", hb_o, 1))
-        else:
-            plan = (("od", ha_e, 1), ("ev", hb_e, 0),
-                    ("od", ha_o, 1), ("ev", hb_o, 0))
+    plan = _ifilt_plan(ha, hb)
     if use_mxu:
         # out[4i+t] = sum_k taps[k] * win[2(i + o + k) + par(phase)]
         entries = []

@@ -183,8 +183,7 @@ class Transform1d:
             lo = _unfold(cur, S, C)
             start = Lf
         else:
-            hi = fb.filter_axis(X, h1o, axis)
-            lo = fb.filter_axis(X, h0o, axis)
+            lo, hi = fb.filter2_axis(X, h0o, h1o, axis)
             Yh.append(q2c1d(hi, axis))
             if include_scale:
                 Yscale.append(lo)
@@ -193,8 +192,7 @@ class Transform1d:
         for _level in range(start, nlevels):
             if lo.shape[axis] % 4 != 0:
                 lo = _pad_multiple4(lo, axis)
-            hi = fb.dfilt_axis(lo, h1b, h1a, axis)
-            lo = fb.dfilt_axis(lo, h0b, h0a, axis)
+            lo, hi = fb.dfilt2_axis(lo, (h0b, h0a), (h1b, h1a), axis)
             Yh.append(q2c1d(hi, axis))
             if include_scale:
                 Yscale.append(lo)
@@ -321,8 +319,8 @@ class Transform1d:
                           _sliced(ext_hi, halo_i, g1a.size // 2),
                           g1b, g1a, 0))
             else:
-                lo = (fb.ifilt_axis(lo, g0b, g0a, axis)
-                      + fb.ifilt_axis(hi, g1b, g1a, axis))
+                lo = fb.ifilt2_sum_axis(lo, hi, (g0b, g0a), (g1b, g1a),
+                                        axis)
                 if lo.shape[axis] != 2 * Yh[level - 1].shape[axis]:
                     lo = jax.lax.slice_in_dim(lo, 1, lo.shape[axis] - 1,
                                               axis=axis)
@@ -343,7 +341,7 @@ class Transform1d:
                             _sliced(ext_hi, halo_f, g1o.size // 2), g1o, 0),
                         S, C)
         else:
-            Z = fb.filter_axis(lo, g0o, axis) + fb.filter_axis(hi, g1o, axis)
+            Z = fb.filter2_sum_axis(lo, hi, g0o, g1o, axis)
         if ret_flat:
             return Z[:, 0]
         return Z

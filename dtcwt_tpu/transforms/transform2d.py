@@ -253,16 +253,14 @@ class Transform2d:
             else:
                 lolo = lp
         else:
-            lo = fb.filter_axis(X, h0o, -2)
-            hi = fb.filter_axis(X, h1o, -2)
-            lolo = fb.filter_axis(lo, h0o, -1)
-            im05 = fb.filter_axis(hi, h0o, -1)
-            im23 = fb.filter_axis(lo, h1o, -1)
+            lo, hi = fb.filter2_axis(X, h0o, h1o, -2)
+            lolo, im23 = fb.filter2_axis(lo, h0o, h1o, -1)
             if h2o is not None:
+                im05 = fb.filter_axis(hi, h0o, -1)
                 ba = fb.filter_axis(X, h2o, -2)
                 im14 = fb.filter_axis(ba, h2o, -1)
             else:
-                im14 = fb.filter_axis(hi, h1o, -1)
+                im05, im14 = fb.filter2_axis(hi, h0o, h1o, -1)
             yh1 = _pack_bands(im05, im23, im14)
             Yh.append(_yh_to_planes(yh1) if planes else yh1)
         if include_scale:
@@ -302,17 +300,15 @@ class Transform2d:
                     continue
             if pair is not None:
                 lolo, pair = _interleave_cols(pair), None
-            lo = fb.dfilt_axis(lolo, h0b, h0a, -2)
-            hi = fb.dfilt_axis(lolo, h1b, h1a, -2)
+            lo, hi = fb.dfilt2_axis(lolo, (h0b, h0a), (h1b, h1a), -2)
             if h2b is not None:
                 ba = fb.dfilt_axis(lolo, h2b, h2a, -2)
-            lolo = fb.dfilt_axis(lo, h0b, h0a, -1)
-            im05 = fb.dfilt_axis(hi, h0b, h0a, -1)
-            im23 = fb.dfilt_axis(lo, h1b, h1a, -1)
+            lolo, im23 = fb.dfilt2_axis(lo, (h0b, h0a), (h1b, h1a), -1)
             if h2b is not None:
+                im05 = fb.dfilt_axis(hi, h0b, h0a, -1)
                 im14 = fb.dfilt_axis(ba, h2b, h2a, -1)
             else:
-                im14 = fb.dfilt_axis(hi, h1b, h1a, -1)
+                im05, im14 = fb.dfilt2_axis(hi, (h0b, h0a), (h1b, h1a), -1)
             yh = _pack_bands(im05, im23, im14)
             Yh.append(_yh_to_planes(yh) if planes else yh)
             if include_scale:
@@ -496,16 +492,16 @@ class Transform2d:
             hl = c2q(yh[..., 2], yh[..., 3], *g_hl)
             hh = c2q(yh[..., 1], yh[..., 4], *g_hh)
 
-            y1 = fb.ifilt_axis(Z, g0b, g0a, -2) + fb.ifilt_axis(lh, g1b, g1a, -2)
+            p0, p1 = (g0b, g0a), (g1b, g1a)
+            y1 = fb.ifilt2_sum_axis(Z, lh, p0, p1, -2)
             if g2b is not None:
                 y2 = fb.ifilt_axis(hl, g0b, g0a, -2)
                 y2bp = fb.ifilt_axis(hh, g2b, g2a, -2)
-                Z = (fb.ifilt_axis(y1, g0b, g0a, -1)
-                     + fb.ifilt_axis(y2, g1b, g1a, -1)
+                Z = (fb.ifilt2_sum_axis(y1, y2, p0, p1, -1)
                      + fb.ifilt_axis(y2bp, g2b, g2a, -1))
             else:
-                y2 = fb.ifilt_axis(hl, g0b, g0a, -2) + fb.ifilt_axis(hh, g1b, g1a, -2)
-                Z = fb.ifilt_axis(y1, g0b, g0a, -1) + fb.ifilt_axis(y2, g1b, g1a, -1)
+                y2 = fb.ifilt2_sum_axis(hl, hh, p0, p1, -2)
+                Z = fb.ifilt2_sum_axis(y1, y2, p0, p1, -1)
 
             Z = _crop_to(Z, hw(level - 1))
 
@@ -529,15 +525,14 @@ class Transform2d:
             hl = c2q(yh[..., 2], yh[..., 3], *g_hl)
             hh = c2q(yh[..., 1], yh[..., 4], *g_hh)
 
-            y1 = fb.filter_axis(Z, g0o, -2) + fb.filter_axis(lh, g1o, -2)
+            y1 = fb.filter2_sum_axis(Z, lh, g0o, g1o, -2)
             if g2o is not None:
                 y2 = fb.filter_axis(hl, g0o, -2)
                 y2bp = fb.filter_axis(hh, g2o, -2)
-                Z = (fb.filter_axis(y1, g0o, -1)
-                     + fb.filter_axis(y2, g1o, -1)
+                Z = (fb.filter2_sum_axis(y1, y2, g0o, g1o, -1)
                      + fb.filter_axis(y2bp, g2o, -1))
             else:
-                y2 = fb.filter_axis(hl, g0o, -2) + fb.filter_axis(hh, g1o, -2)
-                Z = fb.filter_axis(y1, g0o, -1) + fb.filter_axis(y2, g1o, -1)
+                y2 = fb.filter2_sum_axis(hl, hh, g0o, g1o, -2)
+                Z = fb.filter2_sum_axis(y1, y2, g0o, g1o, -1)
 
         return Z

@@ -169,15 +169,16 @@ class Transform3d:
         # Separable tree along dims (-1, -2, -3); branch index 0 = lowpass.
         # (The reference's double-size work array and its even-filter edge
         # pads are not needed: the padded samples are never consumed.)
-        t2 = [fb.filter_axis(X, h0o, -1), fb.filter_axis(X, h1o, -1)]
-        t21 = [[fb.filter_axis(v, h0o, -2), fb.filter_axis(v, h1o, -2)]
-               for v in t2]
+        # Each stage emits BOTH branches from one read of its input
+        # (fb.filter2_axis), halving the tree's HBM read traffic.
+        t2 = fb.filter2_axis(X, h0o, h1o, -1)
+        t21 = [fb.filter2_axis(v, h0o, h1o, -2) for v in t2]
         oct_ = {}
         for j in range(2):          # dim -2 half
             for k in range(2):      # dim -1 half
                 v = t21[k][j]
-                oct_[(0, j, k)] = fb.filter_axis(v, h0o, -3)
-                oct_[(1, j, k)] = fb.filter_axis(v, h1o, -3)
+                oct_[(0, j, k)], oct_[(1, j, k)] = fb.filter2_axis(
+                    v, h0o, h1o, -3)
 
         even = h0o.size % 2 == 0
         lll = oct_[(0, 0, 0)]
@@ -213,15 +214,14 @@ class Transform3d:
         for ax in (-3, -2, -1):
             if X.shape[ax] % div != 0:
                 X = _repeat_edges(X, ax, rep)
-        t2 = [fb.dfilt_axis(X, h0b, h0a, -1), fb.dfilt_axis(X, h1b, h1a, -1)]
-        t21 = [[fb.dfilt_axis(v, h0b, h0a, -2), fb.dfilt_axis(v, h1b, h1a, -2)]
-               for v in t2]
+        t2 = fb.dfilt2_axis(X, (h0b, h0a), (h1b, h1a), -1)
+        t21 = [fb.dfilt2_axis(v, (h0b, h0a), (h1b, h1a), -2) for v in t2]
         oct_ = {}
         for j in range(2):
             for k in range(2):
                 v = t21[k][j]
-                oct_[(0, j, k)] = fb.dfilt_axis(v, h0b, h0a, -3)
-                oct_[(1, j, k)] = fb.dfilt_axis(v, h1b, h1a, -3)
+                oct_[(0, j, k)], oct_[(1, j, k)] = fb.dfilt2_axis(
+                    v, (h0b, h0a), (h1b, h1a), -3)
         lll = oct_[(0, 0, 0)]
         hp = self._pack_octants([oct_[o] for o in _OCTANTS], planes)
         return lll, hp
@@ -302,27 +302,27 @@ class Transform3d:
         return out
 
     @staticmethod
-    def _synth(oct_, g0f, g1f, ifilt):
+    def _synth(oct_, merge):
         """Separable synthesis over dims (-2, -3, -1) — the reference pass
-        order (transform3d.py:425-435, :485-495)."""
+        order (transform3d.py:425-435, :485-495).  *merge(a, b, ax)* fuses
+        one stage's branch pair (lowpass-synth of *a* + highpass-synth of
+        *b*) in a single pass (fb dual-stream sum primitives)."""
         U = {}
         for i in range(2):
             for k in range(2):
-                U[(i, k)] = (ifilt(oct_[(i, 0, k)], g0f, -2)
-                             + ifilt(oct_[(i, 1, k)], g1f, -2))
+                U[(i, k)] = merge(oct_[(i, 0, k)], oct_[(i, 1, k)], -2)
         V = {}
         for k in range(2):
-            V[k] = ifilt(U[(0, k)], g0f, -3) + ifilt(U[(1, k)], g1f, -3)
-        return ifilt(V[0], g0f, -1) + ifilt(V[1], g1f, -1)
+            V[k] = merge(U[(0, k)], U[(1, k)], -3)
+        return merge(V[0], V[1], -1)
 
     def _level2_inv(self, Yl, oct_, curr, g0a, g0b, g1a, g1b, prev_shape):
         oct_[(0, 0, 0)] = Yl
 
-        def ifilt(v, gf, ax):
-            ga, gb = gf
-            return fb.ifilt_axis(v, gb, ga, ax)
+        def merge(a, b, ax):
+            return fb.ifilt2_sum_axis(a, b, (g0b, g0a), (g1b, g1a), ax)
 
-        out = self._synth(oct_, (g0a, g0b), (g1a, g1b), ifilt)
+        out = self._synth(oct_, merge)
 
         crop = 1 if self.ext_mode == 4 else 2
         for d, ax in enumerate((-3, -2, -1)):
@@ -340,10 +340,10 @@ class Transform3d:
                 Yl = jax.lax.slice_in_dim(Yl, 0, Yl.shape[ax] - 1, axis=ax)
         oct_[(0, 0, 0)] = Yl
 
-        def ifilt(v, g, ax):
-            return fb.filter_axis(v, g, ax)
+        def merge(a, b, ax):
+            return fb.filter2_sum_axis(a, b, g0o, g1o, ax)
 
-        out = Transform3d._synth(oct_, g0o, g1o, ifilt)
+        out = Transform3d._synth(oct_, merge)
         if even:
             for ax in (-3, -2, -1):
                 out = jax.lax.slice_in_dim(out, 1, out.shape[ax], axis=ax)

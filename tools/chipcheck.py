@@ -104,13 +104,22 @@ def main():
             w1 = t1.inverse(t1.forward(s, 5))
         check("1d %s N=%d roundtrip" % (fam, N), t1.inverse(p1), w1)
 
-    # 3-D whole-volume path
-    t3 = dt.Transform3d()
-    v = rng.rand(64, 64, 64).astype(np.float32)
-    p3 = t3.forward(v, 3)
-    with engine.engine("xla"):
-        w3 = t3.inverse(t3.forward(v, 3))
-    check("3d 64^3 roundtrip", t3.inverse(p3), w3)
+    # 3-D whole-volume path (dual-stream tree kernels: filter2/dfilt2 on
+    # analysis, filter2_sum/ifilt2_sum on synthesis).  near_sym_a = short
+    # filters (VPU shift path), near_sym_b = 13/19-tap (banded-MXU path).
+    for biort3, qshift3, ext in [("near_sym_a", "qshift_a", 4),
+                                 ("near_sym_b", "qshift_b", 4),
+                                 ("near_sym_a", "qshift_a", 8)]:
+        t3 = dt.Transform3d(biort3, qshift3, ext_mode=ext)
+        v = rng.rand(64, 64, 64).astype(np.float32)
+        p3 = t3.forward(v, 3)
+        with engine.engine("xla"):
+            pw3 = t3.forward(v, 3)
+            w3 = t3.inverse(pw3)
+        for lvl, (a, b) in enumerate(zip(p3.highpasses, pw3.highpasses)):
+            check("3d %s ext%d fwd L%d" % (biort3, ext, lvl),
+                  split(a), split(b))
+        check("3d %s ext%d roundtrip" % (biort3, ext), t3.inverse(p3), w3)
 
     # gradient through the Pallas dispatch (linear-transpose VJP); must run
     # under jit — eager complex intermediates hit the axon tunnel's
