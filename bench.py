@@ -110,11 +110,35 @@ def main():
         float(run(v))
         return (time.time() - t0) / iters3
 
+    # Batched throughput: 100 frames of 512^2 per step — the reference TF
+    # backend's flagship accelerated case (124 ms/batch on a GTX 1080,
+    # `tests/Speed Tests.ipynb` `large_tf_batch`; NumPy 5.44 s).
+    xb = jnp.asarray(np.random.RandomState(2).rand(100, 512, 512)
+                     .astype(np.float32))
+    float(xb.sum())
+    itersb = 10
+
+    @jax.jit
+    def run_batch(a):
+        def body(c, _):
+            p = t._forward_impl(c, nlevels=3, include_scale=False)
+            s = sum(jnp.sum(h.real) + jnp.sum(h.imag) for h in p.highpasses)
+            s = s + jnp.sum(p.lowpass)
+            return c + s * 0.0, s
+        return jax.lax.scan(body, a, None, length=itersb)[1].sum()
+
+    def timedb(run):
+        float(run(xb))
+        t0 = time.time()
+        float(run(xb))
+        return (time.time() - t0) / itersb
+
     fwd_s = timed(run_fwd)
     rt_s = timed(run_rt)
     rtp_s = timed(run_rt_planes)
     carry_s = timed(run_carry)
     rt3_s = timed3(run_rt3)
+    batch_s = timedb(run_batch)
 
     fwd_frame = max(fwd_s - carry_s, 1e-9)
     rt_frame = max(rt_s - carry_s, 1e-9)
@@ -135,6 +159,8 @@ def main():
         "roundtrip_planes_fps": round(1.0 / rtp_frame, 2),
         "vol3d_256_roundtrip_ms": round(rt3_s * 1e3, 2),
         "vol3d_256_roundtrip_mvox_per_s": round(256 ** 3 / rt3_s / 1e6, 1),
+        "batch100_512_forward_ms": round(batch_s * 1e3, 2),
+        "batch100_512_forward_fps": round(100.0 / batch_s, 1),
     }))
 
 

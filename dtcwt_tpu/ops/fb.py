@@ -164,6 +164,14 @@ def _filter_jit(hbytes: bytes, axis: int):
     return jax.jit(functools.partial(_filter_impl, h=h, axis=axis))
 
 
+def _lane_route(x, axis: int) -> bool:
+    """True when *axis* is the minor (lane) axis — the case the fast
+    engines reformulate as an operator matmul (ops/lane.py) instead of the
+    transpose pair both kernel paths otherwise pay."""
+    n = jnp.ndim(x)
+    return n >= 2 and _norm_axis(axis, n) == n - 1
+
+
 def filter_axis(x, h, axis: int):
     """Non-decimating filter along *axis* with symmetric edge extension.
 
@@ -172,7 +180,9 @@ def filter_axis(x, h, axis: int):
     """
     h = _as_taps(h)
     if engine.use_pallas():
-        from dtcwt_tpu.ops import pallas_fb
+        from dtcwt_tpu.ops import lane, pallas_fb
+        if _lane_route(x, axis) and lane.supported(x):
+            return lane.filter_lane(jnp.asarray(x), h)
         y = pallas_fb.filter_axis(jnp.asarray(x), h, axis)
         if y is not None:
             return y
@@ -246,7 +256,9 @@ def dfilt_axis(x, ha, hb, axis: int):
     if ha.size % 2 != 0:
         raise ValueError("Lengths of ha and hb must be even")
     if engine.use_pallas():
-        from dtcwt_tpu.ops import pallas_fb
+        from dtcwt_tpu.ops import lane, pallas_fb
+        if _lane_route(x, axis) and lane.supported(x):
+            return lane.dfilt_lane(jnp.asarray(x), ha, hb)
         y = pallas_fb.dfilt_axis(jnp.asarray(x), ha, hb, axis)
         if y is not None:
             return y
@@ -319,7 +331,9 @@ def ifilt_axis(x, ha, hb, axis: int):
     if ha.size % 2 != 0:
         raise ValueError("Lengths of ha and hb must be even")
     if engine.use_pallas():
-        from dtcwt_tpu.ops import pallas_fb
+        from dtcwt_tpu.ops import lane, pallas_fb
+        if _lane_route(x, axis) and lane.supported(x):
+            return lane.ifilt_lane(jnp.asarray(x), ha, hb)
         y = pallas_fb.ifilt_axis(jnp.asarray(x), ha, hb, axis)
         if y is not None:
             return y
@@ -370,7 +384,9 @@ def filter2_axis(x, h0, h1, axis: int):
     ``(filter_axis(x, h0), filter_axis(x, h1))`` with the input read once."""
     h0, h1 = _as_taps(h0), _as_taps(h1)
     if engine.use_pallas():
-        from dtcwt_tpu.ops import pallas_dual
+        from dtcwt_tpu.ops import lane, pallas_dual
+        if _lane_route(x, axis) and lane.supported(x):
+            return lane.filter2_lane(jnp.asarray(x), h0, h1)
         y = pallas_dual.filter2_axis(jnp.asarray(x), h0, h1, axis)
         if y is not None:
             return y
@@ -413,7 +429,9 @@ def dfilt2_axis(x, pair0, pair1, axis: int):
     if ha0.size % 2 != 0:
         raise ValueError("Filter lengths must be even")
     if engine.use_pallas():
-        from dtcwt_tpu.ops import pallas_dual
+        from dtcwt_tpu.ops import lane, pallas_dual
+        if _lane_route(x, axis) and lane.supported(x):
+            return lane.dfilt2_lane(jnp.asarray(x), ha0, hb0, ha1, hb1)
         y = pallas_dual.dfilt2_axis(jnp.asarray(x), ha0, hb0, ha1, hb1, axis)
         if y is not None:
             return y
@@ -446,7 +464,11 @@ def filter2_sum_axis(a, b, h0, h1, axis: int):
         # Odd filters emit r samples, even ones r+1 — the sum is undefined.
         raise ValueError("Filter length parities must match")
     if engine.use_pallas():
-        from dtcwt_tpu.ops import pallas_dual
+        from dtcwt_tpu.ops import lane, pallas_dual
+        if (_lane_route(a, axis) and lane.supported(a)
+                and jnp.shape(a) == jnp.shape(b)):
+            return lane.filter2_sum_lane(jnp.asarray(a), jnp.asarray(b),
+                                         h0, h1)
         y = pallas_dual.filter2_sum_axis(jnp.asarray(a), jnp.asarray(b),
                                          h0, h1, axis)
         if y is not None:
@@ -493,7 +515,10 @@ def ifilt2_sum_axis(a, b, pair0, pair1, axis: int):
     if ha0.size % 2 != 0:
         raise ValueError("Filter lengths must be even")
     if engine.use_pallas():
-        from dtcwt_tpu.ops import pallas_dual
+        from dtcwt_tpu.ops import lane, pallas_dual
+        if _lane_route(a, axis) and lane.supported(a):
+            return lane.ifilt2_sum_lane(jnp.asarray(a), jnp.asarray(b),
+                                        ha0, hb0, ha1, hb1)
         y = pallas_dual.ifilt2_sum_axis(jnp.asarray(a), jnp.asarray(b),
                                         ha0, hb0, ha1, hb1, axis)
         if y is not None:

@@ -107,11 +107,14 @@ def main():
     # 3-D whole-volume path (dual-stream tree kernels: filter2/dfilt2 on
     # analysis, filter2_sum/ifilt2_sum on synthesis).  near_sym_a = short
     # filters (VPU shift path), near_sym_b = 13/19-tap (banded-MXU path).
+    # H and W must be >= 128 so the -1/-2-axis kernel routes stay inside
+    # the 128-lane envelope on hardware (at 64 they silently fall back to
+    # XLA and the sweep would not exercise them).
     for biort3, qshift3, ext in [("near_sym_a", "qshift_a", 4),
                                  ("near_sym_b", "qshift_b", 4),
                                  ("near_sym_a", "qshift_a", 8)]:
         t3 = dt.Transform3d(biort3, qshift3, ext_mode=ext)
-        v = rng.rand(64, 64, 64).astype(np.float32)
+        v = rng.rand(64, 128, 128).astype(np.float32)
         p3 = t3.forward(v, 3)
         with engine.engine("xla"):
             pw3 = t3.forward(v, 3)
