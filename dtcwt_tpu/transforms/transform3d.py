@@ -170,9 +170,18 @@ class Transform3d:
         # (The reference's double-size work array and its even-filter edge
         # pads are not needed: the padded samples are never consumed.)
         # Each stage emits BOTH branches from one read of its input
-        # (fb.filter2_axis), halving the tree's HBM read traffic.
-        t2 = fb.filter2_axis(X, h0o, h1o, -1)
-        t21 = [fb.filter2_axis(v, h0o, h1o, -2) for v in t2]
+        # (fb.filter2_axis), halving the tree's HBM read traffic; in the
+        # two-sided kernel envelope the whole (W, H) stage pair runs as one
+        # pass per depth slice (ops/pallas_hw.py: 1 read -> 4 writes).
+        t21 = None
+        if engine.use_pallas():
+            from dtcwt_tpu.ops import pallas_hw
+            hw = pallas_hw.filter_hw22(X, h0o, h1o)
+            if hw is not None:
+                t21 = [[hw[0][k], hw[1][k]] for k in range(2)]
+        if t21 is None:
+            t2 = fb.filter2_axis(X, h0o, h1o, -1)
+            t21 = [fb.filter2_axis(v, h0o, h1o, -2) for v in t2]
         oct_ = {}
         for j in range(2):          # dim -2 half
             for k in range(2):      # dim -1 half
@@ -214,8 +223,15 @@ class Transform3d:
         for ax in (-3, -2, -1):
             if X.shape[ax] % div != 0:
                 X = _repeat_edges(X, ax, rep)
-        t2 = fb.dfilt2_axis(X, (h0b, h0a), (h1b, h1a), -1)
-        t21 = [fb.dfilt2_axis(v, (h0b, h0a), (h1b, h1a), -2) for v in t2]
+        t21 = None
+        if engine.use_pallas():
+            from dtcwt_tpu.ops import pallas_hw
+            hw = pallas_hw.dfilt_hw22(X, (h0b, h0a), (h1b, h1a))
+            if hw is not None:
+                t21 = [[hw[0][k], hw[1][k]] for k in range(2)]
+        if t21 is None:
+            t2 = fb.dfilt2_axis(X, (h0b, h0a), (h1b, h1a), -1)
+            t21 = [fb.dfilt2_axis(v, (h0b, h0a), (h1b, h1a), -2) for v in t2]
         oct_ = {}
         for j in range(2):
             for k in range(2):
@@ -302,11 +318,28 @@ class Transform3d:
         return out
 
     @staticmethod
-    def _synth(oct_, merge):
-        """Separable synthesis over dims (-2, -3, -1) — the reference pass
-        order (transform3d.py:425-435, :485-495).  *merge(a, b, ax)* fuses
-        one stage's branch pair (lowpass-synth of *a* + highpass-synth of
-        *b*) in a single pass (fb dual-stream sum primitives)."""
+    def _synth(oct_, merge, hw_sum=None):
+        """Separable synthesis.  *merge(a, b, ax)* fuses one stage's branch
+        pair (lowpass-synth of *a* + highpass-synth of *b*) in a single pass
+        (fb dual-stream sum primitives).
+
+        Without *hw_sum* this runs the reference pass order (-2, -3, -1)
+        (transform3d.py:425-435, :485-495).  With *hw_sum* (a
+        :mod:`ops.pallas_hw` two-sided merge, or None-returning outside its
+        envelope) the depth stage runs first and the (H, W) stage pair
+        fuses into one kernel pass — the axis order is immaterial for a
+        separable linear map, and the f64 oracle path never takes this
+        branch (hw_sum is gated on the fast engines)."""
+        if hw_sum is not None:
+            V = {}
+            for j in range(2):
+                for k in range(2):
+                    V[(j, k)] = merge(oct_[(0, j, k)], oct_[(1, j, k)], -3)
+            out = hw_sum(V[(0, 0)], V[(0, 1)], V[(1, 0)], V[(1, 1)])
+            if out is None:
+                out = merge(merge(V[(0, 0)], V[(1, 0)], -2),
+                            merge(V[(0, 1)], V[(1, 1)], -2), -1)
+            return out
         U = {}
         for i in range(2):
             for k in range(2):
@@ -322,7 +355,12 @@ class Transform3d:
         def merge(a, b, ax):
             return fb.ifilt2_sum_axis(a, b, (g0b, g0a), (g1b, g1a), ax)
 
-        out = self._synth(oct_, merge)
+        hw_sum = None
+        if engine.use_pallas():
+            from dtcwt_tpu.ops import pallas_hw
+            hw_sum = lambda *v: pallas_hw.ifilt_sum_hw22(
+                *v, (g0b, g0a), (g1b, g1a))
+        out = self._synth(oct_, merge, hw_sum)
 
         crop = 1 if self.ext_mode == 4 else 2
         for d, ax in enumerate((-3, -2, -1)):
@@ -343,7 +381,11 @@ class Transform3d:
         def merge(a, b, ax):
             return fb.filter2_sum_axis(a, b, g0o, g1o, ax)
 
-        out = Transform3d._synth(oct_, merge)
+        hw_sum = None
+        if engine.use_pallas():
+            from dtcwt_tpu.ops import pallas_hw
+            hw_sum = lambda *v: pallas_hw.filter_sum_hw22(*v, g0o, g1o)
+        out = Transform3d._synth(oct_, merge, hw_sum)
         if even:
             for ax in (-3, -2, -1):
                 out = jax.lax.slice_in_dim(out, 1, out.shape[ax], axis=ax)

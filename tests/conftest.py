@@ -24,7 +24,9 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-# Persistent compilation cache: keeps repeated test runs fast.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# NOTE: the persistent compilation cache is deliberately NOT enabled here.
+# With it on (cache_dir + min_compile_time/min_entry_size at 0) the suite
+# segfaulted twice in this environment inside jax's native cache codecs —
+# once in the read path (get_executable) and once in the write path
+# (put_executable_and_time) — taking the whole pytest process down mid-run.
+# Repeat-run speed is not worth a flaky CI signal.

@@ -124,6 +124,19 @@ def main():
                   split(a), split(b))
         check("3d %s ext%d roundtrip" % (biort3, ext), t3.inverse(p3), w3)
 
+    # two-sided (H, W) stage-pair kernels at level >= 2: the dfilt/ifilt
+    # hw22 routes need >= 128 lanes AFTER the first halving, which the
+    # (64,128,128) sweep above never reaches.
+    t3 = dt.Transform3d("near_sym_b", "qshift_b")
+    v = rng.rand(32, 256, 256).astype(np.float32)
+    p3 = t3.forward(v, 2)
+    with engine.engine("xla"):
+        pw3 = t3.forward(v, 2)
+        w3 = t3.inverse(pw3)
+    for lvl, (a, b) in enumerate(zip(p3.highpasses, pw3.highpasses)):
+        check("3d hw22 256 fwd L%d" % lvl, split(a), split(b))
+    check("3d hw22 256 roundtrip", t3.inverse(p3), w3)
+
     # gradient through the Pallas dispatch (linear-transpose VJP); must run
     # under jit — eager complex intermediates hit the axon tunnel's
     # unimplemented complex-transfer path (CLAUDE.md)
