@@ -13,8 +13,9 @@ import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["q2c", "c2q", "q2c1d", "c2q1d", "cube2c", "c2cube",
-           "cube2c_planes", "c2cube_planes", "interleave_axis"]
+__all__ = ["q2c", "c2q", "q2c_planes", "c2q_planes", "q2c1d", "c2q1d",
+           "cube2c", "c2cube", "cube2c_planes", "c2cube_planes",
+           "interleave_axis"]
 
 _SQRT_HALF = np.sqrt(0.5)
 
@@ -58,6 +59,37 @@ def q2c(y):
     sc = jnp.asarray(_SQRT_HALF, y.dtype)
     return (lax.complex((a - d) * sc, (b + c) * sc),
             lax.complex((a + d) * sc, (b - c) * sc))
+
+
+def q2c_planes(y):
+    """:func:`q2c` without the complex dtype: returns the two subbands as
+    ``((re0, im0), (re1, im1))`` real pairs.  Works for any real dtype —
+    including bfloat16, which ``lax.complex`` cannot represent — and lets
+    XLA keep the re/im pipelines as independent fusions."""
+    ev = y[..., 0::2, :]
+    od = y[..., 1::2, :]
+    a = ev[..., 0::2]
+    b = ev[..., 1::2]
+    c = od[..., 0::2]
+    d = od[..., 1::2]
+    sc = jnp.asarray(_SQRT_HALF, y.dtype)
+    return (((a - d) * sc, (b + c) * sc), ((a + d) * sc, (b - c) * sc))
+
+
+def c2q_planes(w0, w1, g0=1.0, g1=1.0):
+    """:func:`c2q` on ``(re, im)`` pairs instead of complex subbands (the
+    plane-layout / bfloat16 route; same quad math as the reference
+    ``numpy/transform2d.py:324-350``)."""
+    r0, i0 = w0
+    r1, i1 = w1
+    rdt = r0.dtype
+    s0 = jnp.asarray(g0, rdt) * jnp.asarray(_SQRT_HALF, rdt)
+    s1 = jnp.asarray(g1, rdt) * jnp.asarray(_SQRT_HALF, rdt)
+    pr, pi = r0 * s0 + r1 * s1, i0 * s0 + i1 * s1
+    qr, qi = r0 * s0 - r1 * s1, i0 * s0 - i1 * s1
+    top = interleave_axis((pr, pi), axis=-1)
+    bot = interleave_axis((qi, -qr), axis=-1)
+    return interleave_axis((top, bot), axis=-2)
 
 
 def c2q(w0, w1, g0=1.0, g1=1.0):

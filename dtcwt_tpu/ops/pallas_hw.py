@@ -110,8 +110,11 @@ def _build_hw22(N: int, H: int, W: int, kind: str, taps0, taps1,
         out_shape=(jax.ShapeDtypeStruct((N, HO, WO), dtype),) * 4,
         interpret=_interpret(),
     )
-    mats = tuple(jnp.asarray(m) for m in (A0, A1, B0, B1))
-    return lambda x: call(x, *mats)
+    # Keep the operators as NUMPY in the cached closure: jnp.asarray inside
+    # an active jit trace stages the constant as a tracer, and an lru_cache
+    # holding that tracer leaks it into later traces (UnexpectedTracerError).
+    mats = (A0, A1, B0, B1)
+    return lambda x: call(x, *(jnp.asarray(m) for m in mats))
 
 
 def _hw22(x, kind: str, taps0, taps1):
@@ -179,8 +182,8 @@ def _build_sum_hw22(N: int, H: int, W: int, kind: str, taps0, taps1,
         out_shape=jax.ShapeDtypeStruct((N, HO, WO), dtype),
         interpret=_interpret(),
     )
-    mats = tuple(jnp.asarray(m) for m in (A0, A1, B0, B1))
-    return lambda *v: call(*v, *mats)
+    mats = (A0, A1, B0, B1)  # numpy, not jnp: see _build_hw22
+    return lambda *v: call(*v, *(jnp.asarray(m) for m in mats))
 
 
 def _sum_hw22(vs, kind: str, taps0, taps1):

@@ -150,6 +150,11 @@ class Transform1d:
 
         if not jnp.issubdtype(X.dtype, jnp.inexact):
             X = X.astype(jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+        if X.dtype == jnp.bfloat16:
+            # The 1-D pyramid packs interleaved complex subbands and there
+            # is no bfloat16 complex dtype; promote (the 2-D/3-D transforms
+            # offer ``layout='planes'`` for true bf16 storage).
+            X = X.astype(jnp.float32)
 
         if nlevels == 0:
             return Pyramid(X, (), () if include_scale else None)

@@ -28,9 +28,10 @@ import jax.numpy as jnp
 
 from dtcwt_tpu.coeffs import biort as _biort, qshift as _qshift
 from dtcwt_tpu.ops import engine, fb
-from dtcwt_tpu.ops.packing import q2c, c2q
+from dtcwt_tpu.ops.packing import q2c, c2q, q2c_planes, c2q_planes
 from dtcwt_tpu.transforms.pyramid import (
     Pyramid, PlanePyramid, PLANE_BAND_ORDER, _PLANE_POS, pyramid_to_device)
+from dtcwt_tpu.utils import compute_view as _comp
 
 __all__ = ["Transform2d", "DEFAULT_BIORT", "DEFAULT_QSHIFT"]
 
@@ -130,18 +131,18 @@ def _pack_bands(lohi, hilo, hihi):
                      axis=-1)
 
 
-def _yh_to_planes(yh):
-    """Interleaved complex ``[..., h, w, 6]`` subbands -> plane-layout
-    ``(re, im)`` band-major ``[..., 6, h, w]`` pair in PLANE_BAND_ORDER
-    (XLA-path fallback of the kernels' native plane output)."""
-    zp = jnp.stack([yh[..., d] for d in PLANE_BAND_ORDER], axis=-3)
-    return jnp.real(zp), jnp.imag(zp)
-
-
-def _planes_to_yh(re, im):
-    """Plane-layout ``(re, im)`` pair -> interleaved complex subbands."""
-    z = jax.lax.complex(jnp.asarray(re), jnp.asarray(im))
-    return jnp.stack([z[..., p, :, :] for p in _PLANE_POS], axis=-1)
+def _pack_band_planes(lohi, hilo, hihi, dtype):
+    """Quad->plane pack of the three highpass images straight into the
+    band-major ``(re, im)`` plane pair (``PLANE_BAND_ORDER``), with no
+    complex intermediate — the XLA-path twin of the fused kernels' native
+    plane output, and the only representable route for bfloat16."""
+    b05 = q2c_planes(lohi)
+    b23 = q2c_planes(hilo)
+    b14 = q2c_planes(hihi)
+    deg = (b05[0], b14[0], b23[0], b23[1], b14[1], b05[1])
+    re = jnp.stack([deg[d][0] for d in PLANE_BAND_ORDER], axis=-3)
+    im = jnp.stack([deg[d][1] for d in PLANE_BAND_ORDER], axis=-3)
+    return re.astype(dtype), im.astype(dtype)
 
 
 class Transform2d:
@@ -218,6 +219,11 @@ class Transform2d:
 
         if not jnp.issubdtype(X.dtype, jnp.inexact):
             X = X.astype(jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+        if X.dtype == jnp.bfloat16 and not planes:
+            # The interleaved container packs complex subbands and there is
+            # no bfloat16 complex dtype; only the plane layout stores bf16.
+            X = X.astype(jnp.float32)
+        sdt = X.dtype
 
         if X.shape[-2] % 2 != 0:
             X = _dup_edge(X, -2)
@@ -253,16 +259,18 @@ class Transform2d:
             else:
                 lolo = lp
         else:
-            lo, hi = fb.filter2_axis(X, h0o, h1o, -2)
+            Xc = _comp(X)
+            lo, hi = fb.filter2_axis(Xc, h0o, h1o, -2)
             lolo, im23 = fb.filter2_axis(lo, h0o, h1o, -1)
             if h2o is not None:
                 im05 = fb.filter_axis(hi, h0o, -1)
-                ba = fb.filter_axis(X, h2o, -2)
+                ba = fb.filter_axis(Xc, h2o, -2)
                 im14 = fb.filter_axis(ba, h2o, -1)
             else:
                 im05, im14 = fb.filter2_axis(hi, h0o, h1o, -1)
-            yh1 = _pack_bands(im05, im23, im14)
-            Yh.append(_yh_to_planes(yh1) if planes else yh1)
+            lolo = lolo.astype(sdt)
+            Yh.append(_pack_band_planes(im05, im23, im14, sdt) if planes
+                      else _pack_bands(im05, im23, im14))
         if include_scale:
             Yscale.append(lolo)
 
@@ -300,17 +308,19 @@ class Transform2d:
                     continue
             if pair is not None:
                 lolo, pair = _interleave_cols(pair), None
-            lo, hi = fb.dfilt2_axis(lolo, (h0b, h0a), (h1b, h1a), -2)
+            lc = _comp(lolo)
+            lo, hi = fb.dfilt2_axis(lc, (h0b, h0a), (h1b, h1a), -2)
             if h2b is not None:
-                ba = fb.dfilt_axis(lolo, h2b, h2a, -2)
+                ba = fb.dfilt_axis(lc, h2b, h2a, -2)
             lolo, im23 = fb.dfilt2_axis(lo, (h0b, h0a), (h1b, h1a), -1)
             if h2b is not None:
                 im05 = fb.dfilt_axis(hi, h0b, h0a, -1)
                 im14 = fb.dfilt_axis(ba, h2b, h2a, -1)
             else:
                 im05, im14 = fb.dfilt2_axis(hi, (h0b, h0a), (h1b, h1a), -1)
-            yh = _pack_bands(im05, im23, im14)
-            Yh.append(_yh_to_planes(yh) if planes else yh)
+            lolo = lolo.astype(sdt)
+            Yh.append(_pack_band_planes(im05, im23, im14, sdt) if planes
+                      else _pack_bands(im05, im23, im14))
             if include_scale:
                 Yscale.append(lolo)
 
@@ -417,9 +427,9 @@ class Transform2d:
                 gp = jnp.stack([gain_mask[d] for d in PLANE_BAND_ORDER])
                 pyramid = PlanePyramid(
                     pyramid.lowpass,
-                    tuple(r * gp[:, i, None, None]
+                    tuple((r * gp[:, i, None, None]).astype(r.dtype)
                           for i, r in enumerate(pyramid.highpasses_re)),
-                    tuple(m * gp[:, i, None, None]
+                    tuple((m * gp[:, i, None, None]).astype(m.dtype)
                           for i, m in enumerate(pyramid.highpasses_im)),
                     pyramid.scales)
             else:
@@ -446,14 +456,29 @@ class Transform2d:
         if plane_pyr:
             Yb = tuple(zip(pyramid.highpasses_re, pyramid.highpasses_im))
             hw = lambda lvl: Yb[lvl][0].shape[-2:]
-            yh_at = lambda lvl: _planes_to_yh(*Yb[lvl])
             nlevels = len(Yb)
         else:
             Yh = pyramid.highpasses
             hw = lambda lvl: Yh[lvl].shape[-3:-1]
-            yh_at = lambda lvl: Yh[lvl]
             nlevels = len(Yh)
         Z = jnp.asarray(pyramid.lowpass)
+        sdt = Z.dtype
+
+        def quads(lvl, g_lh, g_hl, g_hh):
+            """The three c2q quad images of a level — plane-direct for a
+            PlanePyramid (no complex intermediate; the bf16 route), via the
+            interleaved complex subbands otherwise."""
+            if plane_pyr:
+                re, im = Yb[lvl]
+                bp = lambda d: (_comp(re[..., _PLANE_POS[d], :, :]),
+                                _comp(im[..., _PLANE_POS[d], :, :]))
+                return (c2q_planes(bp(0), bp(5), *g_lh),
+                        c2q_planes(bp(2), bp(3), *g_hl),
+                        c2q_planes(bp(1), bp(4), *g_hh))
+            yh = Yh[lvl]
+            return (c2q(yh[..., 0], yh[..., 5], *g_lh),
+                    c2q(yh[..., 2], yh[..., 3], *g_hl),
+                    c2q(yh[..., 1], yh[..., 4], *g_hh))
 
         # Consecutive fused inverse levels chain in (row, col)-parity plane
         # space: the 4x4 output-stream -> image transpose plus the next
@@ -487,13 +512,10 @@ class Transform2d:
             g_lh = _gains(gain_mask, 0, 5, level)
             g_hl = _gains(gain_mask, 2, 3, level)
             g_hh = _gains(gain_mask, 1, 4, level)
-            yh = yh_at(level)
-            lh = c2q(yh[..., 0], yh[..., 5], *g_lh)
-            hl = c2q(yh[..., 2], yh[..., 3], *g_hl)
-            hh = c2q(yh[..., 1], yh[..., 4], *g_hh)
+            lh, hl, hh = quads(level, g_lh, g_hl, g_hh)
 
             p0, p1 = (g0b, g0a), (g1b, g1a)
-            y1 = fb.ifilt2_sum_axis(Z, lh, p0, p1, -2)
+            y1 = fb.ifilt2_sum_axis(_comp(Z), lh, p0, p1, -2)
             if g2b is not None:
                 y2 = fb.ifilt_axis(hl, g0b, g0a, -2)
                 y2bp = fb.ifilt_axis(hh, g2b, g2a, -2)
@@ -503,7 +525,7 @@ class Transform2d:
                 y2 = fb.ifilt2_sum_axis(hl, hh, p0, p1, -2)
                 Z = fb.ifilt2_sum_axis(y1, y2, p0, p1, -1)
 
-            Z = _crop_to(Z, hw(level - 1))
+            Z = _crop_to(Z, hw(level - 1)).astype(sdt)
 
         if nlevels >= 1:
             if gain_mask is None and engine.use_pallas():
@@ -520,12 +542,9 @@ class Transform2d:
             g_lh = _gains(gain_mask, 0, 5, 0)
             g_hl = _gains(gain_mask, 2, 3, 0)
             g_hh = _gains(gain_mask, 1, 4, 0)
-            yh = yh_at(0)
-            lh = c2q(yh[..., 0], yh[..., 5], *g_lh)
-            hl = c2q(yh[..., 2], yh[..., 3], *g_hl)
-            hh = c2q(yh[..., 1], yh[..., 4], *g_hh)
+            lh, hl, hh = quads(0, g_lh, g_hl, g_hh)
 
-            y1 = fb.filter2_sum_axis(Z, lh, g0o, g1o, -2)
+            y1 = fb.filter2_sum_axis(_comp(Z), lh, g0o, g1o, -2)
             if g2o is not None:
                 y2 = fb.filter_axis(hl, g0o, -2)
                 y2bp = fb.filter_axis(hh, g2o, -2)
@@ -535,4 +554,4 @@ class Transform2d:
                 y2 = fb.filter2_sum_axis(hl, hh, g0o, g1o, -2)
                 Z = fb.filter2_sum_axis(y1, y2, g0o, g1o, -1)
 
-        return Z
+        return Z.astype(sdt)

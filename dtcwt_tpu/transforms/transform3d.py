@@ -31,6 +31,7 @@ from dtcwt_tpu.transforms.pyramid import (Pyramid, PlanePyramid,
                                           pyramid_to_device)
 from dtcwt_tpu.transforms.transform2d import (
     DEFAULT_BIORT, DEFAULT_QSHIFT, normalize_biort, normalize_qshift)
+from dtcwt_tpu.utils import compute_view as _comp
 
 __all__ = ["Transform3d"]
 
@@ -131,6 +132,10 @@ class Transform3d:
 
         if not jnp.issubdtype(X.dtype, jnp.inexact):
             X = X.astype(jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+        if X.dtype == jnp.bfloat16 and not planes:
+            # No bfloat16 complex dtype exists; only the plane layout can
+            # store bf16 subbands.
+            X = X.astype(jnp.float32)
 
         Yl = X
         Yh = []
@@ -155,13 +160,17 @@ class Transform3d:
         return Pyramid(Yl, tuple(Yh), scales)
 
     @staticmethod
-    def _pack_octants(octs, planes: bool):
+    def _pack_octants(octs, planes: bool, dtype=None):
         """Concatenate the 7 octant packs into the 28-band level: trailing
-        band axis (interleaved complex) or leading band-major plane axis."""
+        band axis (interleaved complex) or leading band-major plane axis.
+        *dtype* downcasts plane output back to the storage dtype (bf16)."""
         if planes:
             parts = [cube2c_planes(v) for v in octs]
-            return (jnp.concatenate([r for r, _ in parts], axis=-4),
-                    jnp.concatenate([i for _, i in parts], axis=-4))
+            re = jnp.concatenate([r for r, _ in parts], axis=-4)
+            im = jnp.concatenate([i for _, i in parts], axis=-4)
+            if dtype is not None:
+                re, im = re.astype(dtype), im.astype(dtype)
+            return re, im
         return jnp.concatenate([cube2c(v) for v in octs], axis=-1)
 
     @staticmethod
@@ -173,14 +182,15 @@ class Transform3d:
         # (fb.filter2_axis), halving the tree's HBM read traffic; in the
         # two-sided kernel envelope the whole (W, H) stage pair runs as one
         # pass per depth slice (ops/pallas_hw.py: 1 read -> 4 writes).
+        sdt = X.dtype
         t21 = None
         if engine.use_pallas():
             from dtcwt_tpu.ops import pallas_hw
-            hw = pallas_hw.filter_hw22(X, h0o, h1o)
+            hw = pallas_hw.filter_hw22(X, h0o, h1o)  # bf16 in/out, f32 MXU
             if hw is not None:
-                t21 = [[hw[0][k], hw[1][k]] for k in range(2)]
+                t21 = [[_comp(hw[0][k]), _comp(hw[1][k])] for k in range(2)]
         if t21 is None:
-            t2 = fb.filter2_axis(X, h0o, h1o, -1)
+            t2 = fb.filter2_axis(_comp(X), h0o, h1o, -1)
             t21 = [fb.filter2_axis(v, h0o, h1o, -2) for v in t2]
         oct_ = {}
         for j in range(2):          # dim -2 half
@@ -203,8 +213,8 @@ class Transform3d:
             def trim(v):
                 return v
         hp = Transform3d._pack_octants([trim(oct_[o]) for o in _OCTANTS],
-                                       planes)
-        return lll, hp
+                                       planes, dtype=sdt)
+        return lll.astype(sdt), hp
 
     @staticmethod
     def _level1_lowpass_only(X, h0o):
@@ -212,10 +222,10 @@ class Transform3d:
             raise ValueError("discard_level_1 requires odd-length level-1"
                              " filters")
         # reference order: dims 2, 1, 0 (transform3d.py:304-313)
-        out = fb.filter_axis(X, h0o, -1)
+        out = fb.filter_axis(_comp(X), h0o, -1)
         out = fb.filter_axis(out, h0o, -2)
         out = fb.filter_axis(out, h0o, -3)
-        return out
+        return out.astype(X.dtype)
 
     def _level2_fwd(self, X, h0a, h0b, h1a, h1b, planes: bool = False):
         div = self.ext_mode
@@ -223,14 +233,15 @@ class Transform3d:
         for ax in (-3, -2, -1):
             if X.shape[ax] % div != 0:
                 X = _repeat_edges(X, ax, rep)
+        sdt = X.dtype
         t21 = None
         if engine.use_pallas():
             from dtcwt_tpu.ops import pallas_hw
             hw = pallas_hw.dfilt_hw22(X, (h0b, h0a), (h1b, h1a))
             if hw is not None:
-                t21 = [[hw[0][k], hw[1][k]] for k in range(2)]
+                t21 = [[_comp(hw[0][k]), _comp(hw[1][k])] for k in range(2)]
         if t21 is None:
-            t2 = fb.dfilt2_axis(X, (h0b, h0a), (h1b, h1a), -1)
+            t2 = fb.dfilt2_axis(_comp(X), (h0b, h0a), (h1b, h1a), -1)
             t21 = [fb.dfilt2_axis(v, (h0b, h0a), (h1b, h1a), -2) for v in t2]
         oct_ = {}
         for j in range(2):
@@ -239,8 +250,9 @@ class Transform3d:
                 oct_[(0, j, k)], oct_[(1, j, k)] = fb.dfilt2_axis(
                     v, (h0b, h0a), (h1b, h1a), -3)
         lll = oct_[(0, 0, 0)]
-        hp = self._pack_octants([oct_[o] for o in _OCTANTS], planes)
-        return lll, hp
+        hp = self._pack_octants([oct_[o] for o in _OCTANTS], planes,
+                                dtype=sdt)
+        return lll.astype(sdt), hp
 
     # ------------------------------------------------------------------
     # inverse
@@ -350,46 +362,56 @@ class Transform3d:
         return merge(V[0], V[1], -1)
 
     def _level2_inv(self, Yl, oct_, curr, g0a, g0b, g1a, g1b, prev_shape):
-        oct_[(0, 0, 0)] = Yl
-
-        def merge(a, b, ax):
-            return fb.ifilt2_sum_axis(a, b, (g0b, g0a), (g1b, g1a), ax)
-
+        sdt = Yl.dtype
         hw_sum = None
         if engine.use_pallas():
             from dtcwt_tpu.ops import pallas_hw
             hw_sum = lambda *v: pallas_hw.ifilt_sum_hw22(
                 *v, (g0b, g0a), (g1b, g1a))
+        else:
+            # bf16 storage computes through the XLA path at f32 (the
+            # kernels do their own f32 MXU accumulate on bf16 slabs).
+            Yl = _comp(Yl)
+            oct_ = {k: _comp(v) for k, v in oct_.items()}
+        oct_[(0, 0, 0)] = Yl
+
+        def merge(a, b, ax):
+            return fb.ifilt2_sum_axis(a, b, (g0b, g0a), (g1b, g1a), ax)
+
         out = self._synth(oct_, merge, hw_sum)
 
         crop = 1 if self.ext_mode == 4 else 2
         for d, ax in enumerate((-3, -2, -1)):
             if 2 * curr[d] != prev_shape[d]:
                 out = _crop(out, ax, crop)
-        return out
+        return out.astype(sdt)
 
     @staticmethod
     def _level1_inv(Yl, oct_, g0o, g1o):
+        sdt = Yl.dtype
         even = g0o.size % 2 == 0
         if even:
             # drop the lowpass's extra trailing sample per dim (reference
             # x-ranges, transform3d.py:408-413)
             for ax in (-3, -2, -1):
                 Yl = jax.lax.slice_in_dim(Yl, 0, Yl.shape[ax] - 1, axis=ax)
+        hw_sum = None
+        if engine.use_pallas():
+            from dtcwt_tpu.ops import pallas_hw
+            hw_sum = lambda *v: pallas_hw.filter_sum_hw22(*v, g0o, g1o)
+        else:
+            Yl = _comp(Yl)
+            oct_ = {k: _comp(v) for k, v in oct_.items()}
         oct_[(0, 0, 0)] = Yl
 
         def merge(a, b, ax):
             return fb.filter2_sum_axis(a, b, g0o, g1o, ax)
 
-        hw_sum = None
-        if engine.use_pallas():
-            from dtcwt_tpu.ops import pallas_hw
-            hw_sum = lambda *v: pallas_hw.filter_sum_hw22(*v, g0o, g1o)
         out = Transform3d._synth(oct_, merge, hw_sum)
         if even:
             for ax in (-3, -2, -1):
                 out = jax.lax.slice_in_dim(out, 1, out.shape[ax], axis=ax)
-        return out
+        return out.astype(sdt)
 
     @staticmethod
     def _level1_inv_lowpass_only(Yl, g0o):
@@ -400,7 +422,7 @@ class Transform3d:
         # mathematically correct separable synthesis — its own behavioral
         # gate (median recon error < 1e-3, test_xfm3.py:152-159) passes
         # either way.
-        out = fb.filter_axis(Yl, g0o, -2)
+        out = fb.filter_axis(_comp(Yl), g0o, -2)
         out = fb.filter_axis(out, g0o, -3)
         out = fb.filter_axis(out, g0o, -1)
-        return out
+        return out.astype(Yl.dtype)

@@ -18,10 +18,19 @@ except Exception:  # pragma: no cover
 
 __all__ = [
     "reflect", "asfarray", "appropriate_complex_type_for", "as_column_vector",
-    "asnumpy", "asdevice", "drawedge", "drawcirc", "unpack",
+    "asnumpy", "asdevice", "compute_view", "drawedge", "drawcirc", "unpack",
     "stacked_2d_matrix_vector_prod", "stacked_2d_vector_matrix_prod",
     "stacked_2d_matrix_matrix_prod",
 ]
+
+
+def compute_view(x):
+    """Compute-dtype view of a possibly-bfloat16 array: bfloat16 is a
+    *storage* dtype (pyramid planes, kernel in/out — half the HBM traffic of
+    f32); the XLA-path filter arithmetic runs in float32, matching the
+    Pallas kernels' internal ``preferred_element_type=float32`` accumulate.
+    Identity for every other dtype (incl. the f64 verification path)."""
+    return x.astype(jnp.float32) if x.dtype == jnp.bfloat16 else x
 
 _SPLIT_COMPLEX = None
 
