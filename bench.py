@@ -77,6 +77,22 @@ def main():
             return c + s * 0.0, s
         return jax.lax.scan(body, a, None, length=iters)[1].sum()
 
+    # bf16 plane-layout roundtrip: bf16 is storage (half the HBM traffic of
+    # f32); kernels accumulate at f32 on the MXU.  The memory-bound regime
+    # makes this the throughput ceiling per chip.
+    xbf = x.astype(jnp.bfloat16)
+    float(xbf.astype(jnp.float32).sum())
+
+    @jax.jit
+    def run_rt_bf16(a):
+        def body(c, _):
+            p = t._forward_impl(c, nlevels=3, include_scale=False,
+                                layout="planes")
+            r = t._inverse_impl(p, None)
+            s = jnp.sum(r.astype(jnp.float32))
+            return c + (s * 0.0).astype(c.dtype), s
+        return jax.lax.scan(body, a, None, length=iters)[1].sum()
+
     # subtract the scan-carry update cost (~one 4096^2 elementwise pass),
     # measured with an identity body
     @jax.jit
@@ -136,6 +152,20 @@ def main():
     fwd_s = timed(run_fwd)
     rt_s = timed(run_rt)
     rtp_s = timed(run_rt_planes)
+
+    def timed_bf16(run):
+        float(run(xbf).astype(jnp.float32))
+        t0 = time.time()
+        float(run(xbf).astype(jnp.float32))
+        return (time.time() - t0) / iters
+
+    # bf16 Mosaic tiling is (16, 128) vs f32's (8, 128); until chipcheck has
+    # validated the bf16 kernel envelope on hardware, a lowering failure here
+    # must not take down the whole bench line.
+    try:
+        rtb_s = timed_bf16(run_rt_bf16)
+    except Exception:
+        rtb_s = None
     carry_s = timed(run_carry)
     rt3_s = timed3(run_rt3)
     batch_s = timedb(run_batch)
@@ -157,6 +187,12 @@ def main():
         "roundtrip_ms": round(rt_frame * 1e3, 2),
         "roundtrip_planes_ms": round(rtp_frame * 1e3, 2),
         "roundtrip_planes_fps": round(1.0 / rtp_frame, 2),
+        "roundtrip_bf16_planes_ms": (
+            None if rtb_s is None
+            else round(max(rtb_s - carry_s, 1e-9) * 1e3, 2)),
+        "roundtrip_bf16_planes_fps": (
+            None if rtb_s is None
+            else round(1.0 / max(rtb_s - carry_s, 1e-9), 2)),
         "vol3d_256_roundtrip_ms": round(rt3_s * 1e3, 2),
         "vol3d_256_roundtrip_mvox_per_s": round(256 ** 3 / rt3_s / 1e6, 1),
         "batch100_512_forward_ms": round(batch_s * 1e3, 2),

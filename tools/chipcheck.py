@@ -137,6 +137,35 @@ def main():
         check("3d hw22 256 fwd L%d" % lvl, split(a), split(b))
     check("3d hw22 256 roundtrip", t3.inverse(p3), w3)
 
+    # bf16 storage path: Mosaic tiles bf16 as (16, 128) vs f32's (8, 128),
+    # so the kernels' slab plans must re-prove themselves at this dtype.
+    # Oracle = the f32 XLA engine; bar = bf16 resolution, not TOL.
+    import jax.numpy as _jnp
+    t = dt.Transform2d()
+    xb = rng.rand(512, 512).astype(np.float32)
+    with engine.engine("xla"):
+        wb = t.inverse(t.forward(xb, 3))
+    pb = t.forward(_jnp.asarray(xb, _jnp.bfloat16), 3, layout="planes")
+    rb = np.asarray(t.inverse(pb).astype(_jnp.float32))
+    errb = float(np.abs(rb - np.asarray(wb)).max())
+    okb = errb < 0.08
+    print("%-52s %s  (err %.2e)" % ("2d bf16 planes roundtrip",
+                                    "ok" if okb else "FAIL", errb))
+    if not okb:
+        failures.append("2d bf16")
+    t3 = dt.Transform3d()
+    vb = rng.rand(64, 128, 128).astype(np.float32)
+    with engine.engine("xla"):
+        w3b = t3.inverse(t3.forward(vb, 2))
+    p3b = t3.forward(_jnp.asarray(vb, _jnp.bfloat16), 2, layout="planes")
+    r3b = np.asarray(t3.inverse(p3b).astype(_jnp.float32))
+    err3b = float(np.abs(r3b - np.asarray(w3b)).max())
+    ok3b = err3b < 0.12
+    print("%-52s %s  (err %.2e)" % ("3d bf16 planes roundtrip",
+                                    "ok" if ok3b else "FAIL", err3b))
+    if not ok3b:
+        failures.append("3d bf16")
+
     # gradient through the Pallas dispatch (linear-transpose VJP); must run
     # under jit — eager complex intermediates hit the axon tunnel's
     # unimplemented complex-transfer path (CLAUDE.md)
