@@ -125,17 +125,25 @@ class PlanePyramid:
         def pack(re, im):
             if re is None:
                 return None
-            z = lax.complex(jnp.asarray(re), jnp.asarray(im))
+            re, im = jnp.asarray(re), jnp.asarray(im)
+            if re.dtype == jnp.bfloat16:
+                # no bf16 complex dtype exists; the interleaved view of a
+                # bf16 plane pyramid is complex64
+                re, im = re.astype(jnp.float32), im.astype(jnp.float32)
+            z = lax.complex(re, im)
             if self.kind == "3d":
                 return jnp.moveaxis(z, -4, -1)
             # static-slice band reorder (plane order -> degrees); an index-
             # array permutation would lower to a full-array gather
             return jnp.stack([z[..., p, :, :] for p in _PLANE_POS], axis=-1)
 
-        return Pyramid(self.lowpass,
+        up = lambda a: (a.astype(jnp.float32)
+                        if jnp.asarray(a).dtype == jnp.bfloat16 else a)
+        return Pyramid(up(self.lowpass),
                        tuple(pack(re, im) for re, im in
                              zip(self.highpasses_re, self.highpasses_im)),
-                       self.scales)
+                       None if self.scales is None
+                       else tuple(up(s) for s in self.scales))
 
     @classmethod
     def from_interleaved(cls, p: "Pyramid", kind: str = "2d"

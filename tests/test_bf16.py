@@ -125,6 +125,22 @@ def test_bf16_gain_mask():
     assert err < BF16_TOL_2D, err
 
 
+def test_bf16_interleaved_view():
+    """`.interleaved()` on a bf16 plane pyramid yields a coherent complex64
+    Pyramid (bf16 has no complex dtype) tracking the f32 pyramid."""
+    x = _rand((64, 64), seed=8)
+    t = dt.Transform2d()
+    with engine.engine("xla"):
+        pb = t.forward(jnp.asarray(x, jnp.bfloat16), 2, layout="planes")
+        pi = pb.interleaved()
+        pf = t.forward(x, 2)
+    assert pi.highpasses[0].dtype == jnp.complex64
+    assert pi.lowpass.dtype == jnp.float32
+    err = float(np.abs(np.asarray(pi.highpasses[0])
+                       - np.asarray(pf.highpasses[0])).max())
+    assert err < 0.05, err
+
+
 def test_f64_unaffected():
     """The storage/compute split is a bf16-only affordance: the f64
     verification path still reconstructs to 1e-12."""
