@@ -14,8 +14,8 @@ import jax.numpy as jnp
 from jax import lax
 
 __all__ = ["q2c", "c2q", "q2c_planes", "c2q_planes", "q2c1d", "c2q1d",
-           "cube2c", "c2cube", "cube2c_planes", "c2cube_planes",
-           "interleave_axis"]
+           "q2c1d_planes", "c2q1d_planes", "cube2c", "c2cube",
+           "cube2c_planes", "c2cube_planes", "interleave_axis"]
 
 _SQRT_HALF = np.sqrt(0.5)
 
@@ -210,3 +210,14 @@ def c2q1d(z, axis: int = 0):
     """Inverse of :func:`q2c1d`: interleave real and imaginary parts along
     *axis* (reference: ``transform1d.py:186-196``)."""
     return interleave_axis((jnp.real(z), jnp.imag(z)), axis=axis)
+
+
+def q2c1d_planes(y, axis: int = 0):
+    """:func:`q2c1d` without the complex dtype: the (re, im) plane pair is
+    simply the even/odd deinterleave of *y* (any real dtype, incl. bf16)."""
+    return _split2(y, axis % y.ndim)
+
+
+def c2q1d_planes(re, im, axis: int = 0):
+    """Inverse of :func:`q2c1d_planes`: interleave the plane pair."""
+    return interleave_axis((re, im), axis=axis)

@@ -240,12 +240,17 @@ def _default_levels(nlevels):
 def estimatereg(source, reference, regshape=None, levels=None):
     """Estimate the registration mapping *source* onto *reference*.
 
-    Both arguments are transformed :class:`Pyramid` instances.  Returns an
-    ``NxMx6`` array of local affine parameters (one per 8x8 block by
-    default); feed it to :func:`velocityfield` / :func:`warp`.  The whole
-    multi-stage estimator compiles into a single XLA program per pyramid
-    configuration.
+    Both arguments are transformed :class:`Pyramid` (or plane-layout
+    :class:`PlanePyramid`) instances.  Returns an ``NxMx6`` array of local
+    affine parameters (one per 8x8 block by default); feed it to
+    :func:`velocityfield` / :func:`warp`.  The whole multi-stage estimator
+    compiles into a single XLA program per pyramid configuration.
     """
+    from dtcwt_tpu.transforms.pyramid import PlanePyramid
+    if isinstance(source, PlanePyramid):
+        source = source.interleaved()
+    if isinstance(reference, PlanePyramid):
+        reference = reference.interleaved()
     nlevels = len(source.highpasses)
     if regshape is None:
         if nlevels < 4:

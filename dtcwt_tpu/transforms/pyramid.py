@@ -131,6 +131,8 @@ class PlanePyramid:
                 # bf16 plane pyramid is complex64
                 re, im = re.astype(jnp.float32), im.astype(jnp.float32)
             z = lax.complex(re, im)
+            if self.kind == "1d":
+                return z            # no band axis to reorder
             if self.kind == "3d":
                 return jnp.moveaxis(z, -4, -1)
             # static-slice band reorder (plane order -> degrees); an index-
@@ -155,7 +157,9 @@ class PlanePyramid:
             if yh is None:
                 return None, None
             yh = jnp.asarray(yh)
-            if kind == "3d":
+            if kind == "1d":
+                zp = yh
+            elif kind == "3d":
                 zp = jnp.moveaxis(yh, -1, -4)
             else:
                 zp = jnp.stack([yh[..., d] for d in PLANE_BAND_ORDER],

@@ -16,8 +16,10 @@ import jax
 import jax.numpy as jnp
 
 from dtcwt_tpu.ops import engine, fb
-from dtcwt_tpu.ops.packing import q2c1d, c2q1d
-from dtcwt_tpu.transforms.pyramid import Pyramid, pyramid_to_device
+from dtcwt_tpu.ops.packing import (q2c1d, c2q1d, q2c1d_planes, c2q1d_planes)
+from dtcwt_tpu.transforms.pyramid import (Pyramid, PlanePyramid,
+                                          pyramid_to_device)
+from dtcwt_tpu.utils import compute_view as _comp
 from dtcwt_tpu.transforms.transform2d import (
     DEFAULT_BIORT, DEFAULT_QSHIFT, normalize_biort, normalize_qshift,
     _pad_multiple4)
@@ -114,53 +116,73 @@ class Transform1d:
         if len(self.biort) != 4 or len(self.qshift) != 8:
             raise ValueError("1-D transform does not use bandpass variants")
         self._fwd = jax.jit(self._forward_impl,
-                            static_argnames=("nlevels", "include_scale", "ek"))
+                            static_argnames=("nlevels", "include_scale",
+                                             "layout", "ek"))
         self._inv = jax.jit(self._inverse_impl,
                             static_argnames=("ret_flat", "ek"))
 
     # ------------------------------------------------------------------
-    def forward(self, X, nlevels: int = 3, include_scale: bool = False) -> Pyramid:
+    def forward(self, X, nlevels: int = 3, include_scale: bool = False,
+                layout: str = "interleaved") -> Pyramid:
         """Forward transform of a vector / columns-of-signals array.  The
         signal axis (axis 0 for <=2-D input, axis -2 otherwise) must have
-        even length."""
+        even length.  ``layout='planes'`` returns a :class:`PlanePyramid`
+        (``kind='1d'``) whose re/im pair per level is the even/odd
+        deinterleave of the level-1/tree output — no complex arrays, the
+        bf16 storage route."""
         X = jnp.asarray(X)
         if X.ndim == 1:
             X = X[:, None]
         axis = 0 if X.ndim <= 2 else -2
         if X.shape[axis] % 2 != 0:
             raise ValueError("Size of input X must be a multiple of 2")
+        if layout not in ("interleaved", "planes"):
+            raise ValueError("layout must be 'interleaved' or 'planes'")
         return self._fwd(X, nlevels=nlevels, include_scale=include_scale,
-                         ek=engine.trace_key())
+                         layout=layout, ek=engine.trace_key())
 
     def _forward_impl(self, X, *, nlevels: int, include_scale: bool,
-                      ek=None) -> Pyramid:
+                      layout: str = "interleaved", ek=None) -> Pyramid:
         impl = lambda x: self._forward_body(x, nlevels=nlevels,
-                                            include_scale=include_scale)
+                                            include_scale=include_scale,
+                                            layout=layout)
         if engine.use_pallas():
             from dtcwt_tpu.ops.linearize import linear_vjp
             spec = jax.ShapeDtypeStruct(X.shape, X.dtype)
             return linear_vjp(impl, spec)(X)
         return impl(X)
 
-    def _forward_body(self, X, *, nlevels: int,
-                      include_scale: bool) -> Pyramid:
+    def _forward_body(self, X, *, nlevels: int, include_scale: bool,
+                      layout: str = "interleaved") -> Pyramid:
+        planes = layout == "planes"
         h0o, _, h1o, _ = self.biort
         h0a, h0b, _, _, h1a, h1b, _, _ = self.qshift
         axis = 0 if X.ndim <= 2 else -2
 
         if not jnp.issubdtype(X.dtype, jnp.inexact):
             X = X.astype(jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
-        if X.dtype == jnp.bfloat16:
-            # The 1-D pyramid packs interleaved complex subbands and there
-            # is no bfloat16 complex dtype; promote (the 2-D/3-D transforms
-            # offer ``layout='planes'`` for true bf16 storage).
+        if X.dtype == jnp.bfloat16 and not planes:
+            # The interleaved pyramid packs complex subbands and there is
+            # no bfloat16 complex dtype; only ``layout='planes'`` stores
+            # bf16.
             X = X.astype(jnp.float32)
+        sdt = X.dtype  # storage dtype; filter math runs at compute dtype
 
         if nlevels == 0:
+            if planes:
+                return PlanePyramid(X, (), (), () if include_scale else None,
+                                    kind="1d")
             return Pyramid(X, (), () if include_scale else None)
 
         Yh, Yscale = [], []
 
+        def pack(hi, ax):
+            if not planes:
+                return q2c1d(hi, ax)
+            re, im = q2c1d_planes(hi, ax)
+            return re.astype(sdt), im.astype(sdt)
+
+        Xc = _comp(X)
         halo1 = max(h0o.size // 2, h1o.size // 2)
         halo2 = max(h0a.size, h1a.size)
         plan = (_fold_plan(X.shape[0], X.shape[1], nlevels, halo1, halo2)
@@ -168,7 +190,7 @@ class Transform1d:
         if plan is not None:
             S, Lf = plan
             C = X.shape[1]
-            cur = _fold(X, S)
+            cur = _fold(Xc, S)
             for level in range(Lf):
                 if level == 0:
                     ext = _lane_halo(cur, halo1, C)
@@ -182,27 +204,37 @@ class Transform1d:
                         _sliced(ext, halo2, h1a.size), h1b, h1a, 0)
                     cur = fb.dfilt_from_ext(
                         _sliced(ext, halo2, h0a.size), h0b, h0a, 0)
-                Yh.append(_unfold(q2c1d(hi, 0), S, C))
+                if planes:
+                    re, im = q2c1d_planes(hi, 0)
+                    Yh.append((_unfold(re, S, C).astype(sdt),
+                               _unfold(im, S, C).astype(sdt)))
+                else:
+                    Yh.append(_unfold(q2c1d(hi, 0), S, C))
                 if include_scale:
-                    Yscale.append(_unfold(cur, S, C))
+                    Yscale.append(_unfold(cur, S, C).astype(sdt))
             lo = _unfold(cur, S, C)
             start = Lf
         else:
-            lo, hi = fb.filter2_axis(X, h0o, h1o, axis)
-            Yh.append(q2c1d(hi, axis))
+            lo, hi = fb.filter2_axis(Xc, h0o, h1o, axis)
+            Yh.append(pack(hi, axis))
             if include_scale:
-                Yscale.append(lo)
+                Yscale.append(lo.astype(sdt))
             start = 1
 
         for _level in range(start, nlevels):
             if lo.shape[axis] % 4 != 0:
                 lo = _pad_multiple4(lo, axis)
             lo, hi = fb.dfilt2_axis(lo, (h0b, h0a), (h1b, h1a), axis)
-            Yh.append(q2c1d(hi, axis))
+            Yh.append(pack(hi, axis))
             if include_scale:
-                Yscale.append(lo)
+                Yscale.append(lo.astype(sdt))
 
-        return Pyramid(lo, tuple(Yh), tuple(Yscale) if include_scale else None)
+        lo = lo.astype(sdt)
+        scales = tuple(Yscale) if include_scale else None
+        if planes:
+            return PlanePyramid(lo, tuple(r for r, _ in Yh),
+                                tuple(i for _, i in Yh), scales, kind="1d")
+        return Pyramid(lo, tuple(Yh), scales)
 
     # ------------------------------------------------------------------
     def forward_channels(self, X, nlevels: int = 3,
@@ -232,9 +264,14 @@ class Transform1d:
 
     # ------------------------------------------------------------------
     def inverse(self, pyramid: Pyramid, gain_mask=None):
-        """Inverse transform.  *gain_mask* is an optional length-``nlevels``
-        vector of per-level gains."""
-        pyramid = pyramid_to_device(pyramid)
+        """Inverse transform of a :class:`Pyramid` or 1-D
+        :class:`PlanePyramid`.  *gain_mask* is an optional
+        length-``nlevels`` vector of per-level gains."""
+        if isinstance(pyramid, PlanePyramid):
+            from dtcwt_tpu.utils import asdevice
+            pyramid = jax.tree_util.tree_map(asdevice, pyramid)
+        else:
+            pyramid = pyramid_to_device(pyramid)
         lowpass = jnp.asarray(pyramid.lowpass)
         ret_flat = lowpass.ndim == 2 and lowpass.shape[-1] == 1
         gm = None if gain_mask is None else jnp.asarray(gain_mask)
@@ -247,9 +284,18 @@ class Transform1d:
             # subband elementwise, reference numpy/transform1d.py:138-148);
             # the remaining map is linear in the pyramid, which linear_vjp
             # requires — it cannot close over the traced gain_mask operand.
-            Yh = tuple(h * gain_mask[i]
-                       for i, h in enumerate(pyramid.highpasses))
-            pyramid = Pyramid(pyramid.lowpass, Yh, pyramid.scales)
+            if isinstance(pyramid, PlanePyramid):
+                pyramid = PlanePyramid(
+                    pyramid.lowpass,
+                    tuple((r * gain_mask[i]).astype(r.dtype)
+                          for i, r in enumerate(pyramid.highpasses_re)),
+                    tuple((m * gain_mask[i]).astype(m.dtype)
+                          for i, m in enumerate(pyramid.highpasses_im)),
+                    pyramid.scales, kind="1d")
+            else:
+                Yh = tuple(h * gain_mask[i]
+                           for i, h in enumerate(pyramid.highpasses))
+                pyramid = Pyramid(pyramid.lowpass, Yh, pyramid.scales)
             gain_mask = None
         impl = lambda p: self._inverse_body(p, gain_mask, ret_flat=ret_flat)
         if engine.use_pallas():
@@ -263,18 +309,35 @@ class Transform1d:
         _, g0o, _, g1o = self.biort
         _, _, g0a, g0b, _, _, g1a, g1b = self.qshift
 
-        Yh = pyramid.highpasses
+        plane_pyr = isinstance(pyramid, PlanePyramid)
+        if plane_pyr:
+            # the re planes stand in for the complex subbands in all shape
+            # arithmetic (same shapes); data access goes through hi_at
+            Yh = pyramid.highpasses_re
+        else:
+            Yh = pyramid.highpasses
         lo = jnp.asarray(pyramid.lowpass)
+        sdt = lo.dtype
+        lo = _comp(lo)
         nlevels = len(Yh)
         axis = 0 if lo.ndim <= 2 else -2
         if nlevels == 0:
-            return lo
+            return lo.astype(sdt)
 
         def gained(level):
             z = Yh[level]
             if gain_mask is None:
                 return z
             return z * gain_mask[level]
+
+        def hi_at(level):
+            """The level's real interleaved highpass branch input (c2q1d of
+            the subbands), plane-direct for a PlanePyramid."""
+            if plane_pyr:
+                return c2q1d_planes(_comp(pyramid.highpasses_re[level]),
+                                    _comp(pyramid.highpasses_im[level]),
+                                    axis)
+            return c2q1d(gained(level), axis)
 
         halo_i = max(g0a.size // 2, g1a.size // 2)
         halo_f = max(g0o.size // 2, g1o.size // 2)
@@ -310,7 +373,7 @@ class Transform1d:
 
         folded = False
         for level in range(nlevels - 1, 0, -1):
-            hi = c2q1d(gained(level), axis)
+            hi = hi_at(level)
             if not folded and fold_E is not None and level <= fold_E:
                 lo = _fold(lo, S)
                 folded = True
@@ -333,7 +396,7 @@ class Transform1d:
                     raise ValueError("Yh sizes are not valid for the inverse"
                                      " transform")
 
-        hi = c2q1d(gained(0), axis)
+        hi = hi_at(0)
         if not folded and fold_final:
             lo = _fold(lo, S)
             folded = True
@@ -348,5 +411,5 @@ class Transform1d:
         else:
             Z = fb.filter2_sum_axis(lo, hi, g0o, g1o, axis)
         if ret_flat:
-            return Z[:, 0]
-        return Z
+            return Z[:, 0].astype(sdt)
+        return Z.astype(sdt)

@@ -125,6 +125,40 @@ def test_bf16_gain_mask():
     assert err < BF16_TOL_2D, err
 
 
+def test_1d_planes_layout():
+    """1-D ``layout='planes'`` = even/odd deinterleave of the tree output:
+    exact parity with the interleaved pyramid (f64), incl. the lane-folded
+    long-signal path and gain_mask."""
+    t = dt.Transform1d()
+    for x, lv in ((np.random.RandomState(0).randn(512, 3), 4),
+                  (np.random.RandomState(1).randn(16384), 5)):  # folded
+        pi = t.forward(x, lv)
+        pp = t.forward(x, lv, layout="planes")
+        assert pp.kind == "1d"
+        for z, (r, m) in zip(pi.highpasses,
+                             zip(pp.highpasses_re, pp.highpasses_im)):
+            np.testing.assert_array_equal(
+                np.asarray(z), np.asarray(r) + 1j * np.asarray(m))
+        np.testing.assert_array_equal(np.asarray(t.inverse(pi)),
+                                      np.asarray(t.inverse(pp)))
+        gm = np.linspace(1.0, 0.0, lv)
+        np.testing.assert_array_equal(np.asarray(t.inverse(pi, gm)),
+                                      np.asarray(t.inverse(pp, gm)))
+
+
+def test_1d_bf16_planes_roundtrip():
+    t = dt.Transform1d()
+    x = _rand((1024,), seed=9)
+    p = t.forward(jnp.asarray(x, jnp.bfloat16), 3, layout="planes")
+    assert p.lowpass.dtype == jnp.bfloat16
+    assert all(r.dtype == jnp.bfloat16 for r in p.highpasses_re)
+    rec = t.inverse(p)
+    assert rec.dtype == jnp.bfloat16
+    err = float(np.abs(np.asarray(rec, np.float32) - x).max())
+    assert err < 0.02, err
+    assert p.interleaved().highpasses[0].dtype == jnp.complex64
+
+
 def test_bf16_interleaved_view():
     """`.interleaved()` on a bf16 plane pyramid yields a coherent complex64
     Pyramid (bf16 has no complex dtype) tracking the f32 pyramid."""

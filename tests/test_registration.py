@@ -112,6 +112,16 @@ def test_estimatereg_matches_reference():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
 
 
+def test_estimatereg_accepts_plane_pyramids():
+    """Plane-layout pyramids (the TPU-native forward output) feed
+    estimatereg directly and give the interleaved result exactly."""
+    q1 = T.forward(C1, nlevels=4, layout="planes")
+    q2 = T.forward(C2, nlevels=4, layout="planes")
+    want = np.asarray(reg.estimatereg(P1, P2))
+    got = np.asarray(reg.estimatereg(q1, q2))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_estimatereg_behavioral_gate():
     """Reference test_registration.py:27-37 on the full traffic frames."""
     nlevels = 6
