@@ -147,6 +147,11 @@ class ShardedTransform1d:
         def local_fwd(x):
             if not jnp.issubdtype(x.dtype, jnp.inexact):
                 x = x.astype(jnp.float32)
+            if x.dtype == jnp.bfloat16:
+                # sharded pyramids are interleaved complex; no bf16 complex
+                # dtype exists, so promote (as the single-device interleaved
+                # layout does)
+                x = x.astype(jnp.float32)
             Yh = []
             cur = x
             cur_sharded = True

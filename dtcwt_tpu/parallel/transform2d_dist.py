@@ -206,6 +206,11 @@ class ShardedTransform2d:
             # x: [B/d, H/r, W/c]
             if not jnp.issubdtype(x.dtype, jnp.inexact):
                 x = x.astype(jnp.float32)
+            if x.dtype == jnp.bfloat16:
+                # sharded pyramids are interleaved complex; no bf16 complex
+                # dtype exists, so promote (as the single-device interleaved
+                # layout does)
+                x = x.astype(jnp.float32)
             Yh = []
             cur = x
             row_sharded, col_sharded = rplan[0], cplan[0]

@@ -179,6 +179,11 @@ class ShardedTransform3d:
         def local_fwd(x):
             if not jnp.issubdtype(x.dtype, jnp.inexact):
                 x = x.astype(jnp.float32)
+            if x.dtype == jnp.bfloat16:
+                # sharded pyramids are interleaved complex; no bf16 complex
+                # dtype exists, so promote (as the single-device interleaved
+                # layout does)
+                x = x.astype(jnp.float32)
             Yh = []
             cur = x
             d_sharded = plan[0]

@@ -175,6 +175,24 @@ def test_bf16_interleaved_view():
     assert err < 0.05, err
 
 
+def test_sharded_bf16_promotes():
+    """Sharded pyramids are interleaved complex, so bf16 input promotes to
+    f32 (same rule as the single-device interleaved layout) instead of
+    tripping lax.complex."""
+    from dtcwt_tpu.parallel import (ShardedTransform1d, ShardedTransform2d,
+                                    ShardedTransform3d, make_mesh)
+    x = jnp.asarray(_rand((4, 64, 64), seed=10), jnp.bfloat16)
+    st2 = ShardedTransform2d(make_mesh((2, 4), ("data", "rows")))
+    p2 = st2.forward(x, 2)
+    assert p2.highpasses[0].dtype == jnp.complex64
+    st3 = ShardedTransform3d(make_mesh((2, 4), ("data", "depth")))
+    v = jnp.asarray(_rand((2, 32, 16, 16), seed=11), jnp.bfloat16)
+    assert st3.forward(v, 2).highpasses[0].dtype == jnp.complex64
+    st1 = ShardedTransform1d(make_mesh((2, 4), ("data", "rows")))
+    s = jnp.asarray(_rand((2, 4096, 1), seed=12), jnp.bfloat16)
+    assert st1.forward(s, 3).highpasses[0].dtype == jnp.complex64
+
+
 def test_f64_unaffected():
     """The storage/compute split is a bf16-only affordance: the f64
     verification path still reconstructs to 1e-12."""
