@@ -277,6 +277,11 @@ def estimatereg_batched(source, reference, regshape=None, levels=None):
     whole pair batch compiles into one vmapped XLA program — the device-side
     analogue of the reference MPI example's per-worker frame loop
     (``examples/register_video.py:74-86``)."""
+    from dtcwt_tpu.transforms.pyramid import PlanePyramid
+    if isinstance(source, PlanePyramid):
+        source = source.interleaved()
+    if isinstance(reference, PlanePyramid):
+        reference = reference.interleaved()
     nlevels = len(source.highpasses)
     if regshape is None:
         if nlevels < 4:

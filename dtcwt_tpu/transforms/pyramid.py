@@ -187,11 +187,15 @@ class PlanePyramid:
             "" if self.scales is None else ", scales=%d" % len(self.scales))
 
 
-def pyramid_to_device(p: Pyramid) -> Pyramid:
+def pyramid_to_device(p) -> "Pyramid | PlanePyramid":
     """Move a (possibly host-side, possibly complex) pyramid onto the device
     via :func:`dtcwt_tpu.utils.asdevice` (complex host arrays transfer as
-    real/imag planes on backends without complex DMA support)."""
+    real/imag planes on backends without complex DMA support).  Accepts
+    either container; plane pyramids are all-real, so a plain tree_map
+    suffices."""
     from dtcwt_tpu.utils import asdevice
+    if isinstance(p, PlanePyramid):
+        return jax.tree_util.tree_map(asdevice, p)
     return Pyramid(asdevice(p.lowpass),
                    tuple(None if h is None else asdevice(h)
                          for h in p.highpasses),

@@ -267,11 +267,7 @@ class Transform1d:
         """Inverse transform of a :class:`Pyramid` or 1-D
         :class:`PlanePyramid`.  *gain_mask* is an optional
         length-``nlevels`` vector of per-level gains."""
-        if isinstance(pyramid, PlanePyramid):
-            from dtcwt_tpu.utils import asdevice
-            pyramid = jax.tree_util.tree_map(asdevice, pyramid)
-        else:
-            pyramid = pyramid_to_device(pyramid)
+        pyramid = pyramid_to_device(pyramid)
         lowpass = jnp.asarray(pyramid.lowpass)
         ret_flat = lowpass.ndim == 2 and lowpass.shape[-1] == 1
         gm = None if gain_mask is None else jnp.asarray(gain_mask)
@@ -334,9 +330,11 @@ class Transform1d:
             """The level's real interleaved highpass branch input (c2q1d of
             the subbands), plane-direct for a PlanePyramid."""
             if plane_pyr:
-                return c2q1d_planes(_comp(pyramid.highpasses_re[level]),
-                                    _comp(pyramid.highpasses_im[level]),
-                                    axis)
+                re = _comp(pyramid.highpasses_re[level])
+                im = _comp(pyramid.highpasses_im[level])
+                if gain_mask is not None:
+                    re, im = re * gain_mask[level], im * gain_mask[level]
+                return c2q1d_planes(re, im, axis)
             return c2q1d(gained(level), axis)
 
         halo_i = max(g0a.size // 2, g1a.size // 2)

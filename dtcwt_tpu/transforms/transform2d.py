@@ -407,11 +407,7 @@ class Transform2d:
         *gain_mask* is an optional ``(6, nlevels)`` array of per-subband
         gains in degree order (reference: ``transform2d.py:190-295``)."""
         gm = None if gain_mask is None else jnp.asarray(gain_mask)
-        if isinstance(pyramid, PlanePyramid):
-            from dtcwt_tpu.utils import asdevice
-            pyramid = jax.tree_util.tree_map(asdevice, pyramid)
-        else:
-            pyramid = pyramid_to_device(pyramid)
+        pyramid = pyramid_to_device(pyramid)
         return self._inv(pyramid, gm, ek=engine.trace_key())
 
     def _inverse_impl(self, pyramid: Pyramid, gain_mask, *, ek=None):

@@ -261,11 +261,7 @@ class Transform3d:
         """Inverse transform of a :class:`Pyramid` or 3-D
         :class:`PlanePyramid`.  A ``None`` first highpass entry (from
         ``discard_level_1``) is treated as zero."""
-        if isinstance(pyramid, PlanePyramid):
-            from dtcwt_tpu.utils import asdevice
-            pyramid = jax.tree_util.tree_map(asdevice, pyramid)
-        else:
-            pyramid = pyramid_to_device(pyramid)
+        pyramid = pyramid_to_device(pyramid)
         return self._inv(pyramid, ek=engine.trace_key())
 
     def _inverse_impl(self, pyramid: Pyramid, *, ek=None):
@@ -322,7 +318,10 @@ class Transform3d:
     @staticmethod
     def _octants_planes(re, im):
         """Octet volumes from band-major plane-layout re/im arrays
-        (``[..., 28, P, Q, R]``) — no complex ops."""
+        (``[..., 28, P, Q, R]``) — no complex ops.  bf16 planes are
+        storage: the corner combinations (three chained additions each)
+        run at f32 like every other arithmetic stage."""
+        re, im = _comp(re), _comp(im)
         out = {}
         for n, o in enumerate(_OCTANTS):
             out[o] = c2cube_planes(re[..., 4 * n:4 * n + 4, :, :, :],
@@ -368,11 +367,11 @@ class Transform3d:
             from dtcwt_tpu.ops import pallas_hw
             hw_sum = lambda *v: pallas_hw.ifilt_sum_hw22(
                 *v, (g0b, g0a), (g1b, g1a))
-        else:
-            # bf16 storage computes through the XLA path at f32 (the
-            # kernels do their own f32 MXU accumulate on bf16 slabs).
-            Yl = _comp(Yl)
-            oct_ = {k: _comp(v) for k, v in oct_.items()}
+        # bf16 is storage: the synthesis stages (kernel or fb fallback)
+        # run at f32 — _octants_planes already promoted the octants, and
+        # the lowpass must match or the hw22 dtype gate would decline.
+        Yl = _comp(Yl)
+        oct_ = {k: _comp(v) for k, v in oct_.items()}
         oct_[(0, 0, 0)] = Yl
 
         def merge(a, b, ax):
@@ -399,9 +398,8 @@ class Transform3d:
         if engine.use_pallas():
             from dtcwt_tpu.ops import pallas_hw
             hw_sum = lambda *v: pallas_hw.filter_sum_hw22(*v, g0o, g1o)
-        else:
-            Yl = _comp(Yl)
-            oct_ = {k: _comp(v) for k, v in oct_.items()}
+        Yl = _comp(Yl)
+        oct_ = {k: _comp(v) for k, v in oct_.items()}
         oct_[(0, 0, 0)] = Yl
 
         def merge(a, b, ax):

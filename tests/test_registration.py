@@ -120,6 +120,13 @@ def test_estimatereg_accepts_plane_pyramids():
     want = np.asarray(reg.estimatereg(P1, P2))
     got = np.asarray(reg.estimatereg(q1, q2))
     np.testing.assert_array_equal(got, want)
+    # the batched form takes plane pyramids too (leading pair axis)
+    qb1 = T.forward(np.stack([C1, C1]), nlevels=4, layout="planes")
+    qb2 = T.forward(np.stack([C2, C2]), nlevels=4, layout="planes")
+    gb = np.asarray(reg.estimatereg_batched(qb1, qb2))
+    # vmapped program: equal to f64 roundoff, not bit-exact
+    assert np.abs(gb[0] - want).max() < 1e-10
+    assert np.abs(gb[1] - want).max() < 1e-10
 
 
 def test_estimatereg_behavioral_gate():
