@@ -25,16 +25,25 @@ sys.path.insert(0, os.path.realpath(
 import numpy as np
 
 
-def bench(t, x, nlevels, iters):
+def bench(t, x, nlevels, iters, layout="interleaved", roundtrip=False):
     import jax
     import jax.numpy as jnp
 
     @jax.jit
     def run(a):
         def body(c, _):
-            p = t._forward_impl(c, nlevels=nlevels, include_scale=False)
-            s = sum(jnp.sum(h.real) + jnp.sum(h.imag) for h in p.highpasses)
-            return c * (1.0 + 0.0 * s), s
+            p = t._forward_impl(c, nlevels=nlevels, include_scale=False,
+                                layout=layout)
+            if roundtrip:
+                r = t._inverse_impl(p, None)
+                s = jnp.sum(r.astype(jnp.float32))
+            elif layout == "planes":
+                s = sum(jnp.sum(h.astype(jnp.float32))
+                        for h in p.highpasses_re + p.highpasses_im)
+            else:
+                s = sum(jnp.sum(h.real) + jnp.sum(h.imag)
+                        for h in p.highpasses)
+            return c * (1.0 + 0.0 * s).astype(c.dtype), s
         _, ss = jax.lax.scan(body, a, None, length=iters)
         return ss.sum()
 
@@ -51,6 +60,14 @@ def main():
     ap.add_argument("--engines", default="xla,pallas")
     ap.add_argument("--cases", default="512,4x512,4096",
                     help="comma list: SIZE or BATCHxSIZE")
+    ap.add_argument("--dtype", default="float32",
+                    choices=("float32", "bfloat16"),
+                    help="bfloat16 implies --layout planes (bf16 pyramids "
+                         "exist only in the plane layout)")
+    ap.add_argument("--layout", default="interleaved",
+                    choices=("interleaved", "planes"))
+    ap.add_argument("--roundtrip", action="store_true",
+                    help="time forward+inverse instead of forward-only")
     args = ap.parse_args()
 
     import jax
@@ -69,12 +86,17 @@ def main():
         else:
             n = int(case)
             shape = (n, n)
-        x = jnp.asarray(rng.rand(*shape).astype(np.float32))
-        float(x.sum())
+        layout = args.layout
+        if args.dtype == "bfloat16":
+            layout = "planes"
+        x = jnp.asarray(rng.rand(*shape).astype(np.float32),
+                        getattr(jnp, args.dtype))
+        float(x.astype(jnp.float32).sum())
         frames = shape[0] if len(shape) == 3 else 1
         for eng in args.engines.split(","):
             with engine.engine(eng):
-                dt_s = bench(t, x, args.nlevels, args.iters)
+                dt_s = bench(t, x, args.nlevels, args.iters,
+                             layout=layout, roundtrip=args.roundtrip)
             print("%-10s %-7s %8.3f ms/iter  %9.1f frames/s"
                   % (case, eng, dt_s * 1e3, frames / dt_s))
 
