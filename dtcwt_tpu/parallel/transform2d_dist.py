@@ -40,10 +40,11 @@ from jax.sharding import PartitionSpec as P
 from dtcwt_tpu.ops import fb
 from dtcwt_tpu.ops.packing import q2c, c2q
 from dtcwt_tpu.parallel.halo import halo_exchange
-from dtcwt_tpu.transforms.pyramid import Pyramid
+from dtcwt_tpu.transforms.pyramid import Pyramid, PlanePyramid
 from dtcwt_tpu.transforms.transform2d import (
     DEFAULT_BIORT, DEFAULT_QSHIFT, Transform2d, normalize_biort,
-    normalize_qshift)
+    normalize_qshift, _pack_band_planes)
+from dtcwt_tpu.utils import compute_view as _comp
 
 __all__ = ["ShardedTransform2d"]
 
@@ -154,14 +155,24 @@ class ShardedTransform2d:
     # ------------------------------------------------------------------
     # forward
     # ------------------------------------------------------------------
-    def forward(self, X, nlevels: int = 3) -> Pyramid:
+    def forward(self, X, nlevels: int = 3,
+                layout: str = "interleaved") -> Pyramid:
+        """Forward transform of a global ``[B, H, W]`` array.
+        ``layout='planes'`` returns a :class:`PlanePyramid` of band-major
+        re/im planes sharded like the complex subbands would be — the bf16
+        storage route (bf16 input is promoted under the interleaved
+        layout)."""
         X = jnp.asarray(X)
         if X.ndim != 3:
             raise ValueError("ShardedTransform2d.forward expects [B, H, W]")
-        return self._fwd_built(X.shape, X.dtype, nlevels)(X)
+        if layout not in ("interleaved", "planes"):
+            raise ValueError("layout must be 'interleaved' or 'planes'")
+        return self._fwd_built(X.shape, X.dtype, nlevels, layout)(X)
 
     @functools.lru_cache(maxsize=None)
-    def _fwd_built(self, shape, dtype, nlevels: int):
+    def _fwd_built(self, shape, dtype, nlevels: int,
+                   layout: str = "interleaved"):
+        planes = layout == "planes"
         B, H, W = shape
         rplan, cplan = self._plan(H, W, nlevels)
         self._warn_degraded("forward", H, W, rplan, cplan)
@@ -182,12 +193,17 @@ class ShardedTransform2d:
         in_spec = P(da, in_rows, in_cols)
 
         def spec(level):
+            if planes:
+                # [B, 6, h, w]: band axis is -3, unsharded
+                return P(da, None, ra if rplan[level] else None,
+                         ca if cplan[level] else None)
             return P(da, ra if rplan[level] else None,
                      ca if cplan[level] else None, None)
 
         out_specs = (
             P(da, ra if rplan[-1] else None, ca if cplan[-1] else None),
-            tuple(spec(l) for l in range(nlevels)),
+            tuple(((spec(l), spec(l)) if planes else spec(l))
+                  for l in range(nlevels)),
         )
 
         def col_ext(cur, halo, row_sharded):
@@ -206,13 +222,13 @@ class ShardedTransform2d:
             # x: [B/d, H/r, W/c]
             if not jnp.issubdtype(x.dtype, jnp.inexact):
                 x = x.astype(jnp.float32)
-            if x.dtype == jnp.bfloat16:
-                # sharded pyramids are interleaved complex; no bf16 complex
-                # dtype exists, so promote (as the single-device interleaved
-                # layout does)
+            if x.dtype == jnp.bfloat16 and not planes:
+                # interleaved pyramids are complex; no bf16 complex dtype
+                # exists, so promote (the single-device layout rule)
                 x = x.astype(jnp.float32)
+            sdt = x.dtype   # storage dtype; filter math runs at f32/f64
             Yh = []
-            cur = x
+            cur = _comp(x)
             row_sharded, col_sharded = rplan[0], cplan[0]
             for level in range(nlevels):
                 if row_sharded and not rplan[level]:
@@ -238,14 +254,14 @@ class ShardedTransform2d:
                         return fb.filter_from_ext(e, h, -1)
 
                     lolo = rowf(lo, h0o)
-                    band05 = q2c(rowf(hi, h0o))
-                    band23 = q2c(rowf(lo, h1o))
+                    q05 = rowf(hi, h0o)
+                    q23 = rowf(lo, h1o)
                     if h2o is not None:
                         ba = fb.filter_from_ext(
                             _sliced_ext(ext, halo1, h2o.size // 2, -2), h2o, -2)
-                        band14 = q2c(rowf(ba, h2o))
+                        q14 = rowf(ba, h2o)
                     else:
-                        band14 = q2c(rowf(hi, h1o))
+                        q14 = rowf(hi, h1o)
                 else:
                     if not row_sharded and cur.shape[-2] % 4 != 0:
                         cur = jnp.concatenate(
@@ -267,16 +283,20 @@ class ShardedTransform2d:
                         return fb.dfilt_from_ext(e, hfb, hfa, -1)
 
                     lolo = rowd(lo, h0a, h0b)
-                    band05 = q2c(rowd(hi, h0a, h0b))
-                    band23 = q2c(rowd(lo, h1a, h1b))
+                    q05 = rowd(hi, h0a, h0b)
+                    q23 = rowd(lo, h1a, h1b)
                     if h2b is not None:
-                        band14 = q2c(rowd(ba, h2a, h2b))
+                        q14 = rowd(ba, h2a, h2b)
                     else:
-                        band14 = q2c(rowd(hi, h1a, h1b))
-                Yh.append(jnp.stack([band05[0], band14[0], band23[0],
-                                     band23[1], band14[1], band05[1]], axis=-1))
+                        q14 = rowd(hi, h1a, h1b)
+                if planes:
+                    Yh.append(_pack_band_planes(q05, q23, q14, sdt))
+                else:
+                    b05, b23, b14 = q2c(q05), q2c(q23), q2c(q14)
+                    Yh.append(jnp.stack([b05[0], b14[0], b23[0],
+                                         b23[1], b14[1], b05[1]], axis=-1))
                 cur = lolo
-            return (cur, tuple(Yh))
+            return (cur.astype(sdt), tuple(Yh))
 
         # check_vma=False: coarse levels after an all_gather are replicated
         # by construction, but the static checker cannot see through the
@@ -288,6 +308,9 @@ class ShardedTransform2d:
         @jax.jit
         def run(X):
             lowpass, Yh = shmapped(X)
+            if planes:
+                return PlanePyramid(lowpass, tuple(r for r, _ in Yh),
+                                    tuple(i for _, i in Yh))
             return Pyramid(lowpass, Yh)
 
         return run
@@ -297,12 +320,20 @@ class ShardedTransform2d:
     # ------------------------------------------------------------------
     def inverse(self, pyramid: Pyramid, gain_mask=None):
         """Inverse transform.  *gain_mask* is an optional ``(6, nlevels)``
-        array of per-subband gains, as for :meth:`Transform2d.inverse`."""
+        array of per-subband gains, as for :meth:`Transform2d.inverse`.
+        Accepts a :class:`PlanePyramid` too (converted at the boundary —
+        GSPMD keeps the shardings; bf16 planes reconstruct back to bf16)."""
+        pdt = None
+        if isinstance(pyramid, PlanePyramid):
+            if pyramid.nlevels and pyramid.highpasses_re[0].dtype == jnp.bfloat16:
+                pdt = jnp.bfloat16
+            pyramid = jax.jit(PlanePyramid.interleaved)(pyramid)
         nlevels = len(pyramid.highpasses)
         shapes = tuple(tuple(h.shape) for h in pyramid.highpasses)
         gm = None if gain_mask is None else jnp.asarray(gain_mask)
-        return self._inv_built(tuple(pyramid.lowpass.shape), shapes,
-                               pyramid.lowpass.dtype, nlevels)(pyramid, gm)
+        out = self._inv_built(tuple(pyramid.lowpass.shape), shapes,
+                              pyramid.lowpass.dtype, nlevels)(pyramid, gm)
+        return out if pdt is None else out.astype(pdt)
 
     @functools.lru_cache(maxsize=None)
     def _inv_built(self, low_shape, hp_shapes, dtype, nlevels: int):

@@ -33,9 +33,10 @@ from jax.sharding import PartitionSpec as P
 from dtcwt_tpu.ops import fb
 from dtcwt_tpu.ops.packing import cube2c, c2cube
 from dtcwt_tpu.parallel.halo import halo_exchange
-from dtcwt_tpu.transforms.pyramid import Pyramid
+from dtcwt_tpu.transforms.pyramid import Pyramid, PlanePyramid
 from dtcwt_tpu.transforms.transform3d import (Transform3d, _OCTANTS,
                                               _repeat_edges)
+from dtcwt_tpu.utils import compute_view as _comp
 from dtcwt_tpu.transforms.transform2d import (
     DEFAULT_BIORT, DEFAULT_QSHIFT, normalize_biort, normalize_qshift)
 
@@ -111,8 +112,11 @@ class ShardedTransform3d:
     # ------------------------------------------------------------------
     # forward
     # ------------------------------------------------------------------
-    def forward(self, X, nlevels: int = 3, discard_level_1: bool = False
-                ) -> Pyramid:
+    def forward(self, X, nlevels: int = 3, discard_level_1: bool = False,
+                layout: str = "interleaved") -> Pyramid:
+        """Forward transform of a global ``[B, D, H, W]`` volume.
+        ``layout='planes'`` returns a 3-D :class:`PlanePyramid`
+        (``[B, 28, D', H', W']`` re/im planes, the bf16 storage route)."""
         X = jnp.asarray(X)
         if X.ndim != 4:
             raise ValueError("ShardedTransform3d.forward expects [B, D, H, W]")
@@ -122,11 +126,15 @@ class ShardedTransform3d:
                 raise ValueError(
                     "Input shape should be a multiple of %d in each direction"
                     " when ext_mode == %d" % (div, self.ext_mode))
+        if layout not in ("interleaved", "planes"):
+            raise ValueError("layout must be 'interleaved' or 'planes'")
         return self._fwd_built(X.shape, X.dtype, nlevels,
-                               bool(discard_level_1))(X)
+                               bool(discard_level_1), layout)(X)
 
     @functools.lru_cache(maxsize=None)
-    def _fwd_built(self, shape, dtype, nlevels: int, discard_level_1: bool):
+    def _fwd_built(self, shape, dtype, nlevels: int, discard_level_1: bool,
+                   layout: str = "interleaved"):
+        planes = layout == "planes"
         B, D, H, W = shape
         plan = self._plan(D, nlevels)
         da, ra = self.data_axis, self.depth_axis
@@ -151,7 +159,11 @@ class ShardedTransform3d:
 
         def hp_spec(level):
             if level == 0 and discard_level_1:
-                return None          # empty pytree slot
+                return (None, None) if planes else None  # empty pytree slot
+            if planes:
+                # [B, 28, D', H', W']: band axis -4 unsharded, depth at -3
+                s = P(da, None, ra if plan[level] else None, None, None)
+                return (s, s)
             base = sharded_spec if plan[level] else repl_spec
             return P(*(tuple(base) + (None,)))
 
@@ -179,13 +191,13 @@ class ShardedTransform3d:
         def local_fwd(x):
             if not jnp.issubdtype(x.dtype, jnp.inexact):
                 x = x.astype(jnp.float32)
-            if x.dtype == jnp.bfloat16:
-                # sharded pyramids are interleaved complex; no bf16 complex
-                # dtype exists, so promote (as the single-device interleaved
-                # layout does)
+            if x.dtype == jnp.bfloat16 and not planes:
+                # interleaved pyramids are complex; no bf16 complex dtype
+                # exists, so promote (the single-device layout rule)
                 x = x.astype(jnp.float32)
+            sdt = x.dtype   # storage dtype; filter math runs at f32/f64
             Yh = []
-            cur = x
+            cur = _comp(x)
             d_sharded = plan[0]
             for level in range(nlevels):
                 if d_sharded and not plan[level]:
@@ -197,7 +209,7 @@ class ShardedTransform3d:
                         out = fb.filter_axis(cur, h0o, -1)
                         out = fb.filter_axis(out, h0o, -2)
                         cur = depth_filter(out, h0o, d_sharded)
-                        Yh.append(None)
+                        Yh.append((None, None) if planes else None)
                         continue
                     t2 = [fb.filter_axis(cur, h0o, -1),
                           fb.filter_axis(cur, h1o, -1)]
@@ -212,9 +224,8 @@ class ShardedTransform3d:
                     cur = oct_[(0, 0, 0)]
                     # (even-length biort filters force d_sharded False via
                     # the plan; the single-device trim rule applies there)
-                    hp = jnp.concatenate(
-                        [cube2c(oct_[o]) for o in _OCTANTS], axis=-1)
-                    Yh.append(hp)
+                    Yh.append(Transform3d._pack_octants(
+                        [oct_[o] for o in _OCTANTS], planes, dtype=sdt))
                 else:
                     # level >= 2: qshift dual filters; edge-repeat pad on
                     # unsharded axes only (plan rejects sharded-D pads)
@@ -236,10 +247,9 @@ class ShardedTransform3d:
                             oct_[(1, j, k)] = depth_dfilt(v, h1a, h1b,
                                                           d_sharded)
                     cur = oct_[(0, 0, 0)]
-                    hp = jnp.concatenate(
-                        [cube2c(oct_[o]) for o in _OCTANTS], axis=-1)
-                    Yh.append(hp)
-            return (cur, tuple(Yh))
+                    Yh.append(Transform3d._pack_octants(
+                        [oct_[o] for o in _OCTANTS], planes, dtype=sdt))
+            return (cur.astype(sdt), tuple(Yh))
 
         shmapped = jax.shard_map(
             local_fwd, mesh=self.mesh,
@@ -248,6 +258,9 @@ class ShardedTransform3d:
         @jax.jit
         def run(X):
             lowpass, Yh = shmapped(X)
+            if planes:
+                return PlanePyramid(lowpass, tuple(r for r, _ in Yh),
+                                    tuple(i for _, i in Yh), kind="3d")
             return Pyramid(lowpass, Yh)
 
         return run
@@ -256,11 +269,21 @@ class ShardedTransform3d:
     # inverse
     # ------------------------------------------------------------------
     def inverse(self, pyramid: Pyramid):
+        """Inverse transform.  Accepts a 3-D :class:`PlanePyramid` too
+        (converted at the boundary — GSPMD keeps the shardings; bf16
+        planes reconstruct back to bf16)."""
+        pdt = None
+        if isinstance(pyramid, PlanePyramid):
+            live = [r for r in pyramid.highpasses_re if r is not None]
+            if live and live[0].dtype == jnp.bfloat16:
+                pdt = jnp.bfloat16
+            pyramid = jax.jit(PlanePyramid.interleaved)(pyramid)
         nlevels = len(pyramid.highpasses)
         shapes = tuple(None if h is None else tuple(h.shape)
                        for h in pyramid.highpasses)
-        return self._inv_built(tuple(pyramid.lowpass.shape), shapes,
-                               pyramid.lowpass.dtype, nlevels)(pyramid)
+        out = self._inv_built(tuple(pyramid.lowpass.shape), shapes,
+                              pyramid.lowpass.dtype, nlevels)(pyramid)
+        return out if pdt is None else out.astype(pdt)
 
     @functools.lru_cache(maxsize=None)
     def _inv_built(self, low_shape, hp_shapes, dtype, nlevels: int):

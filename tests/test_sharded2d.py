@@ -198,3 +198,31 @@ def test_sharded_grad_flows():
     g = jax.grad(loss)(jax.numpy.asarray(X))
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_sharded_planes_layout():
+    """layout='planes' on the sharded forward matches the interleaved
+    pyramid exactly and the single-device plane pyramid to f64; the
+    inverse accepts the plane container."""
+    import jax.numpy as jnp
+    mesh = _mesh()
+    st = ShardedTransform2d(mesh)
+    x = RNG.rand(4, 128, 128)
+    pi = st.forward(x, 3)
+    pp = st.forward(x, 3, layout="planes")
+    zi = pp.interleaved()
+    for a, b in zip(pi.highpasses, zi.highpasses):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-12
+    sp = Transform2d().forward(x, 3, layout="planes")
+    for a, b in zip(pp.highpasses_re, sp.highpasses_re):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-12
+    ri, rp = np.asarray(st.inverse(pi)), np.asarray(st.inverse(pp))
+    assert np.abs(ri - rp).max() < 1e-12
+    # bf16 planes: storage dtype end-to-end, f32 compute
+    xb = jnp.asarray(x.astype(np.float32), jnp.bfloat16)
+    pb = st.forward(xb, 3, layout="planes")
+    assert pb.lowpass.dtype == jnp.bfloat16
+    assert pb.highpasses_re[0].dtype == jnp.bfloat16
+    rb = st.inverse(pb)
+    assert rb.dtype == jnp.bfloat16
+    assert np.abs(np.asarray(rb, np.float64) - x).max() < 0.05

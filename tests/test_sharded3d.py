@@ -120,3 +120,33 @@ def test_sharded3d_grad_flows():
     g = jax.grad(loss)(jax.numpy.asarray(X))
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_sharded3d_planes_layout():
+    """layout='planes' matches interleaved + single-device planes; the
+    inverse accepts the plane container; bf16 planes stay bf16."""
+    import jax.numpy as jnp
+    mesh = _mesh()
+    st = ShardedTransform3d(mesh)
+    v = RNG.rand(2, 32, 16, 16)
+    pi = st.forward(v, 2)
+    pp = st.forward(v, 2, layout="planes")
+    zi = pp.interleaved()
+    for a, b in zip(pi.highpasses, zi.highpasses):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-12
+    sp = Transform3d().forward(v, 2, layout="planes")
+    for a, b in zip(pp.highpasses_re, sp.highpasses_re):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-12
+    ri, rp = np.asarray(st.inverse(pi)), np.asarray(st.inverse(pp))
+    assert np.abs(ri - rp).max() < 1e-12
+    # discard_level_1 plane slot is (None, None)
+    pd = st.forward(v, 2, discard_level_1=True, layout="planes")
+    assert pd.highpasses_re[0] is None
+    assert st.inverse(pd).shape == v.shape
+    # bf16 planes
+    vb = jnp.asarray(v.astype(np.float32), jnp.bfloat16)
+    pb = st.forward(vb, 2, layout="planes")
+    assert pb.highpasses_re[0].dtype == jnp.bfloat16
+    rb = st.inverse(pb)
+    assert rb.dtype == jnp.bfloat16
+    assert np.abs(np.asarray(rb, np.float64) - v).max() < 0.1
