@@ -61,8 +61,14 @@ def estimatereg_sharded(source, reference, mesh, regshape=None, levels=None,
     or device arrays); they are re-placed row-sharded and the whole
     estimator runs as one jit-compiled SPMD program.  The returned avecs
     field is replicated on every device and equals the single-device
-    :func:`dtcwt_tpu.registration.estimatereg` result.
+    :func:`dtcwt_tpu.registration.estimatereg` result.  Plane-layout
+    pyramids are accepted and converted at the boundary.
     """
+    from dtcwt_tpu.transforms.pyramid import PlanePyramid
+    if isinstance(source, PlanePyramid):
+        source = source.interleaved()
+    if isinstance(reference, PlanePyramid):
+        reference = reference.interleaved()
     src = shard_pyramid_rows(source, mesh, rows_axis)
     ref = shard_pyramid_rows(reference, mesh, rows_axis)
 

@@ -38,9 +38,10 @@ from jax import lax
 from jax.sharding import PartitionSpec as P
 
 from dtcwt_tpu.ops import fb
-from dtcwt_tpu.ops.packing import q2c, c2q
+from dtcwt_tpu.ops.packing import q2c, c2q, c2q_planes
 from dtcwt_tpu.parallel.halo import halo_exchange
-from dtcwt_tpu.transforms.pyramid import Pyramid, PlanePyramid
+from dtcwt_tpu.transforms.pyramid import (Pyramid, PlanePyramid,
+                                          PLANE_BAND_ORDER, _PLANE_POS)
 from dtcwt_tpu.transforms.transform2d import (
     DEFAULT_BIORT, DEFAULT_QSHIFT, Transform2d, normalize_biort,
     normalize_qshift, _pack_band_planes)
@@ -321,22 +322,28 @@ class ShardedTransform2d:
     def inverse(self, pyramid: Pyramid, gain_mask=None):
         """Inverse transform.  *gain_mask* is an optional ``(6, nlevels)``
         array of per-subband gains, as for :meth:`Transform2d.inverse`.
-        Accepts a :class:`PlanePyramid` too (converted at the boundary —
-        GSPMD keeps the shardings; bf16 planes reconstruct back to bf16)."""
-        pdt = None
-        if isinstance(pyramid, PlanePyramid):
-            if pyramid.nlevels and pyramid.highpasses_re[0].dtype == jnp.bfloat16:
-                pdt = jnp.bfloat16
-            pyramid = jax.jit(PlanePyramid.interleaved)(pyramid)
-        nlevels = len(pyramid.highpasses)
-        shapes = tuple(tuple(h.shape) for h in pyramid.highpasses)
+        Accepts a :class:`PlanePyramid` natively (no conversion pass;
+        bf16 planes reconstruct back to bf16)."""
+        planes = isinstance(pyramid, PlanePyramid)
+        if planes:
+            nlevels = pyramid.nlevels
+            # shape key kept in the interleaved [..., h, w, 6] convention
+            # so the synthesis shape arithmetic is layout-agnostic
+            shapes = tuple(r.shape[:-3] + r.shape[-2:] + (6,)
+                           for r in pyramid.highpasses_re)
+        else:
+            nlevels = len(pyramid.highpasses)
+            shapes = tuple(tuple(h.shape) for h in pyramid.highpasses)
         gm = None if gain_mask is None else jnp.asarray(gain_mask)
-        out = self._inv_built(tuple(pyramid.lowpass.shape), shapes,
-                              pyramid.lowpass.dtype, nlevels)(pyramid, gm)
-        return out if pdt is None else out.astype(pdt)
+        return self._inv_built(
+            tuple(pyramid.lowpass.shape), shapes, pyramid.lowpass.dtype,
+            nlevels, "planes" if planes else "interleaved")(pyramid, gm)
 
     @functools.lru_cache(maxsize=None)
-    def _inv_built(self, low_shape, hp_shapes, dtype, nlevels: int):
+    def _inv_built(self, low_shape, hp_shapes, dtype, nlevels: int,
+                   layout: str = "interleaved"):
+        planes = layout == "planes"
+        sdt = jnp.dtype(dtype)
         da, ra, ca = self.data_axis, self.rows_axis, self.cols_axis
         R, Cn = self._nrows, self._ncols
         b = self.biort
@@ -400,6 +407,10 @@ class ShardedTransform2d:
             return run_repl
 
         def spec(r_on, c_on, hp=False):
+            if hp and planes:
+                # (re, im) pair of [B, 6, h, w]: band axis unsharded
+                s = P(da, None, ra if r_on else None, ca if c_on else None)
+                return (s, s)
             base = (da, ra if r_on else None, ca if c_on else None)
             return P(*(base + ((None,) if hp else ())))
 
@@ -427,15 +438,24 @@ class ShardedTransform2d:
             idx = lax.axis_index(axis_name)
             return lax.dynamic_slice_in_dim(Z, idx * nloc, nloc, axis=axis)
 
+        def quads(yh):
+            """The three c2q quad images of a level — plane-direct for the
+            plane layout (bf16 planes promote to the f32 compute dtype)."""
+            if planes:
+                re, im = yh
+                bp = lambda d: (_comp(re[..., _PLANE_POS[d], :, :]),
+                                _comp(im[..., _PLANE_POS[d], :, :]))
+                return (c2q_planes(bp(0), bp(5)), c2q_planes(bp(2), bp(3)),
+                        c2q_planes(bp(1), bp(4)))
+            return (c2q(yh[..., 0], yh[..., 5]), c2q(yh[..., 2], yh[..., 3]),
+                    c2q(yh[..., 1], yh[..., 4]))
+
         def local_inv(lowpass, *Yh):
-            Z = lowpass
+            Z = _comp(lowpass)
             r_on = rplan[nlevels - 1]
             c_on = cplan[nlevels - 1]
             for level in range(nlevels - 1, 0, -1):
-                yh = Yh[level]
-                lh = c2q(yh[..., 0], yh[..., 5])
-                hl = c2q(yh[..., 2], yh[..., 3])
-                hh = c2q(yh[..., 1], yh[..., 4])
+                lh, hl, hh = quads(Yh[level])
 
                 def ci(v, gfa, gfb):
                     return col_pass(v, r_on, gfa.size // 2,
@@ -480,10 +500,7 @@ class ShardedTransform2d:
                 if not c_on and cplan[level - 1]:
                     Z = reshard(Z, ca, Cn, -1)
                     c_on = True
-            yh = Yh[0]
-            lh = c2q(yh[..., 0], yh[..., 5])
-            hl = c2q(yh[..., 2], yh[..., 3])
-            hh = c2q(yh[..., 1], yh[..., 4])
+            lh, hl, hh = quads(Yh[0])
 
             def cf(v, g):
                 return col_pass(v, r_on, g.size // 2,
@@ -501,7 +518,7 @@ class ShardedTransform2d:
             else:
                 y2 = cf(hl, g0o) + cf(hh, g1o)
                 Z = rf(y1, g0o) + rf(y2, g1o)
-            return Z
+            return Z.astype(sdt)
 
         shmapped = jax.shard_map(
             local_inv, mesh=self.mesh,
@@ -510,11 +527,19 @@ class ShardedTransform2d:
 
         @jax.jit
         def run(pyr, gain_mask):
-            Yh = pyr.highpasses
-            if gain_mask is not None:
-                # Gains scale each complex subband elementwise before any
-                # filtering (reference numpy/transform2d.py:243-245).
-                Yh = tuple(h * gain_mask[:, i] for i, h in enumerate(Yh))
+            # Gains scale each complex subband elementwise before any
+            # filtering (reference numpy/transform2d.py:243-245).
+            if planes:
+                Yh = tuple(zip(pyr.highpasses_re, pyr.highpasses_im))
+                if gain_mask is not None:
+                    gp = jnp.stack([gain_mask[d] for d in PLANE_BAND_ORDER])
+                    Yh = tuple(((r * gp[:, i, None, None]).astype(r.dtype),
+                                (m * gp[:, i, None, None]).astype(m.dtype))
+                               for i, (r, m) in enumerate(Yh))
+            else:
+                Yh = pyr.highpasses
+                if gain_mask is not None:
+                    Yh = tuple(h * gain_mask[:, i] for i, h in enumerate(Yh))
             return shmapped(pyr.lowpass, *Yh)
 
         return run
