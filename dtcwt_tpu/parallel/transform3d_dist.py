@@ -269,24 +269,29 @@ class ShardedTransform3d:
     # inverse
     # ------------------------------------------------------------------
     def inverse(self, pyramid: Pyramid):
-        """Inverse transform.  Accepts a 3-D :class:`PlanePyramid` too
-        (converted at the boundary — GSPMD keeps the shardings; bf16
-        planes reconstruct back to bf16)."""
-        pdt = None
-        if isinstance(pyramid, PlanePyramid):
-            live = [r for r in pyramid.highpasses_re if r is not None]
-            if live and live[0].dtype == jnp.bfloat16:
-                pdt = jnp.bfloat16
-            pyramid = jax.jit(PlanePyramid.interleaved)(pyramid)
-        nlevels = len(pyramid.highpasses)
-        shapes = tuple(None if h is None else tuple(h.shape)
-                       for h in pyramid.highpasses)
-        out = self._inv_built(tuple(pyramid.lowpass.shape), shapes,
-                              pyramid.lowpass.dtype, nlevels)(pyramid)
-        return out if pdt is None else out.astype(pdt)
+        """Inverse transform.  Accepts a 3-D :class:`PlanePyramid`
+        natively (no conversion pass; bf16 planes reconstruct to bf16)."""
+        planes = isinstance(pyramid, PlanePyramid)
+        if planes:
+            nlevels = pyramid.nlevels
+            # shape key kept in the interleaved [..., D, H, W, 28]
+            # convention so the synthesis shape arithmetic is layout-free
+            shapes = tuple(
+                None if r is None else r.shape[:-4] + r.shape[-3:] + (28,)
+                for r in pyramid.highpasses_re)
+        else:
+            nlevels = len(pyramid.highpasses)
+            shapes = tuple(None if h is None else tuple(h.shape)
+                           for h in pyramid.highpasses)
+        return self._inv_built(
+            tuple(pyramid.lowpass.shape), shapes, pyramid.lowpass.dtype,
+            nlevels, "planes" if planes else "interleaved")(pyramid)
 
     @functools.lru_cache(maxsize=None)
-    def _inv_built(self, low_shape, hp_shapes, dtype, nlevels: int):
+    def _inv_built(self, low_shape, hp_shapes, dtype, nlevels: int,
+                   layout: str = "interleaved"):
+        planes = layout == "planes"
+        sdt = jnp.dtype(dtype)
         da, ra = self.data_axis, self.depth_axis
         R = self._ndepth
         g0o, g1o = self.biort[1], self.biort[3]
@@ -340,12 +345,17 @@ class ShardedTransform3d:
             return run_repl
 
         def spec(on, hp=False):
+            if hp and planes:
+                # (re, im) pair of [B, 28, D', H', W']: band axis unsharded
+                sp = P(da, None, ra if on else None, None, None)
+                return (sp, sp)
             base = (da, ra if on else None, None, None)
             return P(*(base + ((None,) if hp else ())))
 
         low_spec = spec(plan[nlevels - 1])
         hp_specs = tuple(
-            None if hp_shapes[l] is None else spec(plan[l], hp=True)
+            ((None, None) if planes else None) if hp_shapes[l] is None
+            else spec(plan[l], hp=True)
             for l in range(nlevels))
 
         def depth_ifilt(v, ga, gb, on):
@@ -392,12 +402,24 @@ class ShardedTransform3d:
             return (fb.filter_axis(V[0], g0o, -1)
                     + fb.filter_axis(V[1], g1o, -1))
 
+        from dtcwt_tpu.ops.packing import c2cube_planes
+
+        def octs(yh):
+            """The 7 octet volumes of a level, plane-direct for the plane
+            layout (bf16 planes promote to the f32 compute dtype)."""
+            if planes:
+                re, im = _comp(yh[0]), _comp(yh[1])
+                return {o: c2cube_planes(re[..., 4 * n:4 * n + 4, :, :, :],
+                                         im[..., 4 * n:4 * n + 4, :, :, :])
+                        for n, o in enumerate(_OCTANTS)}
+            return {o: c2cube(yh[..., 4 * n:4 * n + 4])
+                    for n, o in enumerate(_OCTANTS)}
+
         def local_inv(lowpass, *Yh):
-            Yl = lowpass
+            Yl = _comp(lowpass)
             d_on = plan[nlevels - 1]
             for level in range(nlevels - 1, 0, -1):
-                oct_ = {o: c2cube(Yh[level][..., 4 * n:4 * n + 4])
-                        for n, o in enumerate(_OCTANTS)}
+                oct_ = octs(Yh[level])
                 oct_[(0, 0, 0)] = Yl
                 Yl = synth2(oct_, d_on)
                 # ext_mode crops: H/W are never sharded; depth crops only
@@ -426,18 +448,19 @@ class ShardedTransform3d:
                                                   axis=-3)
                     d_on = True
             if nlevels >= 1:
-                if Yh[0] is None:
+                discarded = (Yh[0] is None or
+                             (planes and Yh[0][0] is None))
+                if discarded:
                     # discard_level_1 synthesis, reference pass order
                     # (-2, -3, -1); requires odd filters (plan-enforced)
                     Yl = fb.filter_axis(Yl, g0o, -2)
                     Yl = depth_filt(Yl, g0o, d_on)
                     Yl = fb.filter_axis(Yl, g0o, -1)
                 else:
-                    oct_ = {o: c2cube(Yh[0][..., 4 * n:4 * n + 4])
-                            for n, o in enumerate(_OCTANTS)}
+                    oct_ = octs(Yh[0])
                     oct_[(0, 0, 0)] = Yl
                     Yl = synth1(oct_, d_on)
-            return Yl
+            return Yl.astype(sdt)
 
         shmapped = jax.shard_map(
             local_inv, mesh=self.mesh,
@@ -446,6 +469,9 @@ class ShardedTransform3d:
 
         @jax.jit
         def run(pyr):
+            if planes:
+                return shmapped(pyr.lowpass,
+                                *zip(pyr.highpasses_re, pyr.highpasses_im))
             return shmapped(pyr.lowpass, *pyr.highpasses)
 
         return run
