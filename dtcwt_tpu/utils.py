@@ -156,7 +156,10 @@ def unpack(pyramid, backend="numpy"):
 
     The *backend* argument is accepted for API compatibility with the
     reference (``utils.py:9-42``); there is only one array type here.
+    Plane-layout pyramids unpack through their interleaved view.
     """
+    if hasattr(pyramid, "highpasses_re"):     # PlanePyramid
+        pyramid = pyramid.interleaved()
     yield pyramid.lowpass
     yield pyramid.highpasses
     if pyramid.scales is not None:
