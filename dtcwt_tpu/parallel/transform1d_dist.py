@@ -26,12 +26,14 @@ from jax import lax
 from jax.sharding import PartitionSpec as P
 
 from dtcwt_tpu.ops import fb
-from dtcwt_tpu.ops.packing import q2c1d, c2q1d
+from dtcwt_tpu.ops.packing import (q2c1d, c2q1d, q2c1d_planes,
+                                   c2q1d_planes)
 from dtcwt_tpu.parallel.halo import halo_exchange
-from dtcwt_tpu.transforms.pyramid import Pyramid
+from dtcwt_tpu.transforms.pyramid import Pyramid, PlanePyramid
 from dtcwt_tpu.transforms import transform1d as _t1
 from dtcwt_tpu.transforms.transform2d import (
     DEFAULT_BIORT, DEFAULT_QSHIFT, normalize_biort, normalize_qshift)
+from dtcwt_tpu.utils import compute_view as _comp
 
 __all__ = ["ShardedTransform1d"]
 
@@ -109,16 +111,25 @@ class ShardedTransform1d:
         return plan
 
     # ------------------------------------------------------------------
-    def forward(self, X, nlevels: int = 3) -> Pyramid:
+    def forward(self, X, nlevels: int = 3,
+                layout: str = "interleaved") -> Pyramid:
+        """Forward transform of a global ``[B, N, C]`` array.
+        ``layout='planes'`` returns a 1-D :class:`PlanePyramid` of
+        even/odd-sample re/im planes — the bf16 storage route (bf16
+        input is promoted under the interleaved layout)."""
         X = jnp.asarray(X)
         if X.ndim != 3:
             raise ValueError("ShardedTransform1d.forward expects [B, N, C]")
         if X.shape[-2] % 2 != 0:
             raise ValueError("Size of input X must be a multiple of 2")
-        return self._fwd_built(X.shape, X.dtype, nlevels)(X)
+        if layout not in ("interleaved", "planes"):
+            raise ValueError("layout must be 'interleaved' or 'planes'")
+        return self._fwd_built(X.shape, X.dtype, nlevels, layout)(X)
 
     @functools.lru_cache(maxsize=None)
-    def _fwd_built(self, shape, dtype, nlevels: int):
+    def _fwd_built(self, shape, dtype, nlevels: int,
+                   layout: str = "interleaved"):
+        planes = layout == "planes"
         B, N, C = shape
         plan = self._plan(N, nlevels)
         da, ra = self.data_axis, self.rows_axis
@@ -130,8 +141,13 @@ class ShardedTransform1d:
 
         sharded_spec = P(da, ra, None)
         repl_spec = P(da, None, None)
+
+        def hp_spec(s):
+            base = sharded_spec if s else repl_spec
+            return (base, base) if planes else base
+
         out_specs = (sharded_spec if plan[-1] else repl_spec,
-                     tuple(sharded_spec if s else repl_spec for s in plan))
+                     tuple(hp_spec(s) for s in plan))
 
         # Lane-fold each shard's local signal so it spans S*C lanes rather
         # than starving the VPU at C lanes (transforms/transform1d.py fold;
@@ -147,13 +163,13 @@ class ShardedTransform1d:
         def local_fwd(x):
             if not jnp.issubdtype(x.dtype, jnp.inexact):
                 x = x.astype(jnp.float32)
-            if x.dtype == jnp.bfloat16:
-                # sharded pyramids are interleaved complex; no bf16 complex
-                # dtype exists, so promote (as the single-device interleaved
-                # layout does)
+            if x.dtype == jnp.bfloat16 and not planes:
+                # interleaved pyramids are complex; no bf16 complex dtype
+                # exists, so promote (the single-device layout rule)
                 x = x.astype(jnp.float32)
+            sdt = x.dtype   # storage dtype; filter math runs at f32/f64
             Yh = []
-            cur = x
+            cur = _comp(x)
             cur_sharded = True
             folded = False
             for level in range(nlevels):
@@ -194,12 +210,24 @@ class ShardedTransform1d:
                         _sliced_ext(ext, halo2, h1a.size, -2), h1b, h1a, -2)
                     lo = fb.dfilt_from_ext(
                         _sliced_ext(ext, halo2, h0a.size, -2), h0b, h0a, -2)
-                z = q2c1d(hi, -2)
-                Yh.append(_t1._unfold(z, S, C) if folded else z)
+                if planes:
+                    # even/odd deinterleave, cast to the storage dtype per
+                    # level exactly as the single-device planes path does
+                    # (transform1d.py `pack`)
+                    re, im = q2c1d_planes(hi, -2)
+                    if folded:
+                        re = _t1._unfold(re, S, C)
+                        im = _t1._unfold(im, S, C)
+                    Yh.append((re.astype(sdt), im.astype(sdt)))
+                else:
+                    z = q2c1d(hi, -2)
+                    Yh.append(_t1._unfold(z, S, C) if folded else z)
                 cur = lo
             if folded:
                 cur = _t1._unfold(cur, S, C)
-            return (cur, tuple(Yh))
+            # the lowpass casts to storage dtype once at the end (matching
+            # the single-device 1-D: no per-level lowpass requantization)
+            return (cur.astype(sdt), tuple(Yh))
 
         shmapped = jax.shard_map(
             local_fwd, mesh=self.mesh,
@@ -208,19 +236,38 @@ class ShardedTransform1d:
         @jax.jit
         def run(X):
             lowpass, Yh = shmapped(X)
+            if planes:
+                return PlanePyramid(lowpass, tuple(r for r, _ in Yh),
+                                    tuple(i for _, i in Yh), kind="1d")
             return Pyramid(lowpass, Yh)
 
         return run
 
     # ------------------------------------------------------------------
-    def inverse(self, pyramid: Pyramid):
-        nlevels = len(pyramid.highpasses)
-        shapes = tuple(tuple(h.shape) for h in pyramid.highpasses)
-        return self._inv_built(tuple(pyramid.lowpass.shape), shapes,
-                               pyramid.lowpass.dtype, nlevels)(pyramid)
+    def inverse(self, pyramid: Pyramid, gain_mask=None):
+        """Inverse transform.  *gain_mask* is an optional length-``nlevels``
+        vector of per-level gains, as for :meth:`Transform1d.inverse`.
+        Accepts a 1-D :class:`PlanePyramid` natively (bf16 planes
+        reconstruct back to bf16)."""
+        planes = isinstance(pyramid, PlanePyramid)
+        if planes:
+            nlevels = pyramid.nlevels
+            # shape key in the interleaved [B, n, C] convention: the re
+            # plane has the same shape as the complex subband
+            shapes = tuple(tuple(r.shape) for r in pyramid.highpasses_re)
+        else:
+            nlevels = len(pyramid.highpasses)
+            shapes = tuple(tuple(h.shape) for h in pyramid.highpasses)
+        gm = None if gain_mask is None else jnp.asarray(gain_mask)
+        return self._inv_built(
+            tuple(pyramid.lowpass.shape), shapes, pyramid.lowpass.dtype,
+            nlevels, "planes" if planes else "interleaved")(pyramid, gm)
 
     @functools.lru_cache(maxsize=None)
-    def _inv_built(self, low_shape, hp_shapes, dtype, nlevels: int):
+    def _inv_built(self, low_shape, hp_shapes, dtype, nlevels: int,
+                   layout: str = "interleaved"):
+        planes = layout == "planes"
+        sdt = jnp.dtype(dtype)
         da, ra = self.data_axis, self.rows_axis
         R = self._nrows
         N = hp_shapes[0][1] * 2
@@ -232,8 +279,13 @@ class ShardedTransform1d:
 
         sharded_spec = P(da, ra, None)
         repl_spec = P(da, None, None)
+
+        def hp_spec(s):
+            base = sharded_spec if s else repl_spec
+            return (base, base) if planes else base
+
         in_specs = ((sharded_spec if plan[-1] else repl_spec),) + tuple(
-            sharded_spec if s else repl_spec for s in plan)
+            hp_spec(s) for s in plan)
 
         # Same lane-fold plan as the forward (see _fwd_built); synthesis
         # supports are half the analysis dfilt halos, so a forward-foldable
@@ -247,15 +299,26 @@ class ShardedTransform1d:
             S, Lf = base
             ffold = [lv < Lf and plan[lv] for lv in range(nlevels)]
 
+        def hi_of(yh):
+            """The level's real interleaved highpass branch input,
+            plane-direct for the plane layout (bf16 planes promote to the
+            f32 compute dtype)."""
+            if planes:
+                return c2q1d_planes(_comp(yh[0]), _comp(yh[1]), -2)
+            return c2q1d(yh, -2)
+
+        def n_of(yh):
+            return (yh[0] if planes else yh).shape[-2]
+
         def local_inv(lowpass, *Yh):
-            lo = lowpass
+            lo = _comp(lowpass)
             # Sharding in the forward plan is monotone (a sharded prefix of
             # fine levels, replicated coarse tail), so the inverse walks
             # replicated -> sharded with at most one re-shard transition.
             cur_sharded = plan[nlevels - 1]
             folded = False
             for level in range(nlevels - 1, 0, -1):
-                hi = c2q1d(Yh[level], -2)
+                hi = hi_of(Yh[level])
                 if cur_sharded and ffold[level] and not folded:
                     lo = _t1._fold(lo, S)
                     folded = True
@@ -281,19 +344,18 @@ class ShardedTransform1d:
                 if folded:
                     # Sharded levels are crop-free by plan construction;
                     # verify against the finer level's (local) size.
-                    if (lo.shape[-2] * S
-                            != 2 * Yh[level - 1].shape[-2]):
+                    if lo.shape[-2] * S != 2 * n_of(Yh[level - 1]):
                         raise ValueError("Yh sizes are not valid for the"
                                          " sharded inverse transform")
                 elif cur_sharded:
                     # plan is a monotone sharded prefix, so the finer level
                     # is also sharded; a forward pad (=> crop here) would
                     # have forced this level replicated.
-                    if lo.shape[-2] != 2 * Yh[level - 1].shape[-2]:
+                    if lo.shape[-2] != 2 * n_of(Yh[level - 1]):
                         raise ValueError("Yh sizes are not valid for the"
                                          " sharded inverse transform")
                 else:
-                    want = 2 * Yh[level - 1].shape[-2] * (
+                    want = 2 * n_of(Yh[level - 1]) * (
                         R if plan[level - 1] else 1)
                     if lo.shape[-2] != want:
                         lo = lo[..., 1:-1, :]   # undo the forward's pad
@@ -307,7 +369,7 @@ class ShardedTransform1d:
                         lo = lax.dynamic_slice_in_dim(lo, idx * nloc, nloc,
                                                       axis=-2)
                         cur_sharded = True
-            hi = c2q1d(Yh[0], -2)
+            hi = hi_of(Yh[0])
             if cur_sharded and ffold[0] and not folded:
                 lo = _t1._fold(lo, S)
                 folded = True
@@ -329,7 +391,8 @@ class ShardedTransform1d:
                    + fb.filter_from_ext(
                        _sliced_ext(ext_hi, halo_f, g1o.size // 2, -2),
                        g1o, -2))
-            return _t1._unfold(out, S, C) if folded else out
+            out = _t1._unfold(out, S, C) if folded else out
+            return out.astype(sdt)
 
         out_spec = sharded_spec if plan[0] else repl_spec
         shmapped = jax.shard_map(
@@ -337,7 +400,19 @@ class ShardedTransform1d:
             in_specs=in_specs, out_specs=out_spec, check_vma=False)
 
         @jax.jit
-        def run(pyr):
-            return shmapped(pyr.lowpass, *pyr.highpasses)
+        def run(pyr, gain_mask):
+            # Per-level gains scale each complex subband elementwise before
+            # any filtering (reference numpy/transform1d.py:138-148).
+            if planes:
+                Yh = tuple(zip(pyr.highpasses_re, pyr.highpasses_im))
+                if gain_mask is not None:
+                    Yh = tuple(((r * gain_mask[i]).astype(r.dtype),
+                                (m * gain_mask[i]).astype(m.dtype))
+                               for i, (r, m) in enumerate(Yh))
+            else:
+                Yh = pyr.highpasses
+                if gain_mask is not None:
+                    Yh = tuple(h * gain_mask[i] for i, h in enumerate(Yh))
+            return shmapped(pyr.lowpass, *Yh)
 
         return run

@@ -38,13 +38,13 @@ from jax import lax
 from jax.sharding import PartitionSpec as P
 
 from dtcwt_tpu.ops import fb
-from dtcwt_tpu.ops.packing import q2c, c2q, c2q_planes
+from dtcwt_tpu.ops.packing import c2q, c2q_planes
 from dtcwt_tpu.parallel.halo import halo_exchange
 from dtcwt_tpu.transforms.pyramid import (Pyramid, PlanePyramid,
                                           PLANE_BAND_ORDER, _PLANE_POS)
 from dtcwt_tpu.transforms.transform2d import (
     DEFAULT_BIORT, DEFAULT_QSHIFT, Transform2d, normalize_biort,
-    normalize_qshift, _pack_band_planes)
+    normalize_qshift, _pack_bands, _pack_band_planes)
 from dtcwt_tpu.utils import compute_view as _comp
 
 __all__ = ["ShardedTransform2d"]
@@ -157,22 +157,27 @@ class ShardedTransform2d:
     # forward
     # ------------------------------------------------------------------
     def forward(self, X, nlevels: int = 3,
-                layout: str = "interleaved") -> Pyramid:
+                layout: str = "interleaved",
+                include_scale: bool = False) -> Pyramid:
         """Forward transform of a global ``[B, H, W]`` array.
         ``layout='planes'`` returns a :class:`PlanePyramid` of band-major
         re/im planes sharded like the complex subbands would be — the bf16
         storage route (bf16 input is promoted under the interleaved
-        layout)."""
+        layout).  ``include_scale`` attaches the per-level lowpass images
+        (sharded like their level's subbands), as for
+        :meth:`Transform2d.forward`."""
         X = jnp.asarray(X)
         if X.ndim != 3:
             raise ValueError("ShardedTransform2d.forward expects [B, H, W]")
         if layout not in ("interleaved", "planes"):
             raise ValueError("layout must be 'interleaved' or 'planes'")
-        return self._fwd_built(X.shape, X.dtype, nlevels, layout)(X)
+        return self._fwd_built(X.shape, X.dtype, nlevels, layout,
+                               include_scale)(X)
 
     @functools.lru_cache(maxsize=None)
     def _fwd_built(self, shape, dtype, nlevels: int,
-                   layout: str = "interleaved"):
+                   layout: str = "interleaved",
+                   include_scale: bool = False):
         planes = layout == "planes"
         B, H, W = shape
         rplan, cplan = self._plan(H, W, nlevels)
@@ -201,11 +206,18 @@ class ShardedTransform2d:
             return P(da, ra if rplan[level] else None,
                      ca if cplan[level] else None, None)
 
+        def low_spec(level):
+            return P(da, ra if rplan[level] else None,
+                     ca if cplan[level] else None)
+
         out_specs = (
-            P(da, ra if rplan[-1] else None, ca if cplan[-1] else None),
+            low_spec(nlevels - 1),
             tuple(((spec(l), spec(l)) if planes else spec(l))
                   for l in range(nlevels)),
         )
+        if include_scale:
+            out_specs = out_specs + (
+                tuple(low_spec(l) for l in range(nlevels)),)
 
         def col_ext(cur, halo, row_sharded):
             """Halo-extend the height axis for a column pass."""
@@ -229,6 +241,7 @@ class ShardedTransform2d:
                 x = x.astype(jnp.float32)
             sdt = x.dtype   # storage dtype; filter math runs at f32/f64
             Yh = []
+            Yscale = []
             cur = _comp(x)
             row_sharded, col_sharded = rplan[0], cplan[0]
             for level in range(nlevels):
@@ -293,10 +306,16 @@ class ShardedTransform2d:
                 if planes:
                     Yh.append(_pack_band_planes(q05, q23, q14, sdt))
                 else:
-                    b05, b23, b14 = q2c(q05), q2c(q23), q2c(q14)
-                    Yh.append(jnp.stack([b05[0], b14[0], b23[0],
-                                         b23[1], b14[1], b05[1]], axis=-1))
-                cur = lolo
+                    Yh.append(_pack_bands(q05, q23, q14))
+                # Requantize the inter-level lowpass to the storage dtype
+                # exactly as the single-device path does per level
+                # (transform2d.py `lolo.astype(sdt)`) — bit parity for bf16.
+                lolo = lolo.astype(sdt)
+                if include_scale:
+                    Yscale.append(lolo)
+                cur = _comp(lolo)
+            if include_scale:
+                return (cur.astype(sdt), tuple(Yh), tuple(Yscale))
             return (cur.astype(sdt), tuple(Yh))
 
         # check_vma=False: coarse levels after an all_gather are replicated
@@ -308,11 +327,15 @@ class ShardedTransform2d:
 
         @jax.jit
         def run(X):
-            lowpass, Yh = shmapped(X)
+            if include_scale:
+                lowpass, Yh, scales = shmapped(X)
+            else:
+                lowpass, Yh = shmapped(X)
+                scales = None
             if planes:
                 return PlanePyramid(lowpass, tuple(r for r, _ in Yh),
-                                    tuple(i for _, i in Yh))
-            return Pyramid(lowpass, Yh)
+                                    tuple(i for _, i in Yh), scales)
+            return Pyramid(lowpass, Yh, scales)
 
         return run
 
@@ -493,6 +516,11 @@ class ShardedTransform2d:
                     if Z.shape[-1] != want_w:
                         raise ValueError("Sizes of highpasses are not valid"
                                          " for the inverse transform")
+                # Requantize to the storage dtype per level exactly as the
+                # single-device inverse does (transform2d.py
+                # `_crop_to(Z, ...).astype(sdt)`) — bit parity for bf16.
+                # The elementwise cast commutes with the reshard slice.
+                Z = _comp(Z.astype(sdt))
                 # replicated -> sharded transitions for the finer level
                 if not r_on and rplan[level - 1]:
                     Z = reshard(Z, ra, R, -2)

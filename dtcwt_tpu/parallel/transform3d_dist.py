@@ -31,7 +31,7 @@ from jax import lax
 from jax.sharding import PartitionSpec as P
 
 from dtcwt_tpu.ops import fb
-from dtcwt_tpu.ops.packing import cube2c, c2cube
+from dtcwt_tpu.ops.packing import cube2c, c2cube, c2cube_planes
 from dtcwt_tpu.parallel.halo import halo_exchange
 from dtcwt_tpu.transforms.pyramid import Pyramid, PlanePyramid
 from dtcwt_tpu.transforms.transform3d import (Transform3d, _OCTANTS,
@@ -113,10 +113,13 @@ class ShardedTransform3d:
     # forward
     # ------------------------------------------------------------------
     def forward(self, X, nlevels: int = 3, discard_level_1: bool = False,
-                layout: str = "interleaved") -> Pyramid:
+                layout: str = "interleaved",
+                include_scale: bool = False) -> Pyramid:
         """Forward transform of a global ``[B, D, H, W]`` volume.
         ``layout='planes'`` returns a 3-D :class:`PlanePyramid`
-        (``[B, 28, D', H', W']`` re/im planes, the bf16 storage route)."""
+        (``[B, 28, D', H', W']`` re/im planes, the bf16 storage route).
+        ``include_scale`` attaches the per-level lowpass volumes (sharded
+        like their level), as for :meth:`Transform3d.forward`."""
         X = jnp.asarray(X)
         if X.ndim != 4:
             raise ValueError("ShardedTransform3d.forward expects [B, D, H, W]")
@@ -129,11 +132,13 @@ class ShardedTransform3d:
         if layout not in ("interleaved", "planes"):
             raise ValueError("layout must be 'interleaved' or 'planes'")
         return self._fwd_built(X.shape, X.dtype, nlevels,
-                               bool(discard_level_1), layout)(X)
+                               bool(discard_level_1), layout,
+                               include_scale)(X)
 
     @functools.lru_cache(maxsize=None)
     def _fwd_built(self, shape, dtype, nlevels: int, discard_level_1: bool,
-                   layout: str = "interleaved"):
+                   layout: str = "interleaved",
+                   include_scale: bool = False):
         planes = layout == "planes"
         B, D, H, W = shape
         plan = self._plan(D, nlevels)
@@ -171,6 +176,10 @@ class ShardedTransform3d:
             sharded_spec if plan[-1] else repl_spec,
             tuple(hp_spec(l) for l in range(nlevels)),
         )
+        if include_scale:
+            out_specs = out_specs + (
+                tuple(sharded_spec if plan[l] else repl_spec
+                      for l in range(nlevels)),)
 
         def depth_filter(v, h, d_sharded):
             """Non-decimating biort filter along the depth axis."""
@@ -197,6 +206,17 @@ class ShardedTransform3d:
                 x = x.astype(jnp.float32)
             sdt = x.dtype   # storage dtype; filter math runs at f32/f64
             Yh = []
+            Yscale = []
+
+            def requant(v):
+                # per-level storage-dtype requantization (bit parity with
+                # the single-device `lll.astype(sdt)` per level); the sdt
+                # copy is also the include_scale entry
+                v = v.astype(sdt)
+                if include_scale:
+                    Yscale.append(v)
+                return _comp(v)
+
             cur = _comp(x)
             d_sharded = plan[0]
             for level in range(nlevels):
@@ -208,7 +228,7 @@ class ShardedTransform3d:
                     if discard_level_1:
                         out = fb.filter_axis(cur, h0o, -1)
                         out = fb.filter_axis(out, h0o, -2)
-                        cur = depth_filter(out, h0o, d_sharded)
+                        cur = requant(depth_filter(out, h0o, d_sharded))
                         Yh.append((None, None) if planes else None)
                         continue
                     t2 = [fb.filter_axis(cur, h0o, -1),
@@ -221,7 +241,7 @@ class ShardedTransform3d:
                             v = t21[k][j]
                             oct_[(0, j, k)] = depth_filter(v, h0o, d_sharded)
                             oct_[(1, j, k)] = depth_filter(v, h1o, d_sharded)
-                    cur = oct_[(0, 0, 0)]
+                    cur = requant(oct_[(0, 0, 0)])
                     # (even-length biort filters force d_sharded False via
                     # the plan; the single-device trim rule applies there)
                     Yh.append(Transform3d._pack_octants(
@@ -246,9 +266,11 @@ class ShardedTransform3d:
                                                           d_sharded)
                             oct_[(1, j, k)] = depth_dfilt(v, h1a, h1b,
                                                           d_sharded)
-                    cur = oct_[(0, 0, 0)]
+                    cur = requant(oct_[(0, 0, 0)])
                     Yh.append(Transform3d._pack_octants(
                         [oct_[o] for o in _OCTANTS], planes, dtype=sdt))
+            if include_scale:
+                return (cur.astype(sdt), tuple(Yh), tuple(Yscale))
             return (cur.astype(sdt), tuple(Yh))
 
         shmapped = jax.shard_map(
@@ -257,11 +279,16 @@ class ShardedTransform3d:
 
         @jax.jit
         def run(X):
-            lowpass, Yh = shmapped(X)
+            if include_scale:
+                lowpass, Yh, scales = shmapped(X)
+            else:
+                lowpass, Yh = shmapped(X)
+                scales = None
             if planes:
                 return PlanePyramid(lowpass, tuple(r for r, _ in Yh),
-                                    tuple(i for _, i in Yh), kind="3d")
-            return Pyramid(lowpass, Yh)
+                                    tuple(i for _, i in Yh), scales,
+                                    kind="3d")
+            return Pyramid(lowpass, Yh, scales)
 
         return run
 
@@ -402,8 +429,6 @@ class ShardedTransform3d:
             return (fb.filter_axis(V[0], g0o, -1)
                     + fb.filter_axis(V[1], g1o, -1))
 
-        from dtcwt_tpu.ops.packing import c2cube_planes
-
         def octs(yh):
             """The 7 octet volumes of a level, plane-direct for the plane
             layout (bf16 planes promote to the f32 compute dtype)."""
@@ -440,6 +465,10 @@ class ShardedTransform3d:
                 if 2 * curr[2] != prev[2]:
                     Yl = lax.slice_in_dim(Yl, crop, Yl.shape[-1] - crop,
                                           axis=-1)
+                # per-level storage-dtype requantization: bit parity with
+                # _level2_inv's `out.astype(sdt)` (the elementwise cast
+                # commutes with the reshard slice below)
+                Yl = _comp(Yl.astype(sdt))
                 if not d_on and plan[level - 1]:
                     # replicated -> sharded transition for the finer level
                     nloc = Yl.shape[-3] // R

@@ -179,3 +179,22 @@ def test_3d_from_interleaved_roundtrip_exact():
     p2 = PlanePyramid.from_interleaved(p, kind="3d").interleaved()
     for a, b in zip(p.highpasses, p2.highpasses):
         assert float(jnp.abs(a - b).max()) == 0.0
+
+
+def test_unpack_plane_pyramid():
+    """utils.unpack accepts a PlanePyramid (through its interleaved view)."""
+    from dtcwt_tpu.utils import unpack
+    t = dt.Transform2d()
+    x = np.random.RandomState(11).rand(64, 64)
+    pi = t.forward(x, 3)
+    pp = t.forward(x, 3, layout="planes")
+    li = list(unpack(pi))
+    lp = list(unpack(pp))
+    assert len(li) == len(lp) == 2
+    assert np.abs(np.asarray(lp[0]) - np.asarray(li[0])).max() == 0.0
+    for a, b in zip(lp[1], li[1]):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-12
+    # include_scale pyramids unpack to three parts
+    pps = t.forward(x, 3, layout="planes", include_scale=True)
+    parts = list(unpack(pps))
+    assert len(parts) == 3

@@ -54,3 +54,16 @@ def test_estimatereg_shallow_pyramid_error(traffic_pyramids):
     avecs = reg.estimatereg(shallow, shallow, regshape=(12, 16),
                             levels=[[2, 1]])
     assert np.asarray(avecs).shape == (12, 16, 6)
+
+
+def test_estimatereg_sharded_plane_pyramids(traffic_pyramids):
+    """estimatereg_sharded accepts PlanePyramid inputs (converted at the
+    boundary) and matches the interleaved result exactly."""
+    p1, p2 = traffic_pyramids
+    from dtcwt_tpu.transforms.pyramid import PlanePyramid
+    q1 = PlanePyramid.from_interleaved(p1)
+    q2 = PlanePyramid.from_interleaved(p2)
+    mesh = make_mesh((8,), ("rows",), jax.devices()[:8])
+    want = np.asarray(estimatereg_sharded(p1, p2, mesh))
+    got = np.asarray(estimatereg_sharded(q1, q2, mesh))
+    assert np.abs(got - want).max() < 1e-12

@@ -89,3 +89,62 @@ def test_sharded1d_lane_folded(monkeypatch):
     assert np.abs(np.asarray(p_fold.lowpass)
                   - np.asarray(p_flat.lowpass)).max() < 1e-12
     assert np.abs(np.asarray(r_fold) - x).max() < 1e-10
+
+
+def test_sharded1d_inverse_gain_mask():
+    """Sharded 1-D inverse accepts a per-level gain_mask and matches the
+    single-device result."""
+    mesh = _mesh()
+    st = ShardedTransform1d(mesh)
+    t = dt.Transform1d()
+    X = np.random.RandomState(17).randn(2, 512, 4)
+    gm = np.linspace(0.25, 1.5, 3)
+    ps = st.forward(X, nlevels=3)
+    p = t.forward(X, nlevels=3)
+    got = np.asarray(st.inverse(ps, gm))
+    want = np.asarray(t.inverse(p, gm))
+    assert np.abs(got - want).max() < 1e-12
+
+
+def test_sharded1d_planes_layout():
+    """layout='planes' on the sharded 1-D forward matches the interleaved
+    pyramid and the single-device plane pyramid; the inverse accepts the
+    plane container; bf16 planes stay bf16 and are bit-identical to the
+    single-device bf16 plane pyramid."""
+    import jax.numpy as jnp
+    mesh = _mesh()
+    st = ShardedTransform1d(mesh)
+    t = dt.Transform1d()
+    x = np.random.RandomState(23).rand(2, 512, 4)
+    pi = st.forward(x, nlevels=3)
+    pp = st.forward(x, nlevels=3, layout="planes")
+    zi = pp.interleaved()
+    for a, b in zip(pi.highpasses, zi.highpasses):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-12
+    sp = t.forward(x, 3, layout="planes")
+    for a, b in zip(pp.highpasses_re + pp.highpasses_im,
+                    sp.highpasses_re + sp.highpasses_im):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-12
+    ri, rp = np.asarray(st.inverse(pi)), np.asarray(st.inverse(pp))
+    assert np.abs(ri - rp).max() < 1e-12
+    # gain_mask through the plane container
+    gm = np.linspace(0.25, 1.5, 3)
+    got = np.asarray(st.inverse(pp, gm))
+    want = np.asarray(t.inverse(t.forward(x, 3), gm))
+    assert np.abs(got - want).max() < 1e-12
+    # bf16 planes: storage dtype end-to-end, bit parity with single-device
+    xb = jnp.asarray(x.astype(np.float32), jnp.bfloat16)
+    pb = st.forward(xb, 3, layout="planes")
+    assert pb.lowpass.dtype == jnp.bfloat16
+    assert pb.highpasses_re[0].dtype == jnp.bfloat16
+    sb = t.forward(xb, 3, layout="planes")
+    assert np.array_equal(np.asarray(pb.lowpass, np.float32),
+                          np.asarray(sb.lowpass, np.float32))
+    for a, b in zip(pb.highpasses_re + pb.highpasses_im,
+                    sb.highpasses_re + sb.highpasses_im):
+        assert np.array_equal(np.asarray(a, np.float32),
+                              np.asarray(b, np.float32))
+    rb = st.inverse(pb)
+    assert rb.dtype == jnp.bfloat16
+    assert np.array_equal(np.asarray(rb, np.float32),
+                          np.asarray(t.inverse(sb), np.float32))

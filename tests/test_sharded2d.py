@@ -6,6 +6,7 @@ halo-exchange parity with the single-device path")."""
 import numpy as np
 import pytest
 import jax
+import jax.numpy as jnp
 
 from dtcwt_tpu import Transform2d
 from dtcwt_tpu.parallel import ShardedTransform2d, make_mesh
@@ -226,3 +227,61 @@ def test_sharded_planes_layout():
     rb = st.inverse(pb)
     assert rb.dtype == jnp.bfloat16
     assert np.abs(np.asarray(rb, np.float64) - x).max() < 0.05
+
+
+def test_sharded_bf16_plane_bit_parity():
+    """bf16 plane pyramids from the sharded forward/inverse are BIT-identical
+    to the single-device ones: the sharded paths requantize the inter-level
+    lowpass to the storage dtype per level exactly like Transform2d
+    (r2 review finding: the cast was skipped, so level>=2 subbands drifted
+    by a bf16 ulp everywhere)."""
+    mesh = _mesh()
+    st = ShardedTransform2d(mesh)
+    t = Transform2d()
+    x = RNG.rand(4, 128, 128).astype(np.float32)
+    xb = jnp.asarray(x, jnp.bfloat16)
+    ps = st.forward(xb, 3, layout="planes")
+    p1 = t.forward(xb, 3, layout="planes")
+    assert np.array_equal(np.asarray(ps.lowpass, np.float32),
+                          np.asarray(p1.lowpass, np.float32))
+    for a, b in zip(ps.highpasses_re + ps.highpasses_im,
+                    p1.highpasses_re + p1.highpasses_im):
+        assert np.array_equal(np.asarray(a, np.float32),
+                              np.asarray(b, np.float32))
+    assert np.array_equal(np.asarray(st.inverse(ps), np.float32),
+                          np.asarray(t.inverse(p1), np.float32))
+
+
+def test_sharded_planes_inverse_gain_mask():
+    """gain_mask through the sharded PLANE-layout inverse matches the
+    single-device interleaved result (plane/degree permutation of the
+    gain rows)."""
+    mesh = _mesh()
+    st = ShardedTransform2d(mesh)
+    t = Transform2d()
+    X = RNG.randn(2, 256, 128)
+    gm = np.linspace(0.0, 1.5, 18).reshape(6, 3)
+    pp = st.forward(X, nlevels=3, layout="planes")
+    p = t.forward(X, nlevels=3)
+    got = np.asarray(st.inverse(pp, gm))
+    want = np.asarray(t.inverse(p, gm))
+    assert np.abs(got - want).max() < 1e-12
+
+
+def test_sharded_forward_include_scale():
+    """include_scale on the sharded forward matches the single-device
+    per-level lowpasses."""
+    mesh = _mesh()
+    st = ShardedTransform2d(mesh)
+    t = Transform2d()
+    X = RNG.randn(2, 256, 128)
+    ps = st.forward(X, nlevels=3, include_scale=True)
+    p = t.forward(X, nlevels=3, include_scale=True)
+    assert len(ps.scales) == 3
+    for a, b in zip(ps.scales, p.scales):
+        assert a.shape == b.shape
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-12
+    # planes layout carries scales too
+    pp = st.forward(X, nlevels=3, layout="planes", include_scale=True)
+    for a, b in zip(pp.scales, p.scales):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-12

@@ -150,3 +150,46 @@ def test_sharded3d_planes_layout():
     rb = st.inverse(pb)
     assert rb.dtype == jnp.bfloat16
     assert np.abs(np.asarray(rb, np.float64) - v).max() < 0.1
+
+
+def test_sharded3d_bf16_plane_bit_parity():
+    """bf16 plane pyramids from the sharded 3-D forward/inverse are
+    BIT-identical to the single-device ones (per-level lowpass
+    requantization to the storage dtype, incl. discard_level_1)."""
+    import jax.numpy as jnp
+    mesh = _mesh()
+    st = ShardedTransform3d(mesh)
+    t = Transform3d()
+    v = RNG.rand(2, 32, 16, 16).astype(np.float32)
+    vb = jnp.asarray(v, jnp.bfloat16)
+    ps = st.forward(vb, 2, layout="planes")
+    p1 = t.forward(vb, 2, layout="planes")
+    assert np.array_equal(np.asarray(ps.lowpass, np.float32),
+                          np.asarray(p1.lowpass, np.float32))
+    for a, b in zip(ps.highpasses_re + ps.highpasses_im,
+                    p1.highpasses_re + p1.highpasses_im):
+        assert np.array_equal(np.asarray(a, np.float32),
+                              np.asarray(b, np.float32))
+    assert np.array_equal(np.asarray(st.inverse(ps), np.float32),
+                          np.asarray(t.inverse(p1), np.float32))
+    pd = st.forward(vb, 2, discard_level_1=True, layout="planes")
+    pd1 = t.forward(vb, 2, discard_level_1=True, layout="planes")
+    assert np.array_equal(np.asarray(pd.lowpass, np.float32),
+                          np.asarray(pd1.lowpass, np.float32))
+    assert np.array_equal(np.asarray(st.inverse(pd), np.float32),
+                          np.asarray(t.inverse(pd1), np.float32))
+
+
+def test_sharded3d_forward_include_scale():
+    """include_scale on the sharded 3-D forward matches the single-device
+    per-level lowpass volumes."""
+    mesh = _mesh()
+    st = ShardedTransform3d(mesh)
+    t = Transform3d()
+    v = RNG.rand(2, 32, 16, 16)
+    ps = st.forward(v, 2, include_scale=True)
+    p = t.forward(v, 2, include_scale=True)
+    assert len(ps.scales) == 2
+    for a, b in zip(ps.scales, p.scales):
+        assert a.shape == b.shape
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-12
