@@ -38,6 +38,14 @@ from dtcwt_tpu.utils import compute_view as _comp
 __all__ = ["ShardedTransform1d"]
 
 
+def _hp_spec(sharded_spec, repl_spec, planes: bool, s: bool):
+    """Per-level highpass PartitionSpec: a (re, im) pair for the plane
+    layout, a single spec otherwise (shared by the forward out_specs and
+    the inverse in_specs so they cannot desynchronize)."""
+    base = sharded_spec if s else repl_spec
+    return (base, base) if planes else base
+
+
 def _sliced_ext(ext, halo: int, need: int, axis: int):
     if halo == need:
         return ext
@@ -87,6 +95,7 @@ class ShardedTransform1d:
         self.data_axis = data_axis
         self.rows_axis = rows_axis
         self._nrows = mesh.shape[rows_axis]
+        self._single = _t1.Transform1d(self.biort, self.qshift)
 
     def _plan(self, N: int, nlevels: int) -> List[bool]:
         """Per level: does its filter pass run signal-sharded?"""
@@ -124,6 +133,9 @@ class ShardedTransform1d:
             raise ValueError("Size of input X must be a multiple of 2")
         if layout not in ("interleaved", "planes"):
             raise ValueError("layout must be 'interleaved' or 'planes'")
+        if nlevels == 0:
+            # degenerate case: no filtering — single-device semantics
+            return self._single.forward(X, 0, layout=layout)
         return self._fwd_built(X.shape, X.dtype, nlevels, layout)(X)
 
     @functools.lru_cache(maxsize=None)
@@ -141,11 +153,8 @@ class ShardedTransform1d:
 
         sharded_spec = P(da, ra, None)
         repl_spec = P(da, None, None)
-
-        def hp_spec(s):
-            base = sharded_spec if s else repl_spec
-            return (base, base) if planes else base
-
+        hp_spec = functools.partial(_hp_spec, sharded_spec, repl_spec,
+                                    planes)
         out_specs = (sharded_spec if plan[-1] else repl_spec,
                      tuple(hp_spec(s) for s in plan))
 
@@ -258,6 +267,9 @@ class ShardedTransform1d:
         else:
             nlevels = len(pyramid.highpasses)
             shapes = tuple(tuple(h.shape) for h in pyramid.highpasses)
+        if nlevels == 0:
+            # degenerate case: identity (single-device semantics)
+            return jnp.asarray(pyramid.lowpass)
         gm = None if gain_mask is None else jnp.asarray(gain_mask)
         return self._inv_built(
             tuple(pyramid.lowpass.shape), shapes, pyramid.lowpass.dtype,
@@ -279,11 +291,8 @@ class ShardedTransform1d:
 
         sharded_spec = P(da, ra, None)
         repl_spec = P(da, None, None)
-
-        def hp_spec(s):
-            base = sharded_spec if s else repl_spec
-            return (base, base) if planes else base
-
+        hp_spec = functools.partial(_hp_spec, sharded_spec, repl_spec,
+                                    planes)
         in_specs = ((sharded_spec if plan[-1] else repl_spec),) + tuple(
             hp_spec(s) for s in plan)
 

@@ -171,6 +171,11 @@ class ShardedTransform2d:
             raise ValueError("ShardedTransform2d.forward expects [B, H, W]")
         if layout not in ("interleaved", "planes"):
             raise ValueError("layout must be 'interleaved' or 'planes'")
+        if nlevels == 0:
+            # degenerate case: no filtering — single-device semantics
+            # (dtype rules + odd-size edge pad, empty highpasses)
+            return self._single.forward(X, 0, include_scale=include_scale,
+                                        layout=layout)
         return self._fwd_built(X.shape, X.dtype, nlevels, layout,
                                include_scale)(X)
 
@@ -357,6 +362,9 @@ class ShardedTransform2d:
         else:
             nlevels = len(pyramid.highpasses)
             shapes = tuple(tuple(h.shape) for h in pyramid.highpasses)
+        if nlevels == 0:
+            # degenerate case: identity (single-device semantics)
+            return jnp.asarray(pyramid.lowpass)
         gm = None if gain_mask is None else jnp.asarray(gain_mask)
         return self._inv_built(
             tuple(pyramid.lowpass.shape), shapes, pyramid.lowpass.dtype,

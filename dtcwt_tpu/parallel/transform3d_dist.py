@@ -131,6 +131,11 @@ class ShardedTransform3d:
                     " when ext_mode == %d" % (div, self.ext_mode))
         if layout not in ("interleaved", "planes"):
             raise ValueError("layout must be 'interleaved' or 'planes'")
+        if nlevels == 0:
+            # degenerate case: no filtering — single-device semantics
+            return self._single.forward(X, 0, include_scale=include_scale,
+                                        discard_level_1=discard_level_1,
+                                        layout=layout)
         return self._fwd_built(X.shape, X.dtype, nlevels,
                                bool(discard_level_1), layout,
                                include_scale)(X)
@@ -310,6 +315,9 @@ class ShardedTransform3d:
             nlevels = len(pyramid.highpasses)
             shapes = tuple(None if h is None else tuple(h.shape)
                            for h in pyramid.highpasses)
+        if nlevels == 0:
+            # degenerate case: identity (single-device semantics)
+            return jnp.asarray(pyramid.lowpass)
         return self._inv_built(
             tuple(pyramid.lowpass.shape), shapes, pyramid.lowpass.dtype,
             nlevels, "planes" if planes else "interleaved")(pyramid)

@@ -148,3 +148,41 @@ def test_sharded1d_planes_layout():
     assert rb.dtype == jnp.bfloat16
     assert np.array_equal(np.asarray(rb, np.float32),
                           np.asarray(t.inverse(sb), np.float32))
+
+
+def test_sharded1d_lane_folded_planes(monkeypatch):
+    """The lane-folded planes branches (folded re/im unfold in the forward,
+    folded hi_of + gain in the inverse) are bit-identical to the flat
+    sharded planes path."""
+    from dtcwt_tpu.transforms import transform1d as t1m
+    mesh = _mesh()
+    x = np.random.RandomState(29).rand(2, 2048, 1)
+    gm = np.linspace(0.25, 1.5, 5)
+
+    monkeypatch.setattr(t1m, "_FOLD_MIN_N", 1 << 60)   # flat everywhere
+    st_flat = ShardedTransform1d(mesh)
+    p_flat = st_flat.forward(x, nlevels=5, layout="planes")
+    r_flat = st_flat.inverse(p_flat, gm)
+
+    monkeypatch.setattr(t1m, "_FOLD_MIN_N", 64)        # force folding
+    st_fold = ShardedTransform1d(mesh)
+    p_fold = st_fold.forward(x, nlevels=5, layout="planes")
+    for a, b in zip(p_fold.highpasses_re + p_fold.highpasses_im,
+                    p_flat.highpasses_re + p_flat.highpasses_im):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() == 0.0
+    assert np.abs(np.asarray(p_fold.lowpass)
+                  - np.asarray(p_flat.lowpass)).max() == 0.0
+    r_fold = st_fold.inverse(p_fold, gm)
+    assert np.abs(np.asarray(r_fold) - np.asarray(r_flat)).max() == 0.0
+
+
+def test_sharded1d_nlevels0():
+    """nlevels=0 returns the single-device empty pyramid instead of a bare
+    IndexError; the inverse is the identity."""
+    mesh = _mesh()
+    st = ShardedTransform1d(mesh)
+    x = np.random.RandomState(31).rand(2, 64, 2)
+    p = st.forward(x, nlevels=0)
+    assert p.highpasses == ()
+    assert np.abs(np.asarray(p.lowpass) - x).max() == 0.0
+    assert np.abs(np.asarray(st.inverse(p)) - x).max() == 0.0

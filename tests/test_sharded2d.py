@@ -285,3 +285,15 @@ def test_sharded_forward_include_scale():
     pp = st.forward(X, nlevels=3, layout="planes", include_scale=True)
     for a, b in zip(pp.scales, p.scales):
         assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-12
+
+
+def test_sharded_nlevels0():
+    """nlevels=0 returns the single-device empty pyramid (dtype rules +
+    odd-size pad applied) instead of a bare IndexError."""
+    mesh = _mesh()
+    st = ShardedTransform2d(mesh)
+    x = RNG.rand(2, 64, 64)
+    p = st.forward(x, nlevels=0)
+    assert p.highpasses == ()
+    assert np.abs(np.asarray(p.lowpass) - x).max() == 0.0
+    assert np.abs(np.asarray(st.inverse(p)) - x).max() == 0.0

@@ -193,3 +193,15 @@ def test_sharded3d_forward_include_scale():
     for a, b in zip(ps.scales, p.scales):
         assert a.shape == b.shape
         assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-12
+
+
+def test_sharded3d_nlevels0():
+    """nlevels=0 returns the single-device empty pyramid instead of a bare
+    IndexError; the inverse is the identity."""
+    mesh = _mesh()
+    st = ShardedTransform3d(mesh)
+    v = RNG.rand(2, 16, 16, 16)
+    p = st.forward(v, nlevels=0)
+    assert p.highpasses == ()
+    assert np.abs(np.asarray(p.lowpass) - v).max() == 0.0
+    assert np.abs(np.asarray(st.inverse(p)) - v).max() == 0.0
