@@ -53,10 +53,13 @@ def _sliced_ext(ext, halo: int, need: int, axis: int):
 
 
 class ShardedTransform3d:
-    """An n-level 3-D DTCWT over a device mesh, depth-axis sharded.
+    """An n-level 3-D DTCWT over a device mesh: depth-axis sharding, plus
+    an optional second spatial axis over the image rows (H).
 
     :param mesh: a :class:`jax.sharding.Mesh` with a batch axis and a depth
-        axis (default names ``'data'`` and ``'depth'``).
+        axis (default names ``'data'`` and ``'depth'``); pass ``rows_axis``
+        to also shard the H axis (2-D spatial decomposition of the volume,
+        the 3-D analogue of ``ShardedTransform2d``'s rows x cols mesh).
     :param ext_mode: 4 or 8, as for :class:`Transform3d`.
 
     ``forward``/``inverse`` accept and produce global ``[B, D, H, W]``
@@ -65,7 +68,7 @@ class ShardedTransform3d:
 
     def __init__(self, mesh, biort=DEFAULT_BIORT, qshift=DEFAULT_QSHIFT,
                  ext_mode: int = 4, data_axis: str = "data",
-                 depth_axis: str = "depth"):
+                 depth_axis: str = "depth", rows_axis: str = None):
         self.mesh = mesh
         self.biort = normalize_biort(biort)
         self.qshift = normalize_qshift(qshift)
@@ -76,38 +79,46 @@ class ShardedTransform3d:
         self.ext_mode = ext_mode
         self.data_axis = data_axis
         self.depth_axis = depth_axis
+        self.rows_axis = rows_axis
         if data_axis not in mesh.axis_names or depth_axis not in mesh.axis_names:
             raise ValueError("mesh must define axes %r and %r"
                              % (data_axis, depth_axis))
+        if rows_axis is not None and rows_axis not in mesh.axis_names:
+            raise ValueError("mesh does not define rows axis %r" % rows_axis)
         self._ndepth = mesh.shape[depth_axis]
+        self._nrows = mesh.shape[rows_axis] if rows_axis is not None else 1
         self._single = Transform3d(self.biort, self.qshift, ext_mode)
 
     # ------------------------------------------------------------------
-    def _plan(self, D: int, nlevels: int) -> List[bool]:
-        """Per level: does its depth pass run depth-sharded?"""
-        R = self._ndepth
+    def _axis_plan(self, n: int, nlevels: int, Rax: int) -> List[bool]:
+        """Per level: does the filter pass along a spatial axis of global
+        extent *n* run sharded over a mesh axis of *Rax* devices?"""
         h0o, h1o = self.biort[0], self.biort[2]
         halo1 = max(h0o.size // 2, h1o.size // 2)
         halo2 = max(self.qshift[0].size, self.qshift[4].size)
         div = self.ext_mode
         plan = []
-        d = D
+        d = n
         # Even-length level-1 filters trim one trailing sample per axis — a
-        # *global* edit that would unbalance depth shards; run replicated.
-        sharded = h0o.size % 2 == 1
+        # *global* edit that would unbalance the shards; run replicated.
+        sharded = Rax > 1 and h0o.size % 2 == 1
         for level in range(nlevels):
             if level == 0:
-                sharded = (sharded and d % R == 0 and (d // R) % 2 == 0
-                           and (d // R) >= halo1)
+                sharded = (sharded and d % Rax == 0 and (d // Rax) % 2 == 0
+                           and (d // Rax) >= halo1)
             else:
                 need_pad = d % div != 0
-                sharded = (sharded and not need_pad and d % R == 0
-                           and (d // R) % 4 == 0 and (d // R) >= halo2)
+                sharded = (sharded and not need_pad and d % Rax == 0
+                           and (d // Rax) % 4 == 0 and (d // Rax) >= halo2)
                 if need_pad:
                     d += 2 * (1 if div == 4 else 2)
                 d >>= 1
             plan.append(sharded)
         return plan
+
+    def _plan(self, D: int, nlevels: int) -> List[bool]:
+        """Per level: does its depth pass run depth-sharded?"""
+        return self._axis_plan(D, nlevels, self._ndepth)
 
     # ------------------------------------------------------------------
     # forward
@@ -147,8 +158,10 @@ class ShardedTransform3d:
         planes = layout == "planes"
         B, D, H, W = shape
         plan = self._plan(D, nlevels)
+        rplan = self._axis_plan(H, nlevels, self._nrows)
         da, ra = self.data_axis, self.depth_axis
-        R = self._ndepth
+        rr = self.rows_axis
+        R, Rr = self._ndepth, self._nrows
         h0o, h1o = self.biort[0], self.biort[2]
         q = self.qshift
         h0a, h0b, h1a, h1b = q[0], q[1], q[4], q[5]
@@ -162,29 +175,34 @@ class ShardedTransform3d:
                 "ShardedTransform3d.forward: depth axis (%d shards) is "
                 "unused for a depth-%d volume — the transform runs "
                 "depth-replicated.", R, D)
+        if Rr > 1 and not rplan[0]:
+            logger.warning(
+                "ShardedTransform3d.forward: rows axis (%d shards) is "
+                "unused for a height-%d volume — the transform runs "
+                "rows-replicated.", Rr, H)
 
-        sharded_spec = P(da, ra, None, None)
-        repl_spec = P(da, None, None, None)
-        in_spec = sharded_spec if plan[0] else repl_spec
+        def vspec(d_on, r_on):
+            return P(da, ra if d_on else None, rr if r_on else None, None)
+
+        in_spec = vspec(plan[0], rplan[0])
 
         def hp_spec(level):
             if level == 0 and discard_level_1:
                 return (None, None) if planes else None  # empty pytree slot
             if planes:
-                # [B, 28, D', H', W']: band axis -4 unsharded, depth at -3
-                s = P(da, None, ra if plan[level] else None, None, None)
+                # [B, 28, D', H', W']: band axis -4 unsharded
+                s = P(da, None, ra if plan[level] else None,
+                      rr if rplan[level] else None, None)
                 return (s, s)
-            base = sharded_spec if plan[level] else repl_spec
-            return P(*(tuple(base) + (None,)))
+            return P(*(tuple(vspec(plan[level], rplan[level])) + (None,)))
 
         out_specs = (
-            sharded_spec if plan[-1] else repl_spec,
+            vspec(plan[-1], rplan[-1]),
             tuple(hp_spec(l) for l in range(nlevels)),
         )
         if include_scale:
             out_specs = out_specs + (
-                tuple(sharded_spec if plan[l] else repl_spec
-                      for l in range(nlevels)),)
+                tuple(vspec(plan[l], rplan[l]) for l in range(nlevels)),)
 
         def depth_filter(v, h, d_sharded):
             """Non-decimating biort filter along the depth axis."""
@@ -201,6 +219,21 @@ class ShardedTransform3d:
             else:
                 ext = fb.symmetric_extend(v, ha.size, -3)
             return fb.dfilt_from_ext(ext, hb, ha, -3)
+
+        def row_filter(v, h, r_sharded):
+            """Non-decimating biort filter along the H axis (sharded rows
+            exchange ppermute halos; replicated rows reflect locally)."""
+            if r_sharded:
+                ext = halo_exchange(v, h.size // 2, rr, Rr, axis=-2)
+                return fb.filter_from_ext(ext, h, -2)
+            return fb.filter_axis(v, h, -2)
+
+        def row_dfilt(v, ha, hb, r_sharded):
+            """Decimating qshift dual filter along the H axis."""
+            if r_sharded:
+                ext = halo_exchange(v, ha.size, rr, Rr, axis=-2)
+                return fb.dfilt_from_ext(ext, hb, ha, -2)
+            return fb.dfilt_axis(v, hb, ha, -2)
 
         def local_fwd(x):
             if not jnp.issubdtype(x.dtype, jnp.inexact):
@@ -224,22 +257,26 @@ class ShardedTransform3d:
 
             cur = _comp(x)
             d_sharded = plan[0]
+            r_sharded = rplan[0]
             for level in range(nlevels):
                 if d_sharded and not plan[level]:
                     cur = lax.all_gather(cur, ra, axis=1, tiled=True)
                     d_sharded = False
+                if r_sharded and not rplan[level]:
+                    cur = lax.all_gather(cur, rr, axis=2, tiled=True)
+                    r_sharded = False
                 if level == 0:
-                    # level 1: biort filters on W, H (local) then D
+                    # level 1: biort filters on W (local), H, then D
                     if discard_level_1:
                         out = fb.filter_axis(cur, h0o, -1)
-                        out = fb.filter_axis(out, h0o, -2)
+                        out = row_filter(out, h0o, r_sharded)
                         cur = requant(depth_filter(out, h0o, d_sharded))
                         Yh.append((None, None) if planes else None)
                         continue
                     t2 = [fb.filter_axis(cur, h0o, -1),
                           fb.filter_axis(cur, h1o, -1)]
-                    t21 = [[fb.filter_axis(v, h0o, -2),
-                            fb.filter_axis(v, h1o, -2)] for v in t2]
+                    t21 = [[row_filter(v, h0o, r_sharded),
+                            row_filter(v, h1o, r_sharded)] for v in t2]
                     oct_ = {}
                     for j in range(2):
                         for k in range(2):
@@ -247,22 +284,23 @@ class ShardedTransform3d:
                             oct_[(0, j, k)] = depth_filter(v, h0o, d_sharded)
                             oct_[(1, j, k)] = depth_filter(v, h1o, d_sharded)
                     cur = requant(oct_[(0, 0, 0)])
-                    # (even-length biort filters force d_sharded False via
-                    # the plan; the single-device trim rule applies there)
+                    # (even-length biort filters force d/r_sharded False via
+                    # the plans; the single-device trim rule applies there)
                     Yh.append(Transform3d._pack_octants(
                         [oct_[o] for o in _OCTANTS], planes, dtype=sdt))
                 else:
                     # level >= 2: qshift dual filters; edge-repeat pad on
-                    # unsharded axes only (plan rejects sharded-D pads)
-                    for ax in (-2, -1):
-                        if cur.shape[ax] % div != 0:
-                            cur = _repeat_edges(cur, ax, rep)
+                    # unsharded axes only (plans reject sharded-axis pads)
+                    if cur.shape[-1] % div != 0:
+                        cur = _repeat_edges(cur, -1, rep)
+                    if not r_sharded and cur.shape[-2] % div != 0:
+                        cur = _repeat_edges(cur, -2, rep)
                     if not d_sharded and cur.shape[-3] % div != 0:
                         cur = _repeat_edges(cur, -3, rep)
                     t2 = [fb.dfilt_axis(cur, h0b, h0a, -1),
                           fb.dfilt_axis(cur, h1b, h1a, -1)]
-                    t21 = [[fb.dfilt_axis(v, h0b, h0a, -2),
-                            fb.dfilt_axis(v, h1b, h1a, -2)] for v in t2]
+                    t21 = [[row_dfilt(v, h0a, h0b, r_sharded),
+                            row_dfilt(v, h1a, h1b, r_sharded)] for v in t2]
                     oct_ = {}
                     for j in range(2):
                         for k in range(2):
@@ -328,48 +366,56 @@ class ShardedTransform3d:
         planes = layout == "planes"
         sdt = jnp.dtype(dtype)
         da, ra = self.data_axis, self.depth_axis
-        R = self._ndepth
+        rr = self.rows_axis
+        R, Rr = self._ndepth, self._nrows
         g0o, g1o = self.biort[1], self.biort[3]
         q = self.qshift
         g0a, g0b, g1a, g1b = q[2], q[3], q[6], q[7]
         halo2 = max(g0a.size // 2, g1a.size // 2)
         halo1 = max(g0o.size // 2, g1o.size // 2)
 
-        def dshape(level):
-            """Global depth of level's subband grid (crop-free pyramids)."""
+        def gshape(level, dim):
+            """Global extent of level's subband grid along volume axis
+            *dim* (-3 depth, -2 rows; crop-free pyramids)."""
             if hp_shapes[level] is not None:
-                return hp_shapes[level][-4]
-            # discard_level_1: lowpass depth = 2 * coarsest grid; each finer
-            # grid doubles
-            return low_shape[-3] * (2 ** (nlevels - 1 - level)) // 2
+                return hp_shapes[level][dim - 1]   # trailing band axis
+            # discard_level_1: lowpass = 2 * coarsest grid; finer grids
+            # double per level
+            return low_shape[dim] * (2 ** (nlevels - 1 - level)) // 2
 
-        # Per-level depth plan: the largest crop-free suffix of fine levels
-        # whose local depths stay shardable runs depth-sharded; coarser
+        # Per-level, per-axis plan: the largest crop-free suffix of fine
+        # levels whose local extents stay shardable runs sharded; coarser
         # levels run replicated (they are tiny) and the lowpass re-shards
         # once at the transition.  Even-length level-1 synthesis filters
         # trim global samples, so they force the whole plan replicated.
-        def level_ok(l):
-            d_in = 2 * dshape(l) if l < nlevels - 1 else low_shape[-3]
-            halo = halo2 if l > 0 else max(halo1, halo2)
-            return (d_in % R == 0 and (d_in // R) % 2 == 0
-                    and (d_in // R) >= halo)
+        def mk_plan(dim, Rax):
+            def level_ok(l):
+                n_in = (2 * gshape(l, dim) if l < nlevels - 1
+                        else low_shape[dim])
+                halo = halo2 if l > 0 else max(halo1, halo2)
+                return (n_in % Rax == 0 and (n_in // Rax) % 2 == 0
+                        and (n_in // Rax) >= halo)
 
-        def cropfree_d(l):
-            return 2 * dshape(l + 1) == dshape(l)
+            def cropfree(l):
+                return 2 * gshape(l + 1, dim) == gshape(l, dim)
 
-        plan = [False] * nlevels
-        if R > 1 and g0o.size % 2 == 1:
-            for start in range(nlevels - 1, -1, -1):
-                if (all(level_ok(l) for l in range(start + 1))
-                        and all(cropfree_d(l) for l in range(start))):
-                    plan[:start + 1] = [True] * (start + 1)
-                    break
+            plan_ = [False] * nlevels
+            if Rax > 1 and g0o.size % 2 == 1:
+                for start in range(nlevels - 1, -1, -1):
+                    if (all(level_ok(l) for l in range(start + 1))
+                            and all(cropfree(l) for l in range(start))):
+                        plan_[:start + 1] = [True] * (start + 1)
+                        break
+            return plan_
 
-        if not plan[0]:
-            if R > 1:
+        plan = mk_plan(-3, R)
+        rplan = mk_plan(-2, Rr)
+
+        if not plan[0] and not rplan[0]:
+            if R > 1 or Rr > 1:
                 logger.warning(
                     "ShardedTransform3d.inverse: pyramid shapes (lowpass %s)"
-                    " cannot be depth-sharded over the %s mesh — running the"
+                    " cannot be sharded over the %s mesh — running the"
                     " inverse replicated on every device.", low_shape,
                     dict(self.mesh.shape))
             single = self._single
@@ -379,18 +425,19 @@ class ShardedTransform3d:
                 return single._inverse_impl(pyr)
             return run_repl
 
-        def spec(on, hp=False):
+        def spec(d_on, r_on, hp=False):
             if hp and planes:
                 # (re, im) pair of [B, 28, D', H', W']: band axis unsharded
-                sp = P(da, None, ra if on else None, None, None)
+                sp = P(da, None, ra if d_on else None,
+                       rr if r_on else None, None)
                 return (sp, sp)
-            base = (da, ra if on else None, None, None)
+            base = (da, ra if d_on else None, rr if r_on else None, None)
             return P(*(base + ((None,) if hp else ())))
 
-        low_spec = spec(plan[nlevels - 1])
+        low_spec = spec(plan[nlevels - 1], rplan[nlevels - 1])
         hp_specs = tuple(
             ((None, None) if planes else None) if hp_shapes[l] is None
-            else spec(plan[l], hp=True)
+            else spec(plan[l], rplan[l], hp=True)
             for l in range(nlevels))
 
         def depth_ifilt(v, ga, gb, on):
@@ -407,33 +454,47 @@ class ShardedTransform3d:
                 ext = fb.symmetric_extend(v, g.size // 2, -3)
             return fb.filter_from_ext(ext, g, -3)
 
+        def row_ifilt(v, ga, gb, on):
+            if on:
+                ext = halo_exchange(v, ga.size // 2, rr, Rr, axis=-2)
+                return fb.ifilt_from_ext(ext, ga, gb, -2)
+            return fb.ifilt_axis(v, ga, gb, -2)
+
+        def row_filt(v, g, on):
+            if on:
+                ext = halo_exchange(v, g.size // 2, rr, Rr, axis=-2)
+                return fb.filter_from_ext(ext, g, -2)
+            return fb.filter_axis(v, g, -2)
+
         crop = 1 if self.ext_mode == 4 else 2
 
-        def synth2(oct_, on):
+        def synth2(oct_, d_on, r_on):
             """Level >= 2 separable synthesis, reference pass order
-            (-2, -3, -1) with the depth (-3) pass halo-exchanged."""
+            (-2, -3, -1) with the depth (-3) / rows (-2) passes
+            halo-exchanged on their sharded mesh axes."""
             U = {}
             for i in range(2):
                 for k in range(2):
-                    U[(i, k)] = (fb.ifilt_axis(oct_[(i, 0, k)], g0b, g0a, -2)
-                                 + fb.ifilt_axis(oct_[(i, 1, k)], g1b, g1a, -2))
+                    U[(i, k)] = (row_ifilt(oct_[(i, 0, k)], g0b, g0a, r_on)
+                                 + row_ifilt(oct_[(i, 1, k)], g1b, g1a,
+                                             r_on))
             V = {}
             for k in range(2):
-                V[k] = depth_ifilt(U[(0, k)], g0b, g0a, on) \
-                    + depth_ifilt(U[(1, k)], g1b, g1a, on)
+                V[k] = depth_ifilt(U[(0, k)], g0b, g0a, d_on) \
+                    + depth_ifilt(U[(1, k)], g1b, g1a, d_on)
             return (fb.ifilt_axis(V[0], g0b, g0a, -1)
                     + fb.ifilt_axis(V[1], g1b, g1a, -1))
 
-        def synth1(oct_, on):
+        def synth1(oct_, d_on, r_on):
             U = {}
             for i in range(2):
                 for k in range(2):
-                    U[(i, k)] = (fb.filter_axis(oct_[(i, 0, k)], g0o, -2)
-                                 + fb.filter_axis(oct_[(i, 1, k)], g1o, -2))
+                    U[(i, k)] = (row_filt(oct_[(i, 0, k)], g0o, r_on)
+                                 + row_filt(oct_[(i, 1, k)], g1o, r_on))
             V = {}
             for k in range(2):
-                V[k] = depth_filt(U[(0, k)], g0o, on) \
-                    + depth_filt(U[(1, k)], g1o, on)
+                V[k] = depth_filt(U[(0, k)], g0o, d_on) \
+                    + depth_filt(U[(1, k)], g1o, d_on)
             return (fb.filter_axis(V[0], g0o, -1)
                     + fb.filter_axis(V[1], g1o, -1))
 
@@ -451,13 +512,14 @@ class ShardedTransform3d:
         def local_inv(lowpass, *Yh):
             Yl = _comp(lowpass)
             d_on = plan[nlevels - 1]
+            r_on = rplan[nlevels - 1]
             for level in range(nlevels - 1, 0, -1):
                 oct_ = octs(Yh[level])
                 oct_[(0, 0, 0)] = Yl
-                Yl = synth2(oct_, d_on)
-                # ext_mode crops: H/W are never sharded; depth crops only
-                # occur on the replicated stretch (plan excludes them on
-                # the sharded suffix).  Reference crop rule: crop when
+                Yl = synth2(oct_, d_on, r_on)
+                # ext_mode crops: W is never sharded; depth/rows crops only
+                # occur on the replicated stretch (the plans exclude them
+                # on the sharded suffix).  Reference crop rule: crop when
                 # 2*curr_grid != finer_grid (transform3d.py:505-524).
                 curr = hp_shapes[level][-4:-1]
                 if hp_shapes[level - 1] is not None:
@@ -467,7 +529,7 @@ class ShardedTransform3d:
                 if not d_on and 2 * curr[0] != prev[0]:
                     Yl = lax.slice_in_dim(Yl, crop, Yl.shape[-3] - crop,
                                           axis=-3)
-                if 2 * curr[1] != prev[1]:
+                if not r_on and 2 * curr[1] != prev[1]:
                     Yl = lax.slice_in_dim(Yl, crop, Yl.shape[-2] - crop,
                                           axis=-2)
                 if 2 * curr[2] != prev[2]:
@@ -475,7 +537,7 @@ class ShardedTransform3d:
                                           axis=-1)
                 # per-level storage-dtype requantization: bit parity with
                 # _level2_inv's `out.astype(sdt)` (the elementwise cast
-                # commutes with the reshard slice below)
+                # commutes with the reshard slices below)
                 Yl = _comp(Yl.astype(sdt))
                 if not d_on and plan[level - 1]:
                     # replicated -> sharded transition for the finer level
@@ -484,25 +546,31 @@ class ShardedTransform3d:
                     Yl = lax.dynamic_slice_in_dim(Yl, idx * nloc, nloc,
                                                   axis=-3)
                     d_on = True
+                if not r_on and rplan[level - 1]:
+                    nloc = Yl.shape[-2] // Rr
+                    idx = lax.axis_index(rr)
+                    Yl = lax.dynamic_slice_in_dim(Yl, idx * nloc, nloc,
+                                                  axis=-2)
+                    r_on = True
             if nlevels >= 1:
                 discarded = (Yh[0] is None or
                              (planes and Yh[0][0] is None))
                 if discarded:
                     # discard_level_1 synthesis, reference pass order
                     # (-2, -3, -1); requires odd filters (plan-enforced)
-                    Yl = fb.filter_axis(Yl, g0o, -2)
+                    Yl = row_filt(Yl, g0o, r_on)
                     Yl = depth_filt(Yl, g0o, d_on)
                     Yl = fb.filter_axis(Yl, g0o, -1)
                 else:
                     oct_ = octs(Yh[0])
                     oct_[(0, 0, 0)] = Yl
-                    Yl = synth1(oct_, d_on)
+                    Yl = synth1(oct_, d_on, r_on)
             return Yl.astype(sdt)
 
         shmapped = jax.shard_map(
             local_inv, mesh=self.mesh,
             in_specs=(low_spec,) + hp_specs,
-            out_specs=spec(plan[0]), check_vma=False)
+            out_specs=spec(plan[0], rplan[0]), check_vma=False)
 
         @jax.jit
         def run(pyr):

@@ -205,3 +205,68 @@ def test_sharded3d_nlevels0():
     assert p.highpasses == ()
     assert np.abs(np.asarray(p.lowpass) - v).max() == 0.0
     assert np.abs(np.asarray(st.inverse(p)) - v).max() == 0.0
+
+
+def _mesh2(data=2, depth=2, rows=2):
+    devs = jax.devices()
+    assert len(devs) >= data * depth * rows
+    return make_mesh((data, depth, rows), ("data", "depth", "rows"),
+                     devs[:data * depth * rows])
+
+
+def test_sharded3d_rows_axis_matches_single():
+    """2-axis spatial decomposition (depth x rows) of a volume matches the
+    single-device transform to f64, roundtrips, and transitions off the
+    rows plan as H decimates."""
+    import jax.numpy as jnp
+    mesh = _mesh2()
+    st = ShardedTransform3d(mesh, rows_axis="rows")
+    t = Transform3d()
+    v = RNG.rand(2, 32, 32, 16)
+    ps = st.forward(v, 2)
+    p = t.forward(v, 2)
+    assert np.abs(np.asarray(ps.lowpass) - np.asarray(p.lowpass)).max() < 1e-12
+    for a, b in zip(ps.highpasses, p.highpasses):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-12
+    assert np.abs(np.asarray(st.inverse(ps)) - v).max() < 1e-12
+    # deep pyramid: rows plan falls off mid-pyramid (replicated coarse tail)
+    v4 = RNG.rand(2, 16, 64, 16)
+    p4 = st.forward(v4, 4)
+    q4 = t.forward(v4, 4)
+    for a, b in zip(p4.highpasses, q4.highpasses):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-12
+    assert np.abs(np.asarray(st.inverse(p4)) - v4).max() < 1e-12
+    # bf16 planes keep bit parity over the 2-axis mesh
+    vb = jnp.asarray(np.asarray(v, np.float32), jnp.bfloat16)
+    pb = st.forward(vb, 2, layout="planes")
+    qb = t.forward(vb, 2, layout="planes")
+    for a, b in zip(pb.highpasses_re + pb.highpasses_im + (pb.lowpass,),
+                    qb.highpasses_re + qb.highpasses_im + (qb.lowpass,)):
+        assert np.array_equal(np.asarray(a, np.float32),
+                              np.asarray(b, np.float32))
+    assert np.array_equal(np.asarray(st.inverse(pb), np.float32),
+                          np.asarray(t.inverse(qb), np.float32))
+
+
+def test_sharded3d_rows_axis_discard_and_ext8():
+    """rows-sharded discard_level_1 and ext_mode=8 crop paths match the
+    single-device transform."""
+    mesh = _mesh2()
+    st = ShardedTransform3d(mesh, rows_axis="rows")
+    t = Transform3d()
+    v = RNG.rand(2, 16, 64, 16)
+    pd = st.forward(v, 3, discard_level_1=True, include_scale=True)
+    qd = t.forward(v, 3, discard_level_1=True, include_scale=True)
+    for a, b in zip(pd.scales, qd.scales):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-12
+    assert np.abs(np.asarray(st.inverse(pd))
+                  - np.asarray(t.inverse(qd))).max() < 1e-12
+    st8 = ShardedTransform3d(mesh, rows_axis="rows", ext_mode=8)
+    t8 = Transform3d(ext_mode=8)
+    v8 = RNG.rand(2, 16, 40, 16)   # H=40: level-2 pad => inverse crop
+    p8 = st8.forward(v8, 2)
+    q8 = t8.forward(v8, 2)
+    for a, b in zip(p8.highpasses, q8.highpasses):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-12
+    assert np.abs(np.asarray(st8.inverse(p8))
+                  - np.asarray(t8.inverse(q8))).max() < 1e-12
