@@ -158,53 +158,69 @@ def main():
         float(run(xb))
         return (time.time() - t0) / itersb
 
-    fwd_s = timed(run_fwd)
-    rt_s = timed(run_rt)
-    rtp_s = timed(run_rt_planes)
+    # Every timed case runs guarded (r2 verdict item 2: an unguarded 3-D
+    # sub-case crash took down the whole JSON line, including 2-D numbers
+    # already measured in-process).  A failing case nulls its fields and
+    # writes the traceback to stderr; the one JSON line always prints.
+    import sys as _sys
+    import traceback as _tb
 
-    # bf16 Mosaic tiling is (16, 128) vs f32's (8, 128); until chipcheck has
-    # validated the bf16 kernel envelope on hardware, a lowering failure here
-    # must not take down the whole bench line — but it must be visible.
-    try:
-        rtb_s = timed(run_rt_bf16, xbf)
-        carry_bf16_s = timed(run_carry_bf16, xbf)
-    except Exception as e:  # noqa: BLE001 — report, null the fields, go on
-        import sys as _sys
-        import traceback as _tb
-        print("bf16 roundtrip bench failed: %r" % (e,), file=_sys.stderr)
-        _tb.print_exc(file=_sys.stderr)
-        rtb_s = carry_bf16_s = None
-    carry_s = timed(run_carry)
-    rt3_s = timed3(run_rt3)
-    batch_s = timedb(run_batch)
+    def guard(name, fn):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — report, null, go on
+            print("bench case %r failed: %r" % (name, e), file=_sys.stderr)
+            _tb.print_exc(file=_sys.stderr)
+            return None
 
-    fwd_frame = max(fwd_s - carry_s, 1e-9)
-    rt_frame = max(rt_s - carry_s, 1e-9)
-    rtp_frame = max(rtp_s - carry_s, 1e-9)
-    fwd_fps = 1.0 / fwd_frame
-    rt_fps = 1.0 / rt_frame
+    fwd_s = guard("forward", lambda: timed(run_fwd))
+    rt_s = guard("roundtrip", lambda: timed(run_rt))
+    rtp_s = guard("roundtrip_planes", lambda: timed(run_rt_planes))
+    rtb_s = guard("roundtrip_bf16_planes", lambda: timed(run_rt_bf16, xbf))
+    carry_bf16_s = (None if rtb_s is None
+                    else guard("carry_bf16", lambda: timed(run_carry_bf16,
+                                                           xbf)))
+    carry_s = guard("carry", lambda: timed(run_carry)) or 0.0
+    rt3_s = guard("vol3d_256", lambda: timed3(run_rt3))
+    batch_s = guard("batch100_512", lambda: timedb(run_batch))
+
+    def frame(s, base=carry_s):
+        return None if s is None else max(s - base, 1e-9)
+
+    fwd_frame = frame(fwd_s)
+    rt_frame = frame(rt_s)
+    rtp_frame = frame(rtp_s)
+    rtb_frame = (None if rtb_s is None or carry_bf16_s is None
+                 else frame(rtb_s, carry_bf16_s))
+    rt_fps = None if rt_frame is None else 1.0 / rt_frame
+    fwd_fps = None if fwd_frame is None else 1.0 / fwd_frame
+    rnd = lambda v, n=2: None if v is None else round(v, n)
+    ms = lambda s: None if s is None else round(s * 1e3, 2)
     print(json.dumps({
         "metric": "dtcwt2d_roundtrip_4096x4096_3level_frames_per_sec_per_chip",
-        "value": round(rt_fps, 2),
+        "value": rnd(rt_fps),
         "unit": "frames/s",
-        "vs_baseline": round(rt_fps / BASELINE_RT_FPS, 1),
-        "forward_fps": round(fwd_fps, 2),
-        "forward_vs_baseline": round(fwd_fps / BASELINE_FWD_FPS, 1),
-        "forward_ms": round(fwd_frame * 1e3, 2),
-        "inverse_ms": round((rt_frame - fwd_frame) * 1e3, 2),
-        "roundtrip_ms": round(rt_frame * 1e3, 2),
-        "roundtrip_planes_ms": round(rtp_frame * 1e3, 2),
-        "roundtrip_planes_fps": round(1.0 / rtp_frame, 2),
-        "roundtrip_bf16_planes_ms": (
-            None if rtb_s is None
-            else round(max(rtb_s - carry_bf16_s, 1e-9) * 1e3, 2)),
-        "roundtrip_bf16_planes_fps": (
-            None if rtb_s is None
-            else round(1.0 / max(rtb_s - carry_bf16_s, 1e-9), 2)),
-        "vol3d_256_roundtrip_ms": round(rt3_s * 1e3, 2),
-        "vol3d_256_roundtrip_mvox_per_s": round(256 ** 3 / rt3_s / 1e6, 1),
-        "batch100_512_forward_ms": round(batch_s * 1e3, 2),
-        "batch100_512_forward_fps": round(100.0 / batch_s, 1),
+        "vs_baseline": (None if rt_fps is None
+                        else round(rt_fps / BASELINE_RT_FPS, 1)),
+        "forward_fps": rnd(fwd_fps),
+        "forward_vs_baseline": (None if fwd_fps is None
+                                else round(fwd_fps / BASELINE_FWD_FPS, 1)),
+        "forward_ms": ms(fwd_frame),
+        "inverse_ms": (None if rt_frame is None or fwd_frame is None
+                       else round((rt_frame - fwd_frame) * 1e3, 2)),
+        "roundtrip_ms": ms(rt_frame),
+        "roundtrip_planes_ms": ms(rtp_frame),
+        "roundtrip_planes_fps": (None if rtp_frame is None
+                                 else round(1.0 / rtp_frame, 2)),
+        "roundtrip_bf16_planes_ms": ms(rtb_frame),
+        "roundtrip_bf16_planes_fps": (None if rtb_frame is None
+                                      else round(1.0 / rtb_frame, 2)),
+        "vol3d_256_roundtrip_ms": ms(rt3_s),
+        "vol3d_256_roundtrip_mvox_per_s": (
+            None if rt3_s is None else round(256 ** 3 / rt3_s / 1e6, 1)),
+        "batch100_512_forward_ms": ms(batch_s),
+        "batch100_512_forward_fps": (None if batch_s is None
+                                     else round(100.0 / batch_s, 1)),
     }))
 
 

@@ -31,13 +31,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from dtcwt_tpu.ops.pallas_fb import (
-    _LANE, _SUBLANE, _MXU_MIN_TAPS, _as_taps, _banded, _flatten_batch,
-    _from_sublane, _ifilt_plan, _interleave_rows, _interpret, _load_slab,
-    _phases, _pick_tiles_2d, _round_up, _shift_corr, _supported_array,
-    _to_sublane)
+    _LANE, _SUBLANE, _MXU_MIN_TAPS, _as_taps, _banded, _compiler_params,
+    _f32win, _flatten_batch, _from_sublane, _fromext_prep, _ifilt_plan,
+    _interleave_rows, _interpret, _load_slab, _load_slab_ext,
+    _mxu_precision, _phases, _pick_tiles_2d, _round_up, _shift_corr,
+    _supported_array, _to_sublane)
 
 __all__ = ["filter2_axis", "dfilt2_axis", "filter2_sum_axis",
-           "ifilt2_sum_axis"]
+           "ifilt2_sum_axis", "filter2_fromext_axis",
+           "dfilt2_fromext_axis", "filter2_sum_fromext_axis",
+           "ifilt2_sum_fromext_axis"]
 
 
 # ---------------------------------------------------------------------------
@@ -46,7 +49,7 @@ __all__ = ["filter2_axis", "dfilt2_axis", "filter2_sum_axis",
 
 @functools.lru_cache(maxsize=None)
 def _build_filter2(B: int, R: int, C: int, h0bytes: bytes, h1bytes: bytes,
-                   dtype_str: str):
+                   dtype_str: str, ext_side: int = 0):
     h0 = np.frombuffer(h0bytes, dtype=np.float64)
     h1 = np.frombuffer(h1bytes, dtype=np.float64)
     m0, m1 = h0.size, h1.size
@@ -54,7 +57,12 @@ def _build_filter2(B: int, R: int, C: int, h0bytes: bytes, h1bytes: bytes,
         return None           # even-tap outputs are R+1 rows -> XLA path
     p0, p1 = m0 // 2, m1 // 2
     pad = max(p0, p1)
-    pad8 = _round_up(max(pad, 1), _SUBLANE)
+    if ext_side:
+        if ext_side % _SUBLANE or ext_side < pad:
+            return None
+        pad8 = ext_side
+    else:
+        pad8 = _round_up(max(pad, 1), _SUBLANE)
     dtype = jnp.dtype(dtype_str)
     use_mxu = max(m0, m1) >= _MXU_MIN_TAPS and not _interpret()
     tr, tc = _pick_tiles_2d(R, 1, C, pad8, dtype.itemsize,
@@ -69,26 +77,32 @@ def _build_filter2(B: int, R: int, C: int, h0bytes: bytes, h1bytes: bytes,
     if use_mxu:
         A0 = _banded(tr, tr + 2 * pad,
                      ((i, (pad - p0) + i + k, h0r[k]) for i in range(tr)
-                      for k in range(m0))).astype(dtype)
+                      for k in range(m0)))  # stays f32: see _mxu_precision
         A1 = _banded(tr, tr + 2 * pad,
                      ((i, (pad - p1) + i + k, h1r[k]) for i in range(tr)
-                      for k in range(m1))).astype(dtype)
+                      for k in range(m1)))  # stays f32: see _mxu_precision
 
     def kernel(x_hbm, *refs):
         o0, o1, scratch, sem = refs[-4], refs[-3], refs[-2], refs[-1]
         b = pl.program_id(0)
         i = pl.program_id(1)
         j = pl.program_id(2)
-        _load_slab(x_hbm, b, scratch, sem, tile_idx=i, n_tiles=n_tiles,
-                   t_in=tr, pad8=pad8, fill=pad, R=R, lanes=(j * tc, tc))
+        if ext_side:
+            _load_slab_ext(x_hbm, b, scratch, sem, tile_idx=i, t_src=tr,
+                           rows=tr + 2 * pad8, lanes=(j * tc, tc))
+        else:
+            _load_slab(x_hbm, b, scratch, sem, tile_idx=i, n_tiles=n_tiles,
+                       t_in=tr, pad8=pad8, fill=pad, R=R,
+                       lanes=(j * tc, tc))
         win = lax.slice_in_dim(scratch[:, :], off, off + tr + 2 * pad,
                                axis=0)
         if use_mxu:
             a0_ref, a1_ref = refs[0], refs[1]
-            hp = jax.lax.Precision.HIGHEST
-            o0[0] = jnp.dot(a0_ref[:, :], win, precision=hp,
+            hp = _mxu_precision(dtype)
+            w32 = _f32win(dtype)(win)
+            o0[0] = jnp.dot(a0_ref[:, :], w32, precision=hp,
                             preferred_element_type=jnp.float32).astype(dtype)
-            o1[0] = jnp.dot(a1_ref[:, :], win, precision=hp,
+            o1[0] = jnp.dot(a1_ref[:, :], w32, precision=hp,
                             preferred_element_type=jnp.float32).astype(dtype)
         else:
             o0[0] = _shift_corr(win, h0r, tr, offset=pad - p0)
@@ -108,6 +122,7 @@ def _build_filter2(B: int, R: int, C: int, h0bytes: bytes, h1bytes: bytes,
         out_shape=(jax.ShapeDtypeStruct((B, R, C), dtype),) * 2,
         scratch_shapes=[pltpu.VMEM((tr + 2 * pad8, tc), dtype),
                         pltpu.SemaphoreType.DMA(())],
+        compiler_params=_compiler_params(3),
         interpret=_interpret(),
     )
     if use_mxu:
@@ -138,13 +153,19 @@ def filter2_axis(x, h0, h1, axis: int):
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
-def _build_dfilt2(B: int, R: int, C: int, tapbytes, dtype_str: str):
+def _build_dfilt2(B: int, R: int, C: int, tapbytes, dtype_str: str,
+                  ext_side: int = 0):
     ha0, hb0, ha1, hb1 = (np.frombuffer(b, dtype=np.float64)
                           for b in tapbytes)
     m = ha0.size
     if m % 2 or R % 4:
         return None
-    pad8 = _round_up(m, _SUBLANE)
+    if ext_side:
+        if ext_side % _SUBLANE or ext_side < m:
+            return None
+        pad8 = ext_side
+    else:
+        pad8 = _round_up(m, _SUBLANE)
     dtype = jnp.dtype(dtype_str)
     use_mxu = m >= _MXU_MIN_TAPS and not _interpret()
     n_quads = R // 4
@@ -175,21 +196,27 @@ def _build_dfilt2(B: int, R: int, C: int, tapbytes, dtype_str: str):
                 [(2 * i + ra, 4 * i + 2 + 2 * k, float(p["har"][k]))
                  for i in range(tq) for k in range(m)]
                 + [(2 * i + rb, 4 * i + 3 + 2 * k, float(p["hbr"][k]))
-                   for i in range(tq) for k in range(m)]).astype(dtype))
+                   for i in range(tq) for k in range(m)]))  # f32 operator
 
     def kernel(x_hbm, *refs):
         o0, o1, scratch, sem = refs[-4], refs[-3], refs[-2], refs[-1]
         b = pl.program_id(0)
         i = pl.program_id(1)
         j = pl.program_id(2)
-        _load_slab(x_hbm, b, scratch, sem, tile_idx=i, n_tiles=n_tiles,
-                   t_in=4 * tq, pad8=pad8, fill=m, R=R, lanes=(j * tc, tc))
+        if ext_side:
+            _load_slab_ext(x_hbm, b, scratch, sem, tile_idx=i, t_src=4 * tq,
+                           rows=4 * tq + 2 * pad8, lanes=(j * tc, tc))
+        else:
+            _load_slab(x_hbm, b, scratch, sem, tile_idx=i, n_tiles=n_tiles,
+                       t_in=4 * tq, pad8=pad8, fill=m, R=R,
+                       lanes=(j * tc, tc))
         win = lax.slice_in_dim(scratch[:, :], off, off + 4 * tq + 2 * m,
                                axis=0)
         if use_mxu:
-            hp = jax.lax.Precision.HIGHEST
+            hp = _mxu_precision(dtype)
+            w32 = _f32win(dtype)(win)
             for o_ref, a_ref in ((o0, refs[0]), (o1, refs[1])):
-                o_ref[0] = jnp.dot(a_ref[:, :], win, precision=hp,
+                o_ref[0] = jnp.dot(a_ref[:, :], w32, precision=hp,
                                    preferred_element_type=jnp.float32
                                    ).astype(dtype)
             return
@@ -216,6 +243,7 @@ def _build_dfilt2(B: int, R: int, C: int, tapbytes, dtype_str: str):
         out_shape=(jax.ShapeDtypeStruct((B, R // 2, C), dtype),) * 2,
         scratch_shapes=[pltpu.VMEM((4 * tq + 2 * pad8, tc), dtype),
                         pltpu.SemaphoreType.DMA(())],
+        compiler_params=_compiler_params(3),
         interpret=_interpret(),
     )
     if use_mxu:
@@ -249,7 +277,7 @@ def dfilt2_axis(x, ha0, hb0, ha1, hb1, axis: int):
 
 @functools.lru_cache(maxsize=None)
 def _build_filter2_sum(B: int, R: int, C: int, h0bytes: bytes,
-                       h1bytes: bytes, dtype_str: str):
+                       h1bytes: bytes, dtype_str: str, ext_side: int = 0):
     h0 = np.frombuffer(h0bytes, dtype=np.float64)
     h1 = np.frombuffer(h1bytes, dtype=np.float64)
     m0, m1 = h0.size, h1.size
@@ -257,7 +285,12 @@ def _build_filter2_sum(B: int, R: int, C: int, h0bytes: bytes,
         return None
     p0, p1 = m0 // 2, m1 // 2
     pad = max(p0, p1)
-    pad8 = _round_up(max(pad, 1), _SUBLANE)
+    if ext_side:
+        if ext_side % _SUBLANE or ext_side < pad:
+            return None
+        pad8 = ext_side
+    else:
+        pad8 = _round_up(max(pad, 1), _SUBLANE)
     dtype = jnp.dtype(dtype_str)
     use_mxu = max(m0, m1) >= _MXU_MIN_TAPS and not _interpret()
     tr, tc = _pick_tiles_2d(R, 1, C, pad8, dtype.itemsize,
@@ -273,28 +306,36 @@ def _build_filter2_sum(B: int, R: int, C: int, h0bytes: bytes,
     if use_mxu:
         A0 = _banded(tr, tr + 2 * pad,
                      ((i, (pad - p0) + i + k, h0r[k]) for i in range(tr)
-                      for k in range(m0))).astype(dtype)
+                      for k in range(m0)))  # stays f32: see _mxu_precision
         A1 = _banded(tr, tr + 2 * pad,
                      ((i, (pad - p1) + i + k, h1r[k]) for i in range(tr)
-                      for k in range(m1))).astype(dtype)
+                      for k in range(m1)))  # stays f32: see _mxu_precision
 
     def kernel(a_hbm, b_hbm, *refs):
         o_ref, sa, sb, sem = refs[-4], refs[-3], refs[-2], refs[-1]
         b = pl.program_id(0)
         i = pl.program_id(1)
         j = pl.program_id(2)
-        _load_slab(a_hbm, b, sa, sem, tile_idx=i, n_tiles=n_tiles,
-                   t_in=tr, pad8=pad8, fill=pad, R=R, lanes=(j * tc, tc))
-        _load_slab(b_hbm, b, sb, sem, tile_idx=i, n_tiles=n_tiles,
-                   t_in=tr, pad8=pad8, fill=pad, R=R, lanes=(j * tc, tc))
+        if ext_side:
+            _load_slab_ext(a_hbm, b, sa, sem, tile_idx=i, t_src=tr,
+                           rows=tr + 2 * pad8, lanes=(j * tc, tc))
+            _load_slab_ext(b_hbm, b, sb, sem, tile_idx=i, t_src=tr,
+                           rows=tr + 2 * pad8, lanes=(j * tc, tc))
+        else:
+            _load_slab(a_hbm, b, sa, sem, tile_idx=i, n_tiles=n_tiles,
+                       t_in=tr, pad8=pad8, fill=pad, R=R,
+                       lanes=(j * tc, tc))
+            _load_slab(b_hbm, b, sb, sem, tile_idx=i, n_tiles=n_tiles,
+                       t_in=tr, pad8=pad8, fill=pad, R=R,
+                       lanes=(j * tc, tc))
         win_a = lax.slice_in_dim(sa[:, :], off, off + tr + 2 * pad, axis=0)
         win_b = lax.slice_in_dim(sb[:, :], off, off + tr + 2 * pad, axis=0)
         if use_mxu:
             a0_ref, a1_ref = refs[0], refs[1]
-            hp = jax.lax.Precision.HIGHEST
-            y = (jnp.dot(a0_ref[:, :], win_a, precision=hp,
+            hp = _mxu_precision(dtype)
+            y = (jnp.dot(a0_ref[:, :], _f32win(dtype)(win_a), precision=hp,
                          preferred_element_type=jnp.float32)
-                 + jnp.dot(a1_ref[:, :], win_b, precision=hp,
+                 + jnp.dot(a1_ref[:, :], _f32win(dtype)(win_b), precision=hp,
                            preferred_element_type=jnp.float32))
             o_ref[0] = y.astype(dtype)
         else:
@@ -315,6 +356,7 @@ def _build_filter2_sum(B: int, R: int, C: int, h0bytes: bytes,
         scratch_shapes=[pltpu.VMEM((tr + 2 * pad8, tc), dtype),
                         pltpu.VMEM((tr + 2 * pad8, tc), dtype),
                         pltpu.SemaphoreType.DMA(())],
+        compiler_params=_compiler_params(3),
         interpret=_interpret(),
     )
     if use_mxu:
@@ -347,14 +389,20 @@ def filter2_sum_axis(a, b, h0, h1, axis: int):
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
-def _build_ifilt2_sum(B: int, R: int, C: int, tapbytes, dtype_str: str):
+def _build_ifilt2_sum(B: int, R: int, C: int, tapbytes, dtype_str: str,
+                      ext_side: int = 0):
     ha0, hb0, ha1, hb1 = (np.frombuffer(b, dtype=np.float64)
                           for b in tapbytes)
     m = ha0.size
     if m % 2 or R % 2:
         return None
     m2 = m // 2
-    pad8 = _round_up(max(m2, 1), _SUBLANE)
+    if ext_side:
+        if ext_side % _SUBLANE or ext_side < m2:
+            return None
+        pad8 = ext_side
+    else:
+        pad8 = _round_up(max(m2, 1), _SUBLANE)
     dtype = jnp.dtype(dtype_str)
     use_mxu = m >= _MXU_MIN_TAPS and not _interpret()
     n_quads = R // 2
@@ -378,25 +426,33 @@ def _build_ifilt2_sum(B: int, R: int, C: int, tapbytes, dtype_str: str):
                     for k, v in enumerate(taps):
                         entries.append((4 * i + t, 2 * (i + o + k) + par,
                                         float(v)))
-            As.append(_banded(4 * tq, 2 * tq + 2 * m2, entries).astype(dtype))
+            As.append(_banded(4 * tq, 2 * tq + 2 * m2, entries))  # f32
 
     def kernel(a_hbm, b_hbm, *refs):
         o_ref, sa, sb, sem = refs[-4], refs[-3], refs[-2], refs[-1]
         b = pl.program_id(0)
         i = pl.program_id(1)
         j = pl.program_id(2)
-        _load_slab(a_hbm, b, sa, sem, tile_idx=i, n_tiles=n_tiles,
-                   t_in=2 * tq, pad8=pad8, fill=m2, R=R, lanes=(j * tc, tc))
-        _load_slab(b_hbm, b, sb, sem, tile_idx=i, n_tiles=n_tiles,
-                   t_in=2 * tq, pad8=pad8, fill=m2, R=R, lanes=(j * tc, tc))
+        if ext_side:
+            _load_slab_ext(a_hbm, b, sa, sem, tile_idx=i, t_src=2 * tq,
+                           rows=2 * tq + 2 * pad8, lanes=(j * tc, tc))
+            _load_slab_ext(b_hbm, b, sb, sem, tile_idx=i, t_src=2 * tq,
+                           rows=2 * tq + 2 * pad8, lanes=(j * tc, tc))
+        else:
+            _load_slab(a_hbm, b, sa, sem, tile_idx=i, n_tiles=n_tiles,
+                       t_in=2 * tq, pad8=pad8, fill=m2, R=R,
+                       lanes=(j * tc, tc))
+            _load_slab(b_hbm, b, sb, sem, tile_idx=i, n_tiles=n_tiles,
+                       t_in=2 * tq, pad8=pad8, fill=m2, R=R,
+                       lanes=(j * tc, tc))
         win_a = lax.slice_in_dim(sa[:, :], off, off + 2 * tq + 2 * m2, axis=0)
         win_b = lax.slice_in_dim(sb[:, :], off, off + 2 * tq + 2 * m2, axis=0)
         if use_mxu:
             aa_ref, ab_ref = refs[0], refs[1]
-            hp = jax.lax.Precision.HIGHEST
-            y = (jnp.dot(aa_ref[:, :], win_a, precision=hp,
+            hp = _mxu_precision(dtype)
+            y = (jnp.dot(aa_ref[:, :], _f32win(dtype)(win_a), precision=hp,
                          preferred_element_type=jnp.float32)
-                 + jnp.dot(ab_ref[:, :], win_b, precision=hp,
+                 + jnp.dot(ab_ref[:, :], _f32win(dtype)(win_b), precision=hp,
                            preferred_element_type=jnp.float32))
             o_ref[0] = y.astype(dtype)
             return
@@ -424,6 +480,7 @@ def _build_ifilt2_sum(B: int, R: int, C: int, tapbytes, dtype_str: str):
         scratch_shapes=[pltpu.VMEM((2 * tq + 2 * pad8, tc), dtype),
                         pltpu.VMEM((2 * tq + 2 * pad8, tc), dtype),
                         pltpu.SemaphoreType.DMA(())],
+        compiler_params=_compiler_params(3),
         interpret=_interpret(),
     )
     if use_mxu:
@@ -446,6 +503,87 @@ def ifilt2_sum_axis(a, b, ha0, hb0, ha1, hb1, axis: int):
     call = _build_ifilt2_sum(a3.shape[0], a3.shape[1], a3.shape[2],
                              tuple(h.tobytes() for h in taps),
                              str(a3.dtype))
+    if call is None:
+        return None
+    y = call(a3, b3)
+    return _from_sublane(y.reshape(lead + y.shape[-2:]), a.ndim, axis,
+                         trail=a.shape[-2:])
+
+
+# ---------------------------------------------------------------------------
+# from-extension wrappers: the sharded transforms' halo exchange already
+# produced the boundary samples (wide, sublane-multiple extension per side),
+# so these run the same kernels with plain aligned DMAs and no mirror fills.
+# ---------------------------------------------------------------------------
+
+def filter2_fromext_axis(ext, h0, h1, axis: int, side: int):
+    """Both non-decimating branch filters on a pre-extended buffer."""
+    h0, h1 = _as_taps(h0), _as_taps(h1)
+    prep = _fromext_prep(ext, axis, side)
+    if prep is None:
+        return None
+    x3, lead, R = prep
+    call = _build_filter2(x3.shape[0], R, x3.shape[2], h0.tobytes(),
+                          h1.tobytes(), str(x3.dtype), ext_side=side)
+    if call is None:
+        return None
+    y0, y1 = call(x3)
+    unsl = lambda y: _from_sublane(y.reshape(lead + y.shape[-2:]), ext.ndim,
+                                   axis, trail=ext.shape[-2:])
+    return unsl(y0), unsl(y1)
+
+
+def dfilt2_fromext_axis(ext, ha0, hb0, ha1, hb1, axis: int, side: int):
+    """Both decimate-by-2 branch filters on a pre-extended buffer."""
+    taps = tuple(_as_taps(h) for h in (ha0, hb0, ha1, hb1))
+    prep = _fromext_prep(ext, axis, side)
+    if prep is None:
+        return None
+    x3, lead, R = prep
+    call = _build_dfilt2(x3.shape[0], R, x3.shape[2],
+                         tuple(h.tobytes() for h in taps), str(x3.dtype),
+                         ext_side=side)
+    if call is None:
+        return None
+    y0, y1 = call(x3)
+    unsl = lambda y: _from_sublane(y.reshape(lead + y.shape[-2:]), ext.ndim,
+                                   axis, trail=ext.shape[-2:])
+    return unsl(y0), unsl(y1)
+
+
+def filter2_sum_fromext_axis(a, b, h0, h1, axis: int, side: int):
+    """``filter(a, h0) + filter(b, h1)`` on pre-extended buffers."""
+    h0, h1 = _as_taps(h0), _as_taps(h1)
+    if a.shape != b.shape or a.dtype != b.dtype:
+        return None
+    prep = _fromext_prep(a, axis, side)
+    if prep is None:
+        return None
+    a3, lead, R = prep
+    b3, _ = _flatten_batch(_to_sublane(b, axis))
+    call = _build_filter2_sum(a3.shape[0], R, a3.shape[2], h0.tobytes(),
+                              h1.tobytes(), str(a3.dtype), ext_side=side)
+    if call is None:
+        return None
+    y = call(a3, b3)
+    return _from_sublane(y.reshape(lead + y.shape[-2:]), a.ndim, axis,
+                         trail=a.shape[-2:])
+
+
+def ifilt2_sum_fromext_axis(a, b, ha0, hb0, ha1, hb1, axis: int, side: int):
+    """``ifilt(a, ha0, hb0) + ifilt(b, ha1, hb1)`` on pre-extended
+    buffers."""
+    taps = tuple(_as_taps(h) for h in (ha0, hb0, ha1, hb1))
+    if a.shape != b.shape or a.dtype != b.dtype:
+        return None
+    prep = _fromext_prep(a, axis, side)
+    if prep is None:
+        return None
+    a3, lead, R = prep
+    b3, _ = _flatten_batch(_to_sublane(b, axis))
+    call = _build_ifilt2_sum(a3.shape[0], R, a3.shape[2],
+                             tuple(h.tobytes() for h in taps),
+                             str(a3.dtype), ext_side=side)
     if call is None:
         return None
     y = call(a3, b3)

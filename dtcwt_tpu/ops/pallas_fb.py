@@ -82,8 +82,52 @@ __all__ = ["filter_axis", "dfilt_axis", "ifilt_axis",
 # on top of this.
 _TILE_BYTES = 8 * 1024 * 1024
 
+# Hard Mosaic scoped-VMEM ceiling shared by EVERY pallas_call in this
+# package.  The slab planners above are estimates; Mosaic's actual scoped
+# allocation (vector temporaries, relayouts, double-buffered output blocks)
+# can exceed them, and the compiler default limit is only 16 MB out of the
+# 128 MB/core a v5e has.  Round 2's bench crash was exactly this: the fused
+# level kernels set a 100 MB limit while the primitive/dual-stream modules
+# compiled with no compiler_params at all and the 3-D 256^3 dfilt2 call
+# OOMed at compile time (17.84 MB scoped vs 16 MB default).  One policy,
+# one place, applied to every kernel in ops/.
+_VMEM_LIMIT_BYTES = 100 * 1024 * 1024
+
 _SUBLANE = 8   # f32 sublane tile; DMA row offsets must be multiples of this
 _LANE = 128    # lane width; manual-DMA kernels need 128-multiple columns
+
+
+def _compiler_params(n_grid: int) -> "pltpu.CompilerParams":
+    """Uniform compiler params for all kernel modules (grid dims are all
+    data-independent tile loops -> 'arbitrary')."""
+    return pltpu.CompilerParams(
+        dimension_semantics=("arbitrary",) * n_grid,
+        vmem_limit_bytes=_VMEM_LIMIT_BYTES)
+
+
+def _mxu_precision(dtype):
+    """Matmul precision for the in-kernel MXU dots: always a true fp32
+    contract.  The banded operator matrices stay f32 even in bf16 kernels
+    and the bf16 slab window is cast explicitly via :func:`_f32win`,
+    because direct bf16 tpu.matmuls are broken on this toolchain both ways:
+    HIGHEST is rejected at chip compile time ("Bad lhs type") and DEFAULT
+    bf16 x bf16 was observed to MISCOMPILE at some tile plans (deterministic
+    NaNs in the first tile of pallas_level2 at pair R=1024, jit-context-
+    dependent) — the CPU interpreter accepts both.  bf16 stays the storage
+    dtype for slabs and outputs, which is where the HBM-traffic win lives;
+    the in-VMEM f32 widening only grows MXU operand temporaries."""
+    del dtype
+    return lax.Precision.HIGHEST
+
+
+def _f32win(dtype):
+    """Explicit f32 cast for the slab-side operand of in-kernel MXU dots in
+    bf16 kernels — Mosaic rejects mixed f32 x bf16 tpu.matmuls as well
+    ("Bad rhs type"), so jnp promotion alone is not enough; identity for
+    f32.  See :func:`_mxu_precision` for why bf16 matmuls are avoided."""
+    if jnp.dtype(dtype) == jnp.bfloat16:
+        return lambda v: v.astype(jnp.float32)
+    return lambda v: v
 
 
 def _interpret() -> bool:
@@ -230,6 +274,24 @@ def _load_slab(x_hbm, b, scratch, sem, *, tile_idx, n_tiles: int,
             fill_back()
 
 
+def _load_slab_ext(x_hbm, b, scratch, sem, *, tile_idx, t_src: int,
+                   rows: int, lanes=None):
+    """DMA rows ``[tile_idx*t_src, tile_idx*t_src + rows)`` of a
+    PRE-EXTENDED input into ``scratch[0:rows]`` — the from-extension twin of
+    :func:`_load_slab` used by the sharded transforms, whose halo exchange
+    (``parallel/halo.py``) already produced the boundary samples.  No mirror
+    fills, no first/last-tile branches: every tile is one contiguous copy.
+    Alignment holds by construction (t_src is a sublane multiple and the
+    wide extension is a sublane multiple per side)."""
+    csl = slice(None) if lanes is None else pl.ds(lanes[0], lanes[1])
+    src0 = pl.multiple_of(tile_idx * t_src, _SUBLANE)
+    cp = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(src0, rows), csl],
+        scratch.at[pl.ds(0, rows), :], sem)
+    cp.start()
+    cp.wait()
+
+
 def _shift_corr(ext, taps: Sequence[float], n_out: int, offset: int = 0):
     """``Y[i] = sum_k taps[k] * ext[i + offset + k, :]`` as a trace-time-
     unrolled sum of contiguous shifted slices of the VMEM-resident value."""
@@ -292,13 +354,23 @@ def _banded(rows: int, cols: int, entries) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _build_filter(B: int, R: int, C: int, hbytes: bytes, dtype_str: str):
+def _build_filter(B: int, R: int, C: int, hbytes: bytes, dtype_str: str,
+                  ext_side: int = 0):
+    """*ext_side* > 0 selects from-extension mode: the input already carries
+    ``ext_side`` extension rows per side (a sublane multiple, produced by
+    the sharded transforms' halo exchange), R is the OUTPUT row count, and
+    the kernel runs no mirror fills — every tile is one aligned DMA."""
     h = np.frombuffer(hbytes, dtype=np.float64)
     m = h.size
     if m % 2 == 0:
         return None           # even-tap colfilter (R+1 outputs) -> XLA path
     pad = m // 2
-    pad8 = _round_up(max(pad, 1), _SUBLANE)
+    if ext_side:
+        if ext_side % _SUBLANE or ext_side < pad:
+            return None
+        pad8 = ext_side
+    else:
+        pad8 = _round_up(max(pad, 1), _SUBLANE)
     dtype = jnp.dtype(dtype_str)
     use_mxu = m >= _MXU_MIN_TAPS and not _interpret()
     tr, tc = _pick_tiles_2d(R, 1, C, pad8, dtype.itemsize,
@@ -307,14 +379,15 @@ def _build_filter(B: int, R: int, C: int, hbytes: bytes, dtype_str: str):
         return None
     n_tiles = R // tr
     n_ctiles = C // tc
-    nb = _pick_nb(B, tr + 2 * pad8, tc, dtype.itemsize) if n_tiles == 1 else 1
+    nb = (_pick_nb(B, tr + 2 * pad8, tc, dtype.itemsize)
+          if n_tiles == 1 and not ext_side else 1)
     hrev = tuple(float(v) for v in h[::-1])
     off = pad8 - pad          # static slab offset of the compute window
     if use_mxu:
         # out[i] = sum_k hrev[k] * win[i + k], win = slab[off : off+tr+2pad]
         A = _banded(tr, tr + 2 * pad,
                     ((i, i + k, hrev[k]) for i in range(tr)
-                     for k in range(m))).astype(dtype)
+                     for k in range(m)))  # stays f32: see _mxu_precision
 
     def kernel(x_hbm, *refs):
         a_ref = refs[0] if use_mxu else None
@@ -323,8 +396,13 @@ def _build_filter(B: int, R: int, C: int, hbytes: bytes, dtype_str: str):
         i = pl.program_id(1)
         j = pl.program_id(2)
         if nb == 1:
-            _load_slab(x_hbm, b, scratch, sem, tile_idx=i, n_tiles=n_tiles,
-                       t_in=tr, pad8=pad8, fill=pad, R=R, lanes=(j * tc, tc))
+            if ext_side:
+                _load_slab_ext(x_hbm, b, scratch, sem, tile_idx=i, t_src=tr,
+                               rows=tr + 2 * pad8, lanes=(j * tc, tc))
+            else:
+                _load_slab(x_hbm, b, scratch, sem, tile_idx=i,
+                           n_tiles=n_tiles, t_in=tr, pad8=pad8, fill=pad,
+                           R=R, lanes=(j * tc, tc))
         else:
             # NB whole items per program: one 3-D DMA, per-item mirrors.
             cp = pltpu.make_async_copy(
@@ -344,8 +422,8 @@ def _build_filter(B: int, R: int, C: int, hbytes: bytes, dtype_str: str):
                 scratch[:, :] if nb == 1 else scratch[it],
                 off, off + tr + 2 * pad, axis=0)
             if use_mxu:
-                y = jnp.dot(a_ref[:, :], ext,
-                            precision=jax.lax.Precision.HIGHEST,
+                y = jnp.dot(a_ref[:, :], _f32win(dtype)(ext),
+                            precision=_mxu_precision(dtype),
                             preferred_element_type=jnp.float32).astype(dtype)
             else:
                 y = _shift_corr(ext, hrev, tr)
@@ -370,6 +448,7 @@ def _build_filter(B: int, R: int, C: int, hbytes: bytes, dtype_str: str):
         out_shape=jax.ShapeDtypeStruct((B, R, C), dtype),
         scratch_shapes=[pltpu.VMEM(scratch_shape, dtype),
                         pltpu.SemaphoreType.DMA(())],
+        compiler_params=_compiler_params(3),
         interpret=_interpret(),
     )
     if use_mxu:
@@ -395,19 +474,58 @@ def filter_axis(x, h, axis: int):
                          trail=x.shape[-2:])
 
 
+def _fromext_prep(ext, axis: int, side: int):
+    """Shared envelope check + sublane routing for the from-extension
+    wrappers; returns (x3, lead, R_out_axis_len) or None."""
+    if side % _SUBLANE or side <= 0 or not _supported_array(ext, axis):
+        return None
+    x3, lead = _flatten_batch(_to_sublane(ext, axis))
+    if not _interpret() and x3.shape[-1] % _LANE:
+        return None
+    R = x3.shape[1] - 2 * side
+    if R < 1:
+        return None
+    return x3, lead, R
+
+
+def filter_fromext_axis(ext, h, axis: int, side: int):
+    """Pallas non-decimating filter on a PRE-EXTENDED buffer: *side*
+    extension samples per side of *axis* (a sublane multiple >= len(h)//2 —
+    the sharded transforms' halo exchange provides exactly this).  The
+    kernel runs no mirror fills; every tile is one aligned DMA.  None ->
+    caller's XLA path."""
+    h = _as_taps(h)
+    prep = _fromext_prep(ext, axis, side)
+    if prep is None:
+        return None
+    x3, lead, R = prep
+    call = _build_filter(x3.shape[0], R, x3.shape[2], h.tobytes(),
+                         str(x3.dtype), ext_side=side)
+    if call is None:
+        return None
+    y = call(x3)
+    return _from_sublane(y.reshape(lead + y.shape[-2:]), ext.ndim, axis,
+                         trail=ext.shape[-2:])
+
+
 # ---------------------------------------------------------------------------
 # DFILTER: decimate-by-2 dual filter along the sublane axis
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
 def _build_dfilt(B: int, R: int, C: int, habytes: bytes, hbbytes: bytes,
-                 dtype_str: str):
+                 dtype_str: str, ext_side: int = 0):
     ha = np.frombuffer(habytes, dtype=np.float64)
     hb = np.frombuffer(hbbytes, dtype=np.float64)
     m = ha.size
     if m % 2 or R % 4:
         return None
-    pad8 = _round_up(m, _SUBLANE)
+    if ext_side:
+        if ext_side % _SUBLANE or ext_side < m:
+            return None
+        pad8 = ext_side
+    else:
+        pad8 = _round_up(m, _SUBLANE)
     dtype = jnp.dtype(dtype_str)
     use_mxu = m >= _MXU_MIN_TAPS and not _interpret()
     n_quads = R // 4            # output pairs; 4 input rows per output pair
@@ -433,7 +551,7 @@ def _build_dfilt(B: int, R: int, C: int, habytes: bytes, hbbytes: bytes,
                     [(2 * i + ra, 4 * i + 2 + 2 * k, float(har[k]))
                      for i in range(tq) for k in range(m)]
                     + [(2 * i + rb, 4 * i + 3 + 2 * k, float(hbr[k]))
-                       for i in range(tq) for k in range(m)]).astype(dtype)
+                       for i in range(tq) for k in range(m)])  # stays f32: see _mxu_precision
 
     def kernel(x_hbm, *refs):
         a_ref = refs[0] if use_mxu else None
@@ -441,13 +559,18 @@ def _build_dfilt(B: int, R: int, C: int, habytes: bytes, hbbytes: bytes,
         b = pl.program_id(0)
         i = pl.program_id(1)
         j = pl.program_id(2)
-        _load_slab(x_hbm, b, scratch, sem, tile_idx=i, n_tiles=n_tiles,
-                   t_in=4 * tq, pad8=pad8, fill=m, R=R, lanes=(j * tc, tc))
+        if ext_side:
+            _load_slab_ext(x_hbm, b, scratch, sem, tile_idx=i, t_src=4 * tq,
+                           rows=4 * tq + 2 * pad8, lanes=(j * tc, tc))
+        else:
+            _load_slab(x_hbm, b, scratch, sem, tile_idx=i, n_tiles=n_tiles,
+                       t_in=4 * tq, pad8=pad8, fill=m, R=R,
+                       lanes=(j * tc, tc))
         win = lax.slice_in_dim(scratch[:, :], off, off + 4 * tq + 2 * m,
                                axis=0)
         if use_mxu:
-            o_ref[0] = jnp.dot(a_ref[:, :], win,
-                               precision=jax.lax.Precision.HIGHEST,
+            o_ref[0] = jnp.dot(a_ref[:, :], _f32win(dtype)(win),
+                               precision=_mxu_precision(dtype),
                                preferred_element_type=jnp.float32
                                ).astype(dtype)
             return
@@ -475,6 +598,7 @@ def _build_dfilt(B: int, R: int, C: int, habytes: bytes, hbbytes: bytes,
         out_shape=jax.ShapeDtypeStruct((B, R // 2, C), dtype),
         scratch_shapes=[pltpu.VMEM((4 * tq + 2 * pad8, tc), dtype),
                         pltpu.SemaphoreType.DMA(())],
+        compiler_params=_compiler_params(3),
         interpret=_interpret(),
     )
     if use_mxu:
@@ -497,6 +621,23 @@ def dfilt_axis(x, ha, hb, axis: int):
     y = call(x3)
     return _from_sublane(y.reshape(lead + y.shape[-2:]), x.ndim, axis,
                          trail=x.shape[-2:])
+
+
+def dfilt_fromext_axis(ext, ha, hb, axis: int, side: int):
+    """Pallas decimate-by-2 dual filter on a pre-extended buffer (*side*
+    >= len(ha) per side, a sublane multiple); None -> XLA path."""
+    ha, hb = _as_taps(ha), _as_taps(hb)
+    prep = _fromext_prep(ext, axis, side)
+    if prep is None:
+        return None
+    x3, lead, R = prep
+    call = _build_dfilt(x3.shape[0], R, x3.shape[2], ha.tobytes(),
+                        hb.tobytes(), str(x3.dtype), ext_side=side)
+    if call is None:
+        return None
+    y = call(x3)
+    return _from_sublane(y.reshape(lead + y.shape[-2:]), ext.ndim, axis,
+                         trail=ext.shape[-2:])
 
 
 # ---------------------------------------------------------------------------
@@ -528,14 +669,19 @@ def _ifilt_plan(ha: np.ndarray, hb: np.ndarray):
 
 @functools.lru_cache(maxsize=None)
 def _build_ifilt(B: int, R: int, C: int, habytes: bytes, hbbytes: bytes,
-                 dtype_str: str):
+                 dtype_str: str, ext_side: int = 0):
     ha = np.frombuffer(habytes, dtype=np.float64)
     hb = np.frombuffer(hbbytes, dtype=np.float64)
     m = ha.size
     if m % 2 or R % 2:
         return None
     m2 = m // 2
-    pad8 = _round_up(max(m2, 1), _SUBLANE)
+    if ext_side:
+        if ext_side % _SUBLANE or ext_side < m2:
+            return None
+        pad8 = ext_side
+    else:
+        pad8 = _round_up(max(m2, 1), _SUBLANE)
     dtype = jnp.dtype(dtype_str)
     use_mxu = m >= _MXU_MIN_TAPS and not _interpret()
     n_quads = R // 2            # output quads; 2 input rows per output quad
@@ -557,7 +703,7 @@ def _build_ifilt(B: int, R: int, C: int, habytes: bytes, hbbytes: bytes,
                 for k, v in enumerate(taps):
                     entries.append((4 * i + t, 2 * (i + o + k) + par,
                                     float(v)))
-        A = _banded(4 * tq, 2 * tq + 2 * m2, entries).astype(dtype)
+        A = _banded(4 * tq, 2 * tq + 2 * m2, entries)  # stays f32: see _mxu_precision
 
     def kernel(x_hbm, *refs):
         a_ref = refs[0] if use_mxu else None
@@ -565,13 +711,18 @@ def _build_ifilt(B: int, R: int, C: int, habytes: bytes, hbbytes: bytes,
         b = pl.program_id(0)
         i = pl.program_id(1)
         j = pl.program_id(2)
-        _load_slab(x_hbm, b, scratch, sem, tile_idx=i, n_tiles=n_tiles,
-                   t_in=2 * tq, pad8=pad8, fill=m2, R=R, lanes=(j * tc, tc))
+        if ext_side:
+            _load_slab_ext(x_hbm, b, scratch, sem, tile_idx=i, t_src=2 * tq,
+                           rows=2 * tq + 2 * pad8, lanes=(j * tc, tc))
+        else:
+            _load_slab(x_hbm, b, scratch, sem, tile_idx=i, n_tiles=n_tiles,
+                       t_in=2 * tq, pad8=pad8, fill=m2, R=R,
+                       lanes=(j * tc, tc))
         win = lax.slice_in_dim(scratch[:, :], off, off + 2 * tq + 2 * m2,
                                axis=0)
         if use_mxu:
-            o_ref[0] = jnp.dot(a_ref[:, :], win,
-                               precision=jax.lax.Precision.HIGHEST,
+            o_ref[0] = jnp.dot(a_ref[:, :], _f32win(dtype)(win),
+                               precision=_mxu_precision(dtype),
                                preferred_element_type=jnp.float32
                                ).astype(dtype)
             return
@@ -596,6 +747,7 @@ def _build_ifilt(B: int, R: int, C: int, habytes: bytes, hbbytes: bytes,
         out_shape=jax.ShapeDtypeStruct((B, 2 * R, C), dtype),
         scratch_shapes=[pltpu.VMEM((2 * tq + 2 * pad8, tc), dtype),
                         pltpu.SemaphoreType.DMA(())],
+        compiler_params=_compiler_params(3),
         interpret=_interpret(),
     )
     if use_mxu:
@@ -618,6 +770,23 @@ def ifilt_axis(x, ha, hb, axis: int):
     y = call(x3)
     return _from_sublane(y.reshape(lead + y.shape[-2:]), x.ndim, axis,
                          trail=x.shape[-2:])
+
+
+def ifilt_fromext_axis(ext, ha, hb, axis: int, side: int):
+    """Pallas interpolate-by-2 dual filter on a pre-extended buffer (*side*
+    >= len(ha)//2 per side, a sublane multiple); None -> XLA path."""
+    ha, hb = _as_taps(ha), _as_taps(hb)
+    prep = _fromext_prep(ext, axis, side)
+    if prep is None:
+        return None
+    x3, lead, R = prep
+    call = _build_ifilt(x3.shape[0], R, x3.shape[2], ha.tobytes(),
+                        hb.tobytes(), str(x3.dtype), ext_side=side)
+    if call is None:
+        return None
+    y = call(x3)
+    return _from_sublane(y.reshape(lead + y.shape[-2:]), ext.ndim, axis,
+                         trail=ext.shape[-2:])
 
 
 # ---------------------------------------------------------------------------

@@ -39,7 +39,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from dtcwt_tpu.ops.lane import _op_matrix
-from dtcwt_tpu.ops.pallas_fb import _LANE, _SUBLANE, _as_taps, _interpret
+from dtcwt_tpu.ops.pallas_fb import (_LANE, _SUBLANE, _as_taps,
+                                     _compiler_params, _f32win, _interpret,
+                                     _mxu_precision)
 
 __all__ = ["filter_hw22", "dfilt_hw22", "filter_sum_hw22", "ifilt_sum_hw22"]
 
@@ -84,10 +86,10 @@ def _build_hw22(N: int, H: int, W: int, kind: str, taps0, taps1,
     (A0, A1), (B0, B1) = _mats(kind, taps0, taps1, H, W)
     HO, WO = A0.shape[0], B0.shape[1]
     dtype = jnp.dtype(dtype_str)
-    hp = lax.Precision.HIGHEST
+    hp = _mxu_precision(dtype)
 
     def kernel(x_ref, a0, a1, b0, b1, o00, o01, o10, o11):
-        x = x_ref[0]
+        x = _f32win(dtype)(x_ref[0])
         for a_ref, outs in ((a0, (o00, o01)), (a1, (o10, o11))):
             t = jnp.dot(a_ref[:, :], x, precision=hp,
                         preferred_element_type=jnp.float32)
@@ -108,6 +110,7 @@ def _build_hw22(N: int, H: int, W: int, kind: str, taps0, taps1,
                   mat(A0), mat(A1), mat(B0), mat(B1)],
         out_specs=(out_spec,) * 4,
         out_shape=(jax.ShapeDtypeStruct((N, HO, WO), dtype),) * 4,
+        compiler_params=_compiler_params(1),
         interpret=_interpret(),
     )
     # Keep the operators as NUMPY in the cached closure: jnp.asarray inside
@@ -155,14 +158,14 @@ def _build_sum_hw22(N: int, H: int, W: int, kind: str, taps0, taps1,
     (A0, A1), (B0, B1) = _mats(kind, taps0, taps1, H, W)
     HO, WO = A0.shape[0], B0.shape[1]
     dtype = jnp.dtype(dtype_str)
-    hp = lax.Precision.HIGHEST
+    hp = _mxu_precision(dtype)
 
     def kernel(v00, v01, v10, v11, a0, a1, b0, b1, o_ref):
         acc = None
         for a_ref, (vj0, vj1) in ((a0, (v00, v01)), (a1, (v10, v11))):
-            inner = (jnp.dot(vj0[0], b0[:, :], precision=hp,
+            inner = (jnp.dot(_f32win(dtype)(vj0[0]), b0[:, :], precision=hp,
                              preferred_element_type=jnp.float32)
-                     + jnp.dot(vj1[0], b1[:, :], precision=hp,
+                     + jnp.dot(_f32win(dtype)(vj1[0]), b1[:, :], precision=hp,
                                preferred_element_type=jnp.float32))
             term = jnp.dot(a_ref[:, :], inner, precision=hp,
                            preferred_element_type=jnp.float32)
@@ -180,6 +183,7 @@ def _build_sum_hw22(N: int, H: int, W: int, kind: str, taps0, taps1,
         out_specs=pl.BlockSpec((1, HO, WO), lambda d: (d, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, HO, WO), dtype),
+        compiler_params=_compiler_params(1),
         interpret=_interpret(),
     )
     mats = (A0, A1, B0, B1)  # numpy, not jnp: see _build_hw22

@@ -39,6 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from dtcwt_tpu.ops.pallas_fb import (
+    _compiler_params, _f32win, _mxu_precision,
     _SUBLANE, _LANE, _flatten_batch, _interpret)
 
 __all__ = ["inv_level1"]
@@ -136,10 +137,11 @@ def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
                         A[n + j, _PADQ + u + 1 + j] += tv
             return A
 
-        Az = Az.astype(dtype)
-        Aq0 = _qmat(g0, p0).astype(dtype)
-        Aq1 = _qmat(g1, p1).astype(dtype)
-        Aq2 = _qmat(g2, p2).astype(dtype) if bp else None
+        # f32 operators: see pallas_fb._mxu_precision (bf16 matmuls broken)
+        Az = Az.astype(np.float32)
+        Aq0 = _qmat(g0, p0).astype(np.float32)
+        Aq1 = _qmat(g1, p1).astype(np.float32)
+        Aq2 = _qmat(g2, p2).astype(np.float32) if bp else None
 
     def conv_full(slab, taps, pad_f):
         """Plain sublane correlation of a full-res slab (tr outputs)."""
@@ -339,18 +341,19 @@ def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
                 # quad slab index: 4*src + 2*rp + cp, sources (lh, hl, hh).
                 for cp_ in range(2):
                     if use_mxu:
-                        yz = jnp.dot(az_ref[:, :], zslabs[buf, cp_],
-                                     precision=jax.lax.Precision.HIGHEST,
+                        yz = jnp.dot(az_ref[:, :],
+                                     _f32win(dtype)(zslabs[buf, cp_]),
+                                     precision=_mxu_precision(dtype),
                                      preferred_element_type=jnp.float32
                                      ).astype(dtype)
                         yz2 = yz.reshape(tr // 2, 2, W)
 
                         def rowq(base, a_ref, cp_=cp_):
-                            win = jnp.concatenate(
+                            win = _f32win(dtype)(jnp.concatenate(
                                 [qslabs[base + cp_],
-                                 qslabs[base + 2 + cp_]], axis=0)
+                                 qslabs[base + 2 + cp_]], axis=0))
                             y = jnp.dot(a_ref[:, :], win,
-                                        precision=jax.lax.Precision.HIGHEST,
+                                        precision=_mxu_precision(dtype),
                                         preferred_element_type=jnp.float32
                                         ).astype(dtype)
                             n = tr // 2
@@ -434,9 +437,7 @@ def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
                         pltpu.VMEM((12, tr // 2 + 2 * _PADQ, W), dtype),
                         pltpu.VMEM((2, 2 * n_str, tr // 2, W), dtype),
                         pltpu.SemaphoreType.DMA((2, 7))],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=_compiler_params(3),
         interpret=_interpret(),
     )
     if use_mxu:

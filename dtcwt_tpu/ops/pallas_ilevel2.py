@@ -56,6 +56,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from dtcwt_tpu.ops.pallas_fb import (
+    _compiler_params, _f32win, _mxu_precision,
     _SUBLANE, _LANE, _flatten_batch, _interpret)
 
 __all__ = ["inv_level2"]
@@ -179,9 +180,10 @@ def _build_ilevel2(B: int, L: int, C2: int, g0abytes: bytes, g0bbytes: bytes,
         return A
 
     if use_mxu:
-        A0 = _row_matrix(f0).astype(dtype)   # Z and hl
-        A1 = _row_matrix(f1).astype(dtype)   # lh and hh
-        A2 = _row_matrix(f2).astype(dtype) if bp else None
+        # f32 operators: see pallas_fb._mxu_precision (bf16 matmuls broken)
+        A0 = _row_matrix(f0).astype(np.float32)   # Z and hl
+        A1 = _row_matrix(f1).astype(np.float32)   # lh and hh
+        A2 = _row_matrix(f2).astype(np.float32) if bp else None
 
     def kernel(z_hbm, re_hbm, im_hbm, mg_hbm, *refs):
         if use_mxu:
@@ -222,12 +224,12 @@ def _build_ilevel2(B: int, L: int, C2: int, g0abytes: bytes, g0bbytes: bytes,
                 return outs
 
             def row_streams_mxu(src_idx, a_ref, cp):
-                win = jnp.concatenate(
+                win = _f32win(dtype)(jnp.concatenate(
                     [src_plane(src_idx, 0, cp),        # phase-0 (rp 0)
                      src_plane(src_idx, 1, cp)],       # phase-1 (rp 1)
-                    axis=0)
+                    axis=0))
                 y = jnp.dot(a_ref[:, :], win,
-                            precision=jax.lax.Precision.HIGHEST,
+                            precision=_mxu_precision(dtype),
                             preferred_element_type=jnp.float32).astype(dtype)
                 y4 = y.reshape(tq, 4, W)
                 return [y4[:, t, :] for t in range(4)]
@@ -434,9 +436,7 @@ def _build_ilevel2(B: int, L: int, C2: int, g0abytes: bytes, g0bbytes: bytes,
                         pltpu.VMEM((12, tq + 2 * _PAD, W), dtype),
                         pltpu.VMEM((n_str, 8, tq, W), dtype),
                         pltpu.SemaphoreType.DMA((2, 5))],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=_compiler_params(3),
         interpret=_interpret(),
     )
     if use_mxu:

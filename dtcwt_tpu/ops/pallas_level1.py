@@ -50,6 +50,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from dtcwt_tpu.ops.pallas_fb import (
+    _compiler_params, _f32win, _mxu_precision,
     _SUBLANE, _LANE, _flatten_batch, _interpret, _round_up)
 
 __all__ = ["fwd_level1"]
@@ -136,7 +137,7 @@ def _build_level1(B: int, R: int, C2: int, h0bytes: bytes, h1bytes: bytes,
         Acol = np.zeros((n_br * tr, slab_rows), np.float32)
         for r_, c_, v_ in ent:
             Acol[r_, c_] += v_
-        Acol = Acol.astype(dtype)
+        Acol = Acol.astype(np.float32)  # f32 operator: see pallas_fb._mxu_precision
 
     def row_conv_split(y_e, y_o, h: np.ndarray, pad_c: int):
         """Polyphase lane convolution of the interleaved signal represented
@@ -265,12 +266,12 @@ def _build_level1(B: int, R: int, C2: int, h0bytes: bytes, h1bytes: bytes,
                 _fills(so.at[buf], i)
 
                 if use_mxu:
-                    ye = jnp.dot(acol_ref[:, :], se[buf],
-                                 precision=jax.lax.Precision.HIGHEST,
+                    ye = jnp.dot(acol_ref[:, :], _f32win(dtype)(se[buf]),
+                                 precision=_mxu_precision(dtype),
                                  preferred_element_type=jnp.float32
                                  ).astype(dtype)
-                    yo = jnp.dot(acol_ref[:, :], so[buf],
-                                 precision=jax.lax.Precision.HIGHEST,
+                    yo = jnp.dot(acol_ref[:, :], _f32win(dtype)(so[buf]),
+                                 precision=_mxu_precision(dtype),
                                  preferred_element_type=jnp.float32
                                  ).astype(dtype)
                     cols[0] = lax.slice_in_dim(ye, 0, tr, axis=0)   # lo_e
@@ -354,9 +355,7 @@ def _build_level1(B: int, R: int, C2: int, h0bytes: bytes, h1bytes: bytes,
                         pltpu.VMEM((2, tr + 2 * pad8, W), dtype),
                         pltpu.VMEM((2 * n_br, tr, W), dtype),
                         pltpu.SemaphoreType.DMA((2, 2))],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=_compiler_params(3),
         interpret=_interpret(),
     )
     if use_mxu:

@@ -47,6 +47,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from dtcwt_tpu.ops.pallas_fb import (
+    _compiler_params, _f32win, _mxu_precision,
     _SUBLANE, _LANE, _flatten_batch, _interpret, _load_slab, _round_up)
 
 __all__ = ["fwd_level2"]
@@ -131,7 +132,16 @@ def _build_level2(B: int, R: int, C4: int, h0abytes: bytes, h0bbytes: bytes,
     # Column stage as banded MXU matmuls: rows [0,tq) = even-row tree,
     # [tq,2tq) = odd-row tree, taps indexed straight off the slab
     # (Ya[i] = sum_k rev(ha)[k] slab[off + 4i + 2 + 2k], Yb at +3).
-    use_mxu = m >= 6 and not _interpret()
+    # bf16 runs the VPU column stage: every MXU variant of this kernel's
+    # banded column matmul is broken for bf16 slabs on the current Mosaic
+    # toolchain — bf16 x bf16 HIGHEST is rejected ("Bad lhs type"), DEFAULT
+    # and f32-cast-window forms both produce deterministic first-tile NaNs
+    # at e.g. the (R=1024, C=1024) build, composition-dependent — while the
+    # same f32-operator matmul is fine in pallas_level1/ilevel* and the VPU
+    # path is bit-clean everywhere (verified on chip, r3).  bf16 is the
+    # memory-bound storage route, so the slower column stage barely shows.
+    use_mxu = (m >= 6 and not _interpret()
+               and jnp.dtype(dtype_str) != jnp.bfloat16)
     off_slab = pad8 - m
     slab_rows = 4 * tq + 2 * pad8
 
@@ -147,9 +157,10 @@ def _build_level2(B: int, R: int, C4: int, h0abytes: bytes, h0bbytes: bytes,
         return A
 
     if use_mxu:
-        Acol0 = _col_matrix(h0a, h0b).astype(dtype)
-        Acol1 = _col_matrix(h1a, h1b).astype(dtype)
-        Acol2 = _col_matrix(h2a, h2b).astype(dtype) if bp else None
+        # f32 operators: see pallas_fb._mxu_precision (bf16 matmuls broken)
+        Acol0 = _col_matrix(h0a, h0b)
+        Acol1 = _col_matrix(h1a, h1b)
+        Acol2 = _col_matrix(h2a, h2b) if bp else None
 
     def col_trees(q, ha_e, ha_o, hb_e, hb_o, pos):
         """Column (sublane) dual filter from row quarter-phases *q* (list of
@@ -297,13 +308,13 @@ def _build_level2(B: int, R: int, C4: int, h0abytes: bytes, h0bbytes: bytes,
                 if use_mxu:
                     # Column stage: one banded matmul per (plane, pair).
                     for p in range(4):
-                        sl = slabs[p][buf]
+                        sl = _f32win(dtype)(slabs[p][buf])
                         ylo = jnp.dot(ac0_ref[:, :], sl,
-                                      precision=jax.lax.Precision.HIGHEST,
+                                      precision=_mxu_precision(dtype),
                                       preferred_element_type=jnp.float32
                                       ).astype(dtype)
                         yhi = jnp.dot(ac1_ref[:, :], sl,
-                                      precision=jax.lax.Precision.HIGHEST,
+                                      precision=_mxu_precision(dtype),
                                       preferred_element_type=jnp.float32
                                       ).astype(dtype)
                         cols[0, p] = lax.slice_in_dim(ylo, 0, tq, axis=0)
@@ -315,7 +326,7 @@ def _build_level2(B: int, R: int, C4: int, h0abytes: bytes, h0bbytes: bytes,
                         if bp:
                             ybp = jnp.dot(
                                 ac2_ref[:, :], sl,
-                                precision=jax.lax.Precision.HIGHEST,
+                                precision=_mxu_precision(dtype),
                                 preferred_element_type=jnp.float32
                             ).astype(dtype)
                             cols[4, p] = lax.slice_in_dim(ybp, 0, tq,
@@ -409,9 +420,7 @@ def _build_level2(B: int, R: int, C4: int, h0abytes: bytes, h0bbytes: bytes,
                         pltpu.VMEM((2, 4 * tq + 2 * pad8, W), dtype),
                         pltpu.VMEM((2 * n_br, 4, tq, W), dtype),
                         pltpu.SemaphoreType.DMA((2, 4))],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=_compiler_params(3),
         interpret=_interpret(),
     )
     if use_mxu:

@@ -166,6 +166,32 @@ def main():
     if not ok3b:
         failures.append("3d bf16")
 
+    # Bench-envelope shapes: exactly the cases bench.py times (r2 verdict:
+    # chipcheck swept 32x256x256 while the bench ran 256^3, and the 256^3
+    # dfilt2 call OOMed Mosaic's scoped VMEM at compile time — a regression
+    # the sweep never saw).  Parity at these sizes is expensive, so gate on
+    # the forward+inverse round trip against the input instead; the smaller
+    # sweeps above already pin the kernels' math against the XLA engine.
+    t = dt.Transform2d()
+    xL = rng.rand(4096, 4096).astype(np.float32)
+    check("bench 4096^2 f32 roundtrip",
+          np.asarray(t.inverse(t.forward(xL, 3))), xL)
+    pLb = t.forward(_jnp.asarray(xL, _jnp.bfloat16), 3, layout="planes")
+    rLb = np.asarray(t.inverse(pLb).astype(_jnp.float32))
+    errLb = float(np.abs(rLb - xL).max())
+    okLb = errLb < 0.08
+    print("%-52s %s  (err %.2e)" % ("bench 4096^2 bf16 planes roundtrip",
+                                    "ok" if okLb else "FAIL", errLb))
+    if not okLb:
+        failures.append("bench 4096^2 bf16")
+    t3 = dt.Transform3d()
+    vL = rng.rand(256, 256, 256).astype(np.float32)
+    check("bench 256^3 f32 roundtrip",
+          np.asarray(t3.inverse(t3.forward(vL, 3))), vL)
+    xB = rng.rand(100, 512, 512).astype(np.float32)
+    check("bench 100x512^2 roundtrip",
+          np.asarray(t.inverse(t.forward(xB, 3))), xB)
+
     # gradient through the Pallas dispatch (linear-transpose VJP); must run
     # under jit — eager complex intermediates hit the axon tunnel's
     # unimplemented complex-transfer path (CLAUDE.md)
