@@ -220,16 +220,24 @@ def _build_level1(B: int, R: int, C2: int, h0bytes: bytes, h1bytes: bytes,
                 slab.at[pl.ds(0, tr + pad8), :], sem))
 
     def _fills(slab, i):
-        """Mirror-fill the out-of-range halo rows of a landed slab."""
+        """Mirror-fill the out-of-range halo rows of a landed slab, and
+        ZERO the never-DMA'd outer gap rows beyond them: the column matmul
+        feeds the whole slab to the MXU relying on zero operator columns,
+        and 0 * NaN-garbage = NaN (uninitialized-VMEM poisoning found on
+        chip, r3 — see pallas_level2._fills)."""
         @pl.when(i == 0)
         def _():
             for j in range(pad8 - pad_r, pad8):
                 slab[j, :] = slab[2 * pad8 - 1 - j, :]
+            for j in range(0, pad8 - pad_r):
+                slab[j, :] = jnp.zeros_like(slab[0, :])
 
         @pl.when(i == n_tiles - 1)
         def _():
             for s in range(tr + pad8, tr + pad8 + pad_r):
                 slab[s, :] = slab[2 * (tr + pad8) - 1 - s, :]
+            for s in range(tr + pad8 + pad_r, tr + 2 * pad8):
+                slab[s, :] = jnp.zeros_like(slab[0, :])
 
     def kernel(xe_hbm, xo_hbm, *refs):
         if use_mxu:

@@ -132,16 +132,14 @@ def _build_level2(B: int, R: int, C4: int, h0abytes: bytes, h0bbytes: bytes,
     # Column stage as banded MXU matmuls: rows [0,tq) = even-row tree,
     # [tq,2tq) = odd-row tree, taps indexed straight off the slab
     # (Ya[i] = sum_k rev(ha)[k] slab[off + 4i + 2 + 2k], Yb at +3).
-    # bf16 runs the VPU column stage: every MXU variant of this kernel's
-    # banded column matmul is broken for bf16 slabs on the current Mosaic
-    # toolchain — bf16 x bf16 HIGHEST is rejected ("Bad lhs type"), DEFAULT
-    # and f32-cast-window forms both produce deterministic first-tile NaNs
-    # at e.g. the (R=1024, C=1024) build, composition-dependent — while the
-    # same f32-operator matmul is fine in pallas_level1/ilevel* and the VPU
-    # path is bit-clean everywhere (verified on chip, r3).  bf16 is the
-    # memory-bound storage route, so the slower column stage barely shows.
-    use_mxu = (m >= 6 and not _interpret()
-               and jnp.dtype(dtype_str) != jnp.bfloat16)
+    # bf16 MXU matmuls are broken on the current Mosaic toolchain (see
+    # pallas_fb._mxu_precision), and the f32 cast FUSED into this kernel's
+    # banded column dot also miscompiled (deterministic first-tile NaNs at
+    # the (R=1024, C=1024) build, composition-dependent).  bf16 therefore
+    # stages each slab through an f32 VMEM scratch (one whole-slab vector
+    # cast, separated from the dot) and runs the known-good f32 matmul.
+    use_mxu = m >= 6 and not _interpret()
+    stage_f32 = use_mxu and jnp.dtype(dtype_str) == jnp.bfloat16
     off_slab = pad8 - m
     slab_rows = 4 * tq + 2 * pad8
 
@@ -259,11 +257,20 @@ def _build_level2(B: int, R: int, C4: int, h0abytes: bytes, h0bbytes: bytes,
         def _():
             for j in range(pad8 - m, pad8):
                 slab[j, :] = slab[2 * pad8 - 1 - j, :]
+            # Zero the never-DMA'd outer gap rows [0, pad8 - m): the column
+            # matmul feeds the WHOLE slab to the MXU relying on zero
+            # operator columns, and 0 * NaN-garbage = NaN — uninitialized
+            # VMEM leftovers poisoned whole first tiles, composition-
+            # dependently (found on chip, r3).
+            for j in range(0, pad8 - m):
+                slab[j, :] = jnp.zeros_like(slab[0, :])
 
         @pl.when(i == n_tiles - 1)
         def _():
             for s in range(t_in + pad8, t_in + pad8 + m):
                 slab[s, :] = slab[2 * (t_in + pad8) - 1 - s, :]
+            for s in range(t_in + pad8 + m, t_in + 2 * pad8):
+                slab[s, :] = jnp.zeros_like(slab[0, :])
 
     def kernel(x0, x1, x2, x3, *refs):
         if use_mxu:
@@ -273,6 +280,9 @@ def _build_level2(B: int, R: int, C4: int, h0abytes: bytes, h0bbytes: bytes,
             else:
                 ac0_ref, ac1_ref = refs[0], refs[1]
                 refs = refs[2:]
+        if stage_f32:
+            s32 = refs[-1]
+            refs = refs[:-1]
         (lolo_e_ref, lolo_o_ref, re_ref, im_ref,
          s0, s1, s2, s3, cols, sems) = refs
         b = pl.program_id(0)
@@ -308,7 +318,11 @@ def _build_level2(B: int, R: int, C4: int, h0abytes: bytes, h0bbytes: bytes,
                 if use_mxu:
                     # Column stage: one banded matmul per (plane, pair).
                     for p in range(4):
-                        sl = _f32win(dtype)(slabs[p][buf])
+                        if stage_f32:
+                            s32[p] = slabs[p][buf].astype(jnp.float32)
+                            sl = s32[p]
+                        else:
+                            sl = slabs[p][buf]
                         ylo = jnp.dot(ac0_ref[:, :], sl,
                                       precision=_mxu_precision(dtype),
                                       preferred_element_type=jnp.float32
@@ -419,7 +433,9 @@ def _build_level2(B: int, R: int, C4: int, h0abytes: bytes, h0bbytes: bytes,
                         pltpu.VMEM((2, 4 * tq + 2 * pad8, W), dtype),
                         pltpu.VMEM((2, 4 * tq + 2 * pad8, W), dtype),
                         pltpu.VMEM((2 * n_br, 4, tq, W), dtype),
-                        pltpu.SemaphoreType.DMA((2, 4))],
+                        pltpu.SemaphoreType.DMA((2, 4))]
+                       + ([pltpu.VMEM((4, 4 * tq + 2 * pad8, W),
+                                      jnp.float32)] if stage_f32 else []),
         compiler_params=_compiler_params(3),
         interpret=_interpret(),
     )

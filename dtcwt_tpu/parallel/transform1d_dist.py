@@ -46,6 +46,14 @@ def _hp_spec(sharded_spec, repl_spec, planes: bool, s: bool):
     return (base, base) if planes else base
 
 
+def _round8(n: int) -> int:
+    """Non-folded sharded passes exchange sublane-multiple halos so the
+    Pallas from-extension kernels see aligned DMAs (transform2d_dist has
+    the full rationale); the XLA paths trim back, so results are
+    bit-identical."""
+    return -(-n // 8) * 8
+
+
 def _sliced_ext(ext, halo: int, need: int, axis: int):
     if halo == need:
         return ext
@@ -98,10 +106,12 @@ class ShardedTransform1d:
         self._single = _t1.Transform1d(self.biort, self.qshift)
 
     def _plan(self, N: int, nlevels: int) -> List[bool]:
-        """Per level: does its filter pass run signal-sharded?"""
+        """Per level: does its filter pass run signal-sharded?  Halo
+        minima use the widened (sublane-multiple) widths the non-folded
+        sharded path actually exchanges (see transform2d_dist._round8)."""
         R = self._nrows
-        halo1 = max(v.size // 2 for v in self.biort)
-        halo2 = max(v.size for v in self.qshift)
+        halo1 = _round8(max(v.size // 2 for v in self.biort))
+        halo2 = _round8(max(v.size for v in self.qshift))
         plan = []
         n = N
         sharded = True
@@ -136,11 +146,13 @@ class ShardedTransform1d:
         if nlevels == 0:
             # degenerate case: no filtering — single-device semantics
             return self._single.forward(X, 0, layout=layout)
-        return self._fwd_built(X.shape, X.dtype, nlevels, layout)(X)
+        from dtcwt_tpu.ops import engine as _engine
+        return self._fwd_built(X.shape, X.dtype, nlevels, layout,
+                               _engine.trace_key())(X)
 
     @functools.lru_cache(maxsize=None)
     def _fwd_built(self, shape, dtype, nlevels: int,
-                   layout: str = "interleaved"):
+                   layout: str = "interleaved", ek=None):
         planes = layout == "planes"
         B, N, C = shape
         plan = self._plan(N, nlevels)
@@ -197,28 +209,39 @@ class ShardedTransform1d:
                 if level == 0:
                     if folded:
                         ext = _folded_halo(cur, halo1, C, ra, R)
+                        hi = fb.filter_from_ext(
+                            _sliced_ext(ext, halo1, h1o.size // 2, -2),
+                            h1o, -2)
+                        lo = fb.filter_from_ext(
+                            _sliced_ext(ext, halo1, h0o.size // 2, -2),
+                            h0o, -2)
                     elif cur_sharded:
-                        ext = halo_exchange(cur, halo1, ra, R, axis=-2)
+                        h1w = _round8(halo1)
+                        ext = halo_exchange(cur, h1w, ra, R, axis=-2)
+                        lo, hi = fb.filter2_from_wide_ext(ext, h1w, h0o,
+                                                          h1o, -2)
                     else:
-                        ext = fb.symmetric_extend(cur, halo1, -2)
-                    hi = fb.filter_from_ext(
-                        _sliced_ext(ext, halo1, h1o.size // 2, -2), h1o, -2)
-                    lo = fb.filter_from_ext(
-                        _sliced_ext(ext, halo1, h0o.size // 2, -2), h0o, -2)
+                        lo, hi = fb.filter2_axis(cur, h0o, h1o, -2)
                 else:
                     if not cur_sharded and cur.shape[-2] % 4 != 0:
                         cur = jnp.concatenate(
                             [cur[..., :1, :], cur, cur[..., -1:, :]], axis=-2)
                     if folded:
                         ext = _folded_halo(cur, halo2, C, ra, R)
+                        hi = fb.dfilt_from_ext(
+                            _sliced_ext(ext, halo2, h1a.size, -2), h1b,
+                            h1a, -2)
+                        lo = fb.dfilt_from_ext(
+                            _sliced_ext(ext, halo2, h0a.size, -2), h0b,
+                            h0a, -2)
                     elif cur_sharded:
-                        ext = halo_exchange(cur, halo2, ra, R, axis=-2)
+                        h2w = _round8(halo2)
+                        ext = halo_exchange(cur, h2w, ra, R, axis=-2)
+                        lo, hi = fb.dfilt2_from_wide_ext(
+                            ext, h2w, (h0b, h0a), (h1b, h1a), -2)
                     else:
-                        ext = fb.symmetric_extend(cur, halo2, -2)
-                    hi = fb.dfilt_from_ext(
-                        _sliced_ext(ext, halo2, h1a.size, -2), h1b, h1a, -2)
-                    lo = fb.dfilt_from_ext(
-                        _sliced_ext(ext, halo2, h0a.size, -2), h0b, h0a, -2)
+                        lo, hi = fb.dfilt2_axis(cur, (h0b, h0a),
+                                                (h1b, h1a), -2)
                 if planes:
                     # even/odd deinterleave, cast to the storage dtype per
                     # level exactly as the single-device planes path does
@@ -271,13 +294,15 @@ class ShardedTransform1d:
             # degenerate case: identity (single-device semantics)
             return jnp.asarray(pyramid.lowpass)
         gm = None if gain_mask is None else jnp.asarray(gain_mask)
+        from dtcwt_tpu.ops import engine as _engine
         return self._inv_built(
             tuple(pyramid.lowpass.shape), shapes, pyramid.lowpass.dtype,
-            nlevels, "planes" if planes else "interleaved")(pyramid, gm)
+            nlevels, "planes" if planes else "interleaved",
+            _engine.trace_key())(pyramid, gm)
 
     @functools.lru_cache(maxsize=None)
     def _inv_built(self, low_shape, hp_shapes, dtype, nlevels: int,
-                   layout: str = "interleaved"):
+                   layout: str = "interleaved", ek=None):
         planes = layout == "planes"
         sdt = jnp.dtype(dtype)
         da, ra = self.data_axis, self.rows_axis
@@ -338,18 +363,21 @@ class ShardedTransform1d:
                     ext_lo = _folded_halo(lo, halo_i, C, ra, R)
                     ext_hi = _folded_halo(_t1._fold(hi, S), halo_i, C,
                                           ra, R)
+                    lo = (fb.ifilt_from_ext(
+                              _sliced_ext(ext_lo, halo_i, g0a.size // 2,
+                                          -2), g0b, g0a, -2)
+                          + fb.ifilt_from_ext(
+                              _sliced_ext(ext_hi, halo_i, g1a.size // 2,
+                                          -2), g1b, g1a, -2))
                 elif cur_sharded:
-                    ext_lo = halo_exchange(lo, halo_i, ra, R, axis=-2)
-                    ext_hi = halo_exchange(hi, halo_i, ra, R, axis=-2)
+                    hiw = _round8(halo_i)
+                    lo = fb.ifilt2_sum_from_wide_ext(
+                        halo_exchange(lo, hiw, ra, R, axis=-2),
+                        halo_exchange(hi, hiw, ra, R, axis=-2),
+                        hiw, (g0b, g0a), (g1b, g1a), -2)
                 else:
-                    ext_lo = fb.symmetric_extend(lo, halo_i, -2)
-                    ext_hi = fb.symmetric_extend(hi, halo_i, -2)
-                lo = (fb.ifilt_from_ext(
-                          _sliced_ext(ext_lo, halo_i, g0a.size // 2, -2),
-                          g0b, g0a, -2)
-                      + fb.ifilt_from_ext(
-                          _sliced_ext(ext_hi, halo_i, g1a.size // 2, -2),
-                          g1b, g1a, -2))
+                    lo = fb.ifilt2_sum_axis(lo, hi, (g0b, g0a),
+                                            (g1b, g1a), -2)
                 if folded:
                     # Sharded levels are crop-free by plan construction;
                     # verify against the finer level's (local) size.
@@ -388,18 +416,20 @@ class ShardedTransform1d:
             if folded:
                 ext_lo = _folded_halo(lo, halo_f, C, ra, R)
                 ext_hi = _folded_halo(_t1._fold(hi, S), halo_f, C, ra, R)
+                out = (fb.filter_from_ext(
+                           _sliced_ext(ext_lo, halo_f, g0o.size // 2, -2),
+                           g0o, -2)
+                       + fb.filter_from_ext(
+                           _sliced_ext(ext_hi, halo_f, g1o.size // 2, -2),
+                           g1o, -2))
             elif cur_sharded:
-                ext_lo = halo_exchange(lo, halo_f, ra, R, axis=-2)
-                ext_hi = halo_exchange(hi, halo_f, ra, R, axis=-2)
+                hfw = _round8(halo_f)
+                out = fb.filter2_sum_from_wide_ext(
+                    halo_exchange(lo, hfw, ra, R, axis=-2),
+                    halo_exchange(hi, hfw, ra, R, axis=-2),
+                    hfw, g0o, g1o, -2)
             else:
-                ext_lo = fb.symmetric_extend(lo, halo_f, -2)
-                ext_hi = fb.symmetric_extend(hi, halo_f, -2)
-            out = (fb.filter_from_ext(
-                       _sliced_ext(ext_lo, halo_f, g0o.size // 2, -2),
-                       g0o, -2)
-                   + fb.filter_from_ext(
-                       _sliced_ext(ext_hi, halo_f, g1o.size // 2, -2),
-                       g1o, -2))
+                out = fb.filter2_sum_axis(lo, hi, g0o, g1o, -2)
             out = _t1._unfold(out, S, C) if folded else out
             return out.astype(sdt)
 

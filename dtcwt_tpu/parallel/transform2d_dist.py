@@ -52,12 +52,13 @@ __all__ = ["ShardedTransform2d"]
 logger = logging.getLogger(__name__)
 
 
-def _sliced_ext(ext, halo: int, need: int, axis: int):
-    """Trim a halo-extended buffer to extension width *need* per side."""
-    if halo == need:
-        return ext
-    n = ext.shape[axis]
-    return lax.slice_in_dim(ext, halo - need, n - (halo - need), axis=axis)
+def _round8(n: int) -> int:
+    """Halo widths are exchanged rounded up to a sublane multiple so the
+    Pallas from-extension kernels (ops/pallas_fb.py `_load_slab_ext`) see
+    aligned DMAs; the XLA closed forms trim back to the exact width
+    (`fb.trim_ext`), so results are bit-identical either way.  The extra
+    rows are at most 7 per side — noise next to the shard body."""
+    return -(-n // 8) * 8
 
 
 def _axis_plan(extent: int, R: int, nlevels: int, halo1: int,
@@ -123,8 +124,10 @@ class ShardedTransform2d:
     # static planning: which levels stay sharded, per spatial axis?
     # ------------------------------------------------------------------
     def _halos(self) -> Tuple[int, int]:
-        halo1 = max(v.size // 2 for v in self.biort)
-        halo2 = max(v.size for v in self.qshift)
+        # Widened like the exchanged halos (_round8) so the plan's minimum-
+        # extent checks match what halo_exchange will actually request.
+        halo1 = _round8(max(v.size // 2 for v in self.biort))
+        halo2 = _round8(max(v.size for v in self.qshift))
         return halo1, halo2
 
     def _plan(self, H: int, W: int, nlevels: int) -> Tuple[List[bool],
@@ -176,13 +179,14 @@ class ShardedTransform2d:
             # (dtype rules + odd-size edge pad, empty highpasses)
             return self._single.forward(X, 0, include_scale=include_scale,
                                         layout=layout)
+        from dtcwt_tpu.ops import engine as _engine
         return self._fwd_built(X.shape, X.dtype, nlevels, layout,
-                               include_scale)(X)
+                               include_scale, _engine.trace_key())(X)
 
     @functools.lru_cache(maxsize=None)
     def _fwd_built(self, shape, dtype, nlevels: int,
                    layout: str = "interleaved",
-                   include_scale: bool = False):
+                   include_scale: bool = False, ek=None):
         planes = layout == "planes"
         B, H, W = shape
         rplan, cplan = self._plan(H, W, nlevels)
@@ -195,8 +199,10 @@ class ShardedTransform2d:
         qs = self.qshift
         h0a, h0b, h1a, h1b = qs[0], qs[1], qs[4], qs[5]
         h2a, h2b = (qs[8], qs[9]) if len(qs) == 12 else (None, None)
-        halo1 = max(v.size // 2 for v in (h0o, h1o) + ((h2o,) if h2o is not None else ()))
-        halo2 = max(v.size for v in (h0a, h1a) + ((h2a,) if h2a is not None else ()))
+        halo1 = _round8(max(v.size // 2 for v in (h0o, h1o)
+                            + ((h2o,) if h2o is not None else ())))
+        halo2 = _round8(max(v.size for v in (h0a, h1a)
+                            + ((h2a,) if h2a is not None else ())))
 
         # Input sharding: only shard an axis the first level can use.
         in_rows = ra if rplan[0] else None
@@ -224,17 +230,12 @@ class ShardedTransform2d:
             out_specs = out_specs + (
                 tuple(low_spec(l) for l in range(nlevels)),)
 
-        def col_ext(cur, halo, row_sharded):
-            """Halo-extend the height axis for a column pass."""
-            if row_sharded:
-                return halo_exchange(cur, halo, ra, R, axis=-2)
-            return fb.symmetric_extend(cur, halo, -2)
-
-        def row_ext(cur, halo, col_sharded):
-            """Halo-extend the width axis for a row pass."""
-            if col_sharded:
-                return halo_exchange(cur, halo, ca, Cn, axis=-1)
-            return fb.symmetric_extend(cur, halo, -1)
+        def hx(v, halo, axis, on):
+            """Wide halo extension of a sharded axis (per-side width a
+            sublane multiple, see _round8)."""
+            name, size = (ra, R) if axis == -2 else (ca, Cn)
+            del on
+            return halo_exchange(v, halo, name, size, axis=axis)
 
         def local_fwd(x):
             # x: [B/d, H/r, W/c]
@@ -262,25 +263,37 @@ class ShardedTransform2d:
                         cur = jnp.concatenate([cur, cur[..., -1:]], axis=-1)
                     if not row_sharded and cur.shape[-2] % 2 != 0:
                         cur = jnp.concatenate([cur, cur[..., -1:, :]], axis=-2)
-                    ext = col_ext(cur, halo1, row_sharded)
-                    lo = fb.filter_from_ext(
-                        _sliced_ext(ext, halo1, h0o.size // 2, -2), h0o, -2)
-                    hi = fb.filter_from_ext(
-                        _sliced_ext(ext, halo1, h1o.size // 2, -2), h1o, -2)
+                    # Dual-stream engine-dispatched calls (r2 verdict
+                    # item 3): one slab read feeds both branch filters on
+                    # the Pallas engines; the XLA path is bit-identical.
+                    # Sharded axes consume the wide halo exchange via the
+                    # from-extension kernels; unsharded axes use the
+                    # kernels' own in-VMEM mirror extension (no
+                    # materialized pad pass).
+                    def f2(v, axis, on):
+                        if on:
+                            return fb.filter2_from_wide_ext(
+                                hx(v, halo1, axis, on), halo1, h0o, h1o,
+                                axis)
+                        return fb.filter2_axis(v, h0o, h1o, axis)
 
-                    def rowf(v, h):
-                        e = row_ext(v, h.size // 2, col_sharded)
-                        return fb.filter_from_ext(e, h, -1)
+                    def f1(v, axis, on):
+                        if on:
+                            return fb.filter_from_wide_ext(
+                                hx(v, halo1, axis, on), halo1, h2o, axis)
+                        return fb.filter_axis(v, h2o, axis)
 
-                    lolo = rowf(lo, h0o)
-                    q05 = rowf(hi, h0o)
-                    q23 = rowf(lo, h1o)
+                    lo, hi = f2(cur, -2, row_sharded)
+                    lolo, q23 = f2(lo, -1, col_sharded)
                     if h2o is not None:
-                        ba = fb.filter_from_ext(
-                            _sliced_ext(ext, halo1, h2o.size // 2, -2), h2o, -2)
-                        q14 = rowf(ba, h2o)
+                        ba = f1(cur, -2, row_sharded)
+                        q05 = (fb.filter_from_wide_ext(
+                                   hx(hi, halo1, -1, True), halo1, h0o, -1)
+                               if col_sharded
+                               else fb.filter_axis(hi, h0o, -1))
+                        q14 = f1(ba, -1, col_sharded)
                     else:
-                        q14 = rowf(hi, h1o)
+                        q05, q14 = f2(hi, -1, col_sharded)
                 else:
                     if not row_sharded and cur.shape[-2] % 4 != 0:
                         cur = jnp.concatenate(
@@ -288,26 +301,29 @@ class ShardedTransform2d:
                     if not col_sharded and cur.shape[-1] % 4 != 0:
                         cur = jnp.concatenate(
                             [cur[..., :, :1], cur, cur[..., :, -1:]], axis=-1)
-                    ext = col_ext(cur, halo2, row_sharded)
-                    lo = fb.dfilt_from_ext(
-                        _sliced_ext(ext, halo2, h0a.size, -2), h0b, h0a, -2)
-                    hi = fb.dfilt_from_ext(
-                        _sliced_ext(ext, halo2, h1a.size, -2), h1b, h1a, -2)
-                    if h2b is not None:
-                        ba = fb.dfilt_from_ext(
-                            _sliced_ext(ext, halo2, h2a.size, -2), h2b, h2a, -2)
+                    def d2(v, axis, on):
+                        if on:
+                            return fb.dfilt2_from_wide_ext(
+                                hx(v, halo2, axis, on), halo2,
+                                (h0b, h0a), (h1b, h1a), axis)
+                        return fb.dfilt2_axis(v, (h0b, h0a), (h1b, h1a),
+                                              axis)
 
-                    def rowd(v, hfa, hfb):
-                        e = row_ext(v, hfa.size, col_sharded)
-                        return fb.dfilt_from_ext(e, hfb, hfa, -1)
+                    def d1(v, axis, on, hb_, ha_):
+                        if on:
+                            return fb.dfilt_from_wide_ext(
+                                hx(v, halo2, axis, on), halo2, hb_, ha_,
+                                axis)
+                        return fb.dfilt_axis(v, hb_, ha_, axis)
 
-                    lolo = rowd(lo, h0a, h0b)
-                    q05 = rowd(hi, h0a, h0b)
-                    q23 = rowd(lo, h1a, h1b)
+                    lo, hi = d2(cur, -2, row_sharded)
+                    lolo, q23 = d2(lo, -1, col_sharded)
                     if h2b is not None:
-                        q14 = rowd(ba, h2a, h2b)
+                        ba = d1(cur, -2, row_sharded, h2b, h2a)
+                        q05 = d1(hi, -1, col_sharded, h0b, h0a)
+                        q14 = d1(ba, -1, col_sharded, h2b, h2a)
                     else:
-                        q14 = rowd(hi, h1a, h1b)
+                        q05, q14 = d2(hi, -1, col_sharded)
                 if planes:
                     Yh.append(_pack_band_planes(q05, q23, q14, sdt))
                 else:
@@ -366,13 +382,15 @@ class ShardedTransform2d:
             # degenerate case: identity (single-device semantics)
             return jnp.asarray(pyramid.lowpass)
         gm = None if gain_mask is None else jnp.asarray(gain_mask)
+        from dtcwt_tpu.ops import engine as _engine
         return self._inv_built(
             tuple(pyramid.lowpass.shape), shapes, pyramid.lowpass.dtype,
-            nlevels, "planes" if planes else "interleaved")(pyramid, gm)
+            nlevels, "planes" if planes else "interleaved",
+            _engine.trace_key())(pyramid, gm)
 
     @functools.lru_cache(maxsize=None)
     def _inv_built(self, low_shape, hp_shapes, dtype, nlevels: int,
-                   layout: str = "interleaved"):
+                   layout: str = "interleaved", ek=None):
         planes = layout == "planes"
         sdt = jnp.dtype(dtype)
         da, ra, ca = self.data_axis, self.rows_axis, self.cols_axis
@@ -383,8 +401,10 @@ class ShardedTransform2d:
         qs = self.qshift
         g0a, g0b, g1a, g1b = qs[2], qs[3], qs[6], qs[7]
         g2a, g2b = (qs[10], qs[11]) if len(qs) == 12 else (None, None)
-        halo2 = max(v.size // 2 for v in (g0a, g1a) + ((g2a,) if g2a is not None else ()))
-        halo1 = max(v.size // 2 for v in (g0o, g1o) + ((g2o,) if g2o is not None else ()))
+        halo2 = _round8(max(v.size // 2 for v in (g0a, g1a)
+                            + ((g2a,) if g2a is not None else ())))
+        halo1 = _round8(max(v.size // 2 for v in (g0o, g1o)
+                            + ((g2o,) if g2o is not None else ())))
 
         # Per-level, per-axis plan: synthesis at level l runs sharded on an
         # axis when every finer level (the sharded *suffix* in synthesis
@@ -449,19 +469,9 @@ class ShardedTransform2d:
         hp_specs = tuple(spec(rplan[l], cplan[l], hp=True)
                          for l in range(nlevels))
 
-        def col_pass(v, r_on, ext_w, apply):
-            if r_on:
-                ext = halo_exchange(v, ext_w, ra, R, axis=-2)
-            else:
-                ext = fb.symmetric_extend(v, ext_w, -2)
-            return apply(ext)
-
-        def row_pass(v, c_on, ext_w, apply):
-            if c_on:
-                ext = halo_exchange(v, ext_w, ca, Cn, axis=-1)
-            else:
-                ext = fb.symmetric_extend(v, ext_w, -1)
-            return apply(ext)
+        def hx(v, halo, axis):
+            name, size = (ra, R) if axis == -2 else (ca, Cn)
+            return halo_exchange(v, halo, name, size, axis=axis)
 
         def reshard(Z, axis_name, Rax, axis):
             """Replicated -> sharded transition: keep this shard's slice."""
@@ -488,25 +498,32 @@ class ShardedTransform2d:
             for level in range(nlevels - 1, 0, -1):
                 lh, hl, hh = quads(Yh[level])
 
-                def ci(v, gfa, gfb):
-                    return col_pass(v, r_on, gfa.size // 2,
-                                    lambda e: fb.ifilt_from_ext(e, gfa, gfb,
-                                                                -2))
+                # Fused branch-pair merges (two slab reads -> one summed
+                # output per stage on the fast engines); sharded axes eat
+                # the wide halo exchange, unsharded axes use the kernels'
+                # in-VMEM mirror extension.
+                def i2(va, vb, pa, pb, axis, on):
+                    if on:
+                        return fb.ifilt2_sum_from_wide_ext(
+                            hx(va, halo2, axis), hx(vb, halo2, axis),
+                            halo2, pa, pb, axis)
+                    return fb.ifilt2_sum_axis(va, vb, pa, pb, axis)
 
-                def ri(v, gfa, gfb):
-                    return row_pass(v, c_on, gfa.size // 2,
-                                    lambda e: fb.ifilt_from_ext(e, gfa, gfb,
-                                                                -1))
+                def i1(v, gb_, ga_, axis, on):
+                    if on:
+                        return fb.ifilt_from_wide_ext(hx(v, halo2, axis),
+                                                      halo2, gb_, ga_, axis)
+                    return fb.ifilt_axis(v, gb_, ga_, axis)
 
-                y1 = ci(Z, g0b, g0a) + ci(lh, g1b, g1a)
+                y1 = i2(Z, lh, (g0b, g0a), (g1b, g1a), -2, r_on)
                 if g2b is not None:
-                    y2 = ci(hl, g0b, g0a)
-                    y2bp = ci(hh, g2b, g2a)
-                    Z = (ri(y1, g0b, g0a) + ri(y2, g1b, g1a)
-                         + ri(y2bp, g2b, g2a))
+                    y2 = i1(hl, g0b, g0a, -2, r_on)
+                    y2bp = i1(hh, g2b, g2a, -2, r_on)
+                    Z = (i2(y1, y2, (g0b, g0a), (g1b, g1a), -1, c_on)
+                         + i1(y2bp, g2b, g2a, -1, c_on))
                 else:
-                    y2 = ci(hl, g0b, g0a) + ci(hh, g1b, g1a)
-                    Z = ri(y1, g0b, g0a) + ri(y2, g1b, g1a)
+                    y2 = i2(hl, hh, (g0b, g0a), (g1b, g1a), -2, r_on)
+                    Z = i2(y1, y2, (g0b, g0a), (g1b, g1a), -1, c_on)
 
                 # crops only occur along not-(yet-)sharded axes; while an
                 # axis is replicated Z carries its full global extent
@@ -538,22 +555,28 @@ class ShardedTransform2d:
                     c_on = True
             lh, hl, hh = quads(Yh[0])
 
-            def cf(v, g):
-                return col_pass(v, r_on, g.size // 2,
-                                lambda e: fb.filter_from_ext(e, g, -2))
+            def s2(va, vb, ga, gb, axis, on):
+                if on:
+                    return fb.filter2_sum_from_wide_ext(
+                        hx(va, halo1, axis), hx(vb, halo1, axis), halo1,
+                        ga, gb, axis)
+                return fb.filter2_sum_axis(va, vb, ga, gb, axis)
 
-            def rf(v, g):
-                return row_pass(v, c_on, g.size // 2,
-                                lambda e: fb.filter_from_ext(e, g, -1))
+            def s1(v, g, axis, on):
+                if on:
+                    return fb.filter_from_wide_ext(hx(v, halo1, axis),
+                                                   halo1, g, axis)
+                return fb.filter_axis(v, g, axis)
 
-            y1 = cf(Z, g0o) + cf(lh, g1o)
+            y1 = s2(Z, lh, g0o, g1o, -2, r_on)
             if g2o is not None:
-                y2 = cf(hl, g0o)
-                y2bp = cf(hh, g2o)
-                Z = rf(y1, g0o) + rf(y2, g1o) + rf(y2bp, g2o)
+                y2 = s1(hl, g0o, -2, r_on)
+                y2bp = s1(hh, g2o, -2, r_on)
+                Z = (s2(y1, y2, g0o, g1o, -1, c_on)
+                     + s1(y2bp, g2o, -1, c_on))
             else:
-                y2 = cf(hl, g0o) + cf(hh, g1o)
-                Z = rf(y1, g0o) + rf(y2, g1o)
+                y2 = s2(hl, hh, g0o, g1o, -2, r_on)
+                Z = s2(y1, y2, g0o, g1o, -1, c_on)
             return Z.astype(sdt)
 
         shmapped = jax.shard_map(

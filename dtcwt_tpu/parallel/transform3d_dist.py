@@ -45,6 +45,13 @@ __all__ = ["ShardedTransform3d"]
 logger = logging.getLogger(__name__)
 
 
+def _round8(n: int) -> int:
+    """Sharded passes exchange sublane-multiple halos so the Pallas
+    from-extension kernels see aligned DMAs (transform2d_dist._round8 has
+    the full rationale); XLA paths trim back — bit parity either way."""
+    return -(-n // 8) * 8
+
+
 def _sliced_ext(ext, halo: int, need: int, axis: int):
     if halo == need:
         return ext
@@ -94,8 +101,10 @@ class ShardedTransform3d:
         """Per level: does the filter pass along a spatial axis of global
         extent *n* run sharded over a mesh axis of *Rax* devices?"""
         h0o, h1o = self.biort[0], self.biort[2]
-        halo1 = max(h0o.size // 2, h1o.size // 2)
-        halo2 = max(self.qshift[0].size, self.qshift[4].size)
+        # widened like the exchanged halos (_round8) so the minimum-extent
+        # checks match what halo_exchange will actually request
+        halo1 = _round8(max(h0o.size // 2, h1o.size // 2))
+        halo2 = _round8(max(self.qshift[0].size, self.qshift[4].size))
         div = self.ext_mode
         plan = []
         d = n
@@ -147,14 +156,15 @@ class ShardedTransform3d:
             return self._single.forward(X, 0, include_scale=include_scale,
                                         discard_level_1=discard_level_1,
                                         layout=layout)
+        from dtcwt_tpu.ops import engine as _engine
         return self._fwd_built(X.shape, X.dtype, nlevels,
                                bool(discard_level_1), layout,
-                               include_scale)(X)
+                               include_scale, _engine.trace_key())(X)
 
     @functools.lru_cache(maxsize=None)
     def _fwd_built(self, shape, dtype, nlevels: int, discard_level_1: bool,
                    layout: str = "interleaved",
-                   include_scale: bool = False):
+                   include_scale: bool = False, ek=None):
         planes = layout == "planes"
         B, D, H, W = shape
         plan = self._plan(D, nlevels)
@@ -165,8 +175,8 @@ class ShardedTransform3d:
         h0o, h1o = self.biort[0], self.biort[2]
         q = self.qshift
         h0a, h0b, h1a, h1b = q[0], q[1], q[4], q[5]
-        halo1 = max(h0o.size // 2, h1o.size // 2)
-        halo2 = max(h0a.size, h1a.size)
+        halo1 = _round8(max(h0o.size // 2, h1o.size // 2))
+        halo2 = _round8(max(h0a.size, h1a.size))
         div = self.ext_mode
         rep = 1 if div == 4 else 2
 
@@ -204,36 +214,37 @@ class ShardedTransform3d:
             out_specs = out_specs + (
                 tuple(vspec(plan[l], rplan[l]) for l in range(nlevels)),)
 
-        def depth_filter(v, h, d_sharded):
-            """Non-decimating biort filter along the depth axis."""
-            if d_sharded:
-                ext = halo_exchange(v, h.size // 2, ra, R, axis=-3)
-            else:
-                ext = fb.symmetric_extend(v, h.size // 2, -3)
-            return fb.filter_from_ext(ext, h, -3)
+        # Dual-stream engine-dispatched tree stages (r2 verdict item 3):
+        # one slab read feeds both branch filters; sharded axes consume the
+        # wide halo exchange via the from-extension kernels, replicated
+        # axes use the kernels' in-VMEM mirror extension.
+        def _axf(axis, sharded):
+            return ((ra, R) if axis == -3 else (rr, Rr)) if sharded else None
 
-        def depth_dfilt(v, ha, hb, d_sharded):
-            """Decimating qshift dual filter along the depth axis."""
-            if d_sharded:
-                ext = halo_exchange(v, ha.size, ra, R, axis=-3)
-            else:
-                ext = fb.symmetric_extend(v, ha.size, -3)
-            return fb.dfilt_from_ext(ext, hb, ha, -3)
+        def tree_filter2(v, axis, sharded):
+            """Both non-decimating biort branches along *axis*."""
+            ax = _axf(axis, sharded)
+            if ax is not None:
+                ext = halo_exchange(v, halo1, ax[0], ax[1], axis=axis)
+                return fb.filter2_from_wide_ext(ext, halo1, h0o, h1o, axis)
+            return fb.filter2_axis(v, h0o, h1o, axis)
 
-        def row_filter(v, h, r_sharded):
-            """Non-decimating biort filter along the H axis (sharded rows
-            exchange ppermute halos; replicated rows reflect locally)."""
-            if r_sharded:
-                ext = halo_exchange(v, h.size // 2, rr, Rr, axis=-2)
-                return fb.filter_from_ext(ext, h, -2)
-            return fb.filter_axis(v, h, -2)
+        def tree_filter(v, h, axis, sharded):
+            """Single biort branch (discard_level_1 path)."""
+            ax = _axf(axis, sharded)
+            if ax is not None:
+                ext = halo_exchange(v, halo1, ax[0], ax[1], axis=axis)
+                return fb.filter_from_wide_ext(ext, halo1, h, axis)
+            return fb.filter_axis(v, h, axis)
 
-        def row_dfilt(v, ha, hb, r_sharded):
-            """Decimating qshift dual filter along the H axis."""
-            if r_sharded:
-                ext = halo_exchange(v, ha.size, rr, Rr, axis=-2)
-                return fb.dfilt_from_ext(ext, hb, ha, -2)
-            return fb.dfilt_axis(v, hb, ha, -2)
+        def tree_dfilt2(v, axis, sharded):
+            """Both decimating qshift branches along *axis*."""
+            ax = _axf(axis, sharded)
+            if ax is not None:
+                ext = halo_exchange(v, halo2, ax[0], ax[1], axis=axis)
+                return fb.dfilt2_from_wide_ext(ext, halo2, (h0b, h0a),
+                                               (h1b, h1a), axis)
+            return fb.dfilt2_axis(v, (h0b, h0a), (h1b, h1a), axis)
 
         def local_fwd(x):
             if not jnp.issubdtype(x.dtype, jnp.inexact):
@@ -269,20 +280,19 @@ class ShardedTransform3d:
                     # level 1: biort filters on W (local), H, then D
                     if discard_level_1:
                         out = fb.filter_axis(cur, h0o, -1)
-                        out = row_filter(out, h0o, r_sharded)
-                        cur = requant(depth_filter(out, h0o, d_sharded))
+                        out = tree_filter(out, h0o, -2, r_sharded)
+                        cur = requant(tree_filter(out, h0o, -3, d_sharded))
                         Yh.append((None, None) if planes else None)
                         continue
-                    t2 = [fb.filter_axis(cur, h0o, -1),
-                          fb.filter_axis(cur, h1o, -1)]
-                    t21 = [[row_filter(v, h0o, r_sharded),
-                            row_filter(v, h1o, r_sharded)] for v in t2]
+                    t2 = fb.filter2_axis(cur, h0o, h1o, -1)
+                    t21 = [tree_filter2(v, -2, r_sharded) for v in t2]
                     oct_ = {}
                     for j in range(2):
                         for k in range(2):
                             v = t21[k][j]
-                            oct_[(0, j, k)] = depth_filter(v, h0o, d_sharded)
-                            oct_[(1, j, k)] = depth_filter(v, h1o, d_sharded)
+                            (oct_[(0, j, k)],
+                             oct_[(1, j, k)]) = tree_filter2(v, -3,
+                                                             d_sharded)
                     cur = requant(oct_[(0, 0, 0)])
                     # (even-length biort filters force d/r_sharded False via
                     # the plans; the single-device trim rule applies there)
@@ -297,17 +307,14 @@ class ShardedTransform3d:
                         cur = _repeat_edges(cur, -2, rep)
                     if not d_sharded and cur.shape[-3] % div != 0:
                         cur = _repeat_edges(cur, -3, rep)
-                    t2 = [fb.dfilt_axis(cur, h0b, h0a, -1),
-                          fb.dfilt_axis(cur, h1b, h1a, -1)]
-                    t21 = [[row_dfilt(v, h0a, h0b, r_sharded),
-                            row_dfilt(v, h1a, h1b, r_sharded)] for v in t2]
+                    t2 = fb.dfilt2_axis(cur, (h0b, h0a), (h1b, h1a), -1)
+                    t21 = [tree_dfilt2(v, -2, r_sharded) for v in t2]
                     oct_ = {}
                     for j in range(2):
                         for k in range(2):
                             v = t21[k][j]
-                            oct_[(0, j, k)] = depth_dfilt(v, h0a, h0b,
-                                                          d_sharded)
-                            oct_[(1, j, k)] = depth_dfilt(v, h1a, h1b,
+                            (oct_[(0, j, k)],
+                             oct_[(1, j, k)]) = tree_dfilt2(v, -3,
                                                           d_sharded)
                     cur = requant(oct_[(0, 0, 0)])
                     Yh.append(Transform3d._pack_octants(
@@ -356,13 +363,15 @@ class ShardedTransform3d:
         if nlevels == 0:
             # degenerate case: identity (single-device semantics)
             return jnp.asarray(pyramid.lowpass)
+        from dtcwt_tpu.ops import engine as _engine
         return self._inv_built(
             tuple(pyramid.lowpass.shape), shapes, pyramid.lowpass.dtype,
-            nlevels, "planes" if planes else "interleaved")(pyramid)
+            nlevels, "planes" if planes else "interleaved",
+            _engine.trace_key())(pyramid)
 
     @functools.lru_cache(maxsize=None)
     def _inv_built(self, low_shape, hp_shapes, dtype, nlevels: int,
-                   layout: str = "interleaved"):
+                   layout: str = "interleaved", ek=None):
         planes = layout == "planes"
         sdt = jnp.dtype(dtype)
         da, ra = self.data_axis, self.depth_axis
@@ -371,8 +380,8 @@ class ShardedTransform3d:
         g0o, g1o = self.biort[1], self.biort[3]
         q = self.qshift
         g0a, g0b, g1a, g1b = q[2], q[3], q[6], q[7]
-        halo2 = max(g0a.size // 2, g1a.size // 2)
-        halo1 = max(g0o.size // 2, g1o.size // 2)
+        halo2 = _round8(max(g0a.size // 2, g1a.size // 2))
+        halo1 = _round8(max(g0o.size // 2, g1o.size // 2))
 
         def gshape(level, dim):
             """Global extent of level's subband grid along volume axis
@@ -440,31 +449,31 @@ class ShardedTransform3d:
             else spec(plan[l], rplan[l], hp=True)
             for l in range(nlevels))
 
-        def depth_ifilt(v, ga, gb, on):
-            if on:
-                ext = halo_exchange(v, ga.size // 2, ra, R, axis=-3)
-            else:
-                ext = fb.symmetric_extend(v, ga.size // 2, -3)
-            return fb.ifilt_from_ext(ext, ga, gb, -3)
+        # Fused branch-pair merges, engine-dispatched (two slab reads ->
+        # one summed output); sharded axes eat the wide halo exchange,
+        # replicated axes use the kernels' in-VMEM mirror extension.
+        def _axf(axis, on):
+            return ((ra, R) if axis == -3 else (rr, Rr)) if on else None
 
-        def depth_filt(v, g, on):
-            if on:
-                ext = halo_exchange(v, g.size // 2, ra, R, axis=-3)
-            else:
-                ext = fb.symmetric_extend(v, g.size // 2, -3)
-            return fb.filter_from_ext(ext, g, -3)
+        def isum2(va, vb, axis, on):
+            """ifilt(va|g0) + ifilt(vb|g1) along *axis*."""
+            ax = _axf(axis, on)
+            if ax is not None:
+                return fb.ifilt2_sum_from_wide_ext(
+                    halo_exchange(va, halo2, ax[0], ax[1], axis=axis),
+                    halo_exchange(vb, halo2, ax[0], ax[1], axis=axis),
+                    halo2, (g0b, g0a), (g1b, g1a), axis)
+            return fb.ifilt2_sum_axis(va, vb, (g0b, g0a), (g1b, g1a), axis)
 
-        def row_ifilt(v, ga, gb, on):
-            if on:
-                ext = halo_exchange(v, ga.size // 2, rr, Rr, axis=-2)
-                return fb.ifilt_from_ext(ext, ga, gb, -2)
-            return fb.ifilt_axis(v, ga, gb, -2)
-
-        def row_filt(v, g, on):
-            if on:
-                ext = halo_exchange(v, g.size // 2, rr, Rr, axis=-2)
-                return fb.filter_from_ext(ext, g, -2)
-            return fb.filter_axis(v, g, -2)
+        def fsum2(va, vb, axis, on):
+            """filter(va|g0o) + filter(vb|g1o) along *axis*."""
+            ax = _axf(axis, on)
+            if ax is not None:
+                return fb.filter2_sum_from_wide_ext(
+                    halo_exchange(va, halo1, ax[0], ax[1], axis=axis),
+                    halo_exchange(vb, halo1, ax[0], ax[1], axis=axis),
+                    halo1, g0o, g1o, axis)
+            return fb.filter2_sum_axis(va, vb, g0o, g1o, axis)
 
         crop = 1 if self.ext_mode == 4 else 2
 
@@ -475,28 +484,24 @@ class ShardedTransform3d:
             U = {}
             for i in range(2):
                 for k in range(2):
-                    U[(i, k)] = (row_ifilt(oct_[(i, 0, k)], g0b, g0a, r_on)
-                                 + row_ifilt(oct_[(i, 1, k)], g1b, g1a,
-                                             r_on))
+                    U[(i, k)] = isum2(oct_[(i, 0, k)], oct_[(i, 1, k)],
+                                      -2, r_on)
             V = {}
             for k in range(2):
-                V[k] = depth_ifilt(U[(0, k)], g0b, g0a, d_on) \
-                    + depth_ifilt(U[(1, k)], g1b, g1a, d_on)
-            return (fb.ifilt_axis(V[0], g0b, g0a, -1)
-                    + fb.ifilt_axis(V[1], g1b, g1a, -1))
+                V[k] = isum2(U[(0, k)], U[(1, k)], -3, d_on)
+            return fb.ifilt2_sum_axis(V[0], V[1], (g0b, g0a), (g1b, g1a),
+                                      -1)
 
         def synth1(oct_, d_on, r_on):
             U = {}
             for i in range(2):
                 for k in range(2):
-                    U[(i, k)] = (row_filt(oct_[(i, 0, k)], g0o, r_on)
-                                 + row_filt(oct_[(i, 1, k)], g1o, r_on))
+                    U[(i, k)] = fsum2(oct_[(i, 0, k)], oct_[(i, 1, k)],
+                                      -2, r_on)
             V = {}
             for k in range(2):
-                V[k] = depth_filt(U[(0, k)], g0o, d_on) \
-                    + depth_filt(U[(1, k)], g1o, d_on)
-            return (fb.filter_axis(V[0], g0o, -1)
-                    + fb.filter_axis(V[1], g1o, -1))
+                V[k] = fsum2(U[(0, k)], U[(1, k)], -3, d_on)
+            return fb.filter2_sum_axis(V[0], V[1], g0o, g1o, -1)
 
         def octs(yh):
             """The 7 octet volumes of a level, plane-direct for the plane
@@ -558,8 +563,15 @@ class ShardedTransform3d:
                 if discarded:
                     # discard_level_1 synthesis, reference pass order
                     # (-2, -3, -1); requires odd filters (plan-enforced)
-                    Yl = row_filt(Yl, g0o, r_on)
-                    Yl = depth_filt(Yl, g0o, d_on)
+                    def lowfilt(v, axis, on):
+                        ax = _axf(axis, on)
+                        if ax is not None:
+                            return fb.filter_from_wide_ext(
+                                halo_exchange(v, halo1, ax[0], ax[1],
+                                              axis=axis), halo1, g0o, axis)
+                        return fb.filter_axis(v, g0o, axis)
+                    Yl = lowfilt(Yl, -2, r_on)
+                    Yl = lowfilt(Yl, -3, d_on)
                     Yl = fb.filter_axis(Yl, g0o, -1)
                 else:
                     oct_ = octs(Yh[0])
