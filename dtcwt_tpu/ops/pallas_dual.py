@@ -64,54 +64,94 @@ def _build_filter2(B: int, R: int, C: int, h0bytes: bytes, h1bytes: bytes,
     else:
         pad8 = _round_up(max(pad, 1), _SUBLANE)
     dtype = jnp.dtype(dtype_str)
-    use_mxu = max(m0, m1) >= _MXU_MIN_TAPS and not _interpret()
+    # Both branches ride the MXU as ONE stacked banded matmul whenever the
+    # TOTAL tap count clears the relayout-vs-matmul threshold: each VPU tap
+    # costs a sublane-shift relayout of the whole window, so the dual
+    # kernel's effective tap count is m0 + m1 even though each branch alone
+    # is short (near_sym_a's 5+7 ran the VPU path before r3 and its depth-
+    # axis pass dominated the 3-D 256^3 forward at ~3.9 ms per call).
+    use_mxu = (m0 + m1) >= _MXU_MIN_TAPS and not _interpret()
     tr, tc = _pick_tiles_2d(R, 1, C, pad8, dtype.itemsize,
-                            temp_rows_per_unit=8 if use_mxu else m0 + m1 + 2)
+                            temp_rows_per_unit=8 if use_mxu else m0 + m1 + 2,
+                            n_slabs=2)
     if tr is None or pad8 > R:
         return None
     n_tiles = R // tr
     n_ctiles = C // tc
+    total = B * n_tiles * n_ctiles
     h0r = tuple(float(v) for v in h0[::-1])
     h1r = tuple(float(v) for v in h1[::-1])
     off = pad8 - pad          # static slab offset of the compute window
     if use_mxu:
-        A0 = _banded(tr, tr + 2 * pad,
-                     ((i, (pad - p0) + i + k, h0r[k]) for i in range(tr)
-                      for k in range(m0)))  # stays f32: see _mxu_precision
-        A1 = _banded(tr, tr + 2 * pad,
-                     ((i, (pad - p1) + i + k, h1r[k]) for i in range(tr)
-                      for k in range(m1)))  # stays f32: see _mxu_precision
+        # stacked operator: rows [0, tr) = h0 branch, [tr, 2tr) = h1 branch
+        A01 = _banded(2 * tr, tr + 2 * pad,
+                      [(i, (pad - p0) + i + k, h0r[k]) for i in range(tr)
+                       for k in range(m0)]
+                      + [(tr + i, (pad - p1) + i + k, h1r[k])
+                         for i in range(tr) for k in range(m1)])  # f32
 
     def kernel(x_hbm, *refs):
         o0, o1, scratch, sem = refs[-4], refs[-3], refs[-2], refs[-1]
         b = pl.program_id(0)
         i = pl.program_id(1)
         j = pl.program_id(2)
-        if ext_side:
-            _load_slab_ext(x_hbm, b, scratch, sem, tile_idx=i, t_src=tr,
-                           rows=tr + 2 * pad8, lanes=(j * tc, tc))
-        else:
-            _load_slab(x_hbm, b, scratch, sem, tile_idx=i, n_tiles=n_tiles,
-                       t_in=tr, pad8=pad8, fill=pad, R=R,
-                       lanes=(j * tc, tc))
-        win = lax.slice_in_dim(scratch[:, :], off, off + tr + 2 * pad,
-                               axis=0)
-        if use_mxu:
-            a0_ref, a1_ref = refs[0], refs[1]
-            hp = _mxu_precision(dtype)
-            w32 = _f32win(dtype)(win)
-            o0[0] = jnp.dot(a0_ref[:, :], w32, precision=hp,
-                            preferred_element_type=jnp.float32).astype(dtype)
-            o1[0] = jnp.dot(a1_ref[:, :], w32, precision=hp,
-                            preferred_element_type=jnp.float32).astype(dtype)
-        else:
-            o0[0] = _shift_corr(win, h0r, tr, offset=pad - p0)
-            o1[0] = _shift_corr(win, h1r, tr, offset=pad - p1)
+        t_lin = (b * n_tiles + i) * n_ctiles + j
+
+        def sched(t, buf, phase):
+            """Issue or wait on linear tile *t*'s slab DMA into buffer
+            *buf* (double-buffered prefetch: tile t+1's copy is issued
+            while tile t computes)."""
+            bb = t // (n_tiles * n_ctiles)
+            rem = t % (n_tiles * n_ctiles)
+            ii = rem // n_ctiles
+            jj = rem % n_ctiles
+            if ext_side:
+                _load_slab_ext(x_hbm, bb, scratch.at[buf], sem.at[buf],
+                               tile_idx=ii, t_src=tr, rows=tr + 2 * pad8,
+                               lanes=(jj * tc, tc), phase=phase)
+            else:
+                _load_slab(x_hbm, bb, scratch.at[buf], sem.at[buf],
+                           tile_idx=ii, n_tiles=n_tiles, t_in=tr,
+                           pad8=pad8, fill=pad, R=R, lanes=(jj * tc, tc),
+                           phase=phase)
+
+        def stage(buf):
+            @pl.when(t_lin == 0)
+            def _():
+                sched(t_lin, buf, "start")
+            sched(t_lin, buf, "wait")
+
+            @pl.when(t_lin + 1 < total)
+            def _():
+                sched(t_lin + 1, 1 - buf, "start")
+            win = lax.slice_in_dim(scratch[buf], off, off + tr + 2 * pad,
+                                   axis=0)
+            if use_mxu:
+                a_ref = refs[0]
+                hp = _mxu_precision(dtype)
+                w32 = _f32win(dtype)(win)
+                y = jnp.dot(a_ref[:, :], w32, precision=hp,
+                            preferred_element_type=jnp.float32
+                            ).astype(dtype)
+                o0[0] = lax.slice_in_dim(y, 0, tr, axis=0)
+                o1[0] = lax.slice_in_dim(y, tr, 2 * tr, axis=0)
+            else:
+                o0[0] = _shift_corr(win, h0r, tr, offset=pad - p0)
+                o1[0] = _shift_corr(win, h1r, tr, offset=pad - p1)
+
+        @pl.when(t_lin % 2 == 0)
+        def _():
+            stage(0)
+
+        @pl.when(t_lin % 2 == 1)
+        def _():
+            stage(1)
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
     if use_mxu:
-        in_specs += [pl.BlockSpec((tr, tr + 2 * pad), lambda b, i, j: (0, 0),
-                                  memory_space=pltpu.VMEM)] * 2
+        in_specs.append(pl.BlockSpec((2 * tr, tr + 2 * pad),
+                                     lambda b, i, j: (0, 0),
+                                     memory_space=pltpu.VMEM))
     out_spec = pl.BlockSpec((1, tr, tc), lambda b, i, j: (b, i, j),
                             memory_space=pltpu.VMEM)
     call = pl.pallas_call(
@@ -120,13 +160,13 @@ def _build_filter2(B: int, R: int, C: int, h0bytes: bytes, h1bytes: bytes,
         in_specs=in_specs,
         out_specs=(out_spec, out_spec),
         out_shape=(jax.ShapeDtypeStruct((B, R, C), dtype),) * 2,
-        scratch_shapes=[pltpu.VMEM((tr + 2 * pad8, tc), dtype),
-                        pltpu.SemaphoreType.DMA(())],
+        scratch_shapes=[pltpu.VMEM((2, tr + 2 * pad8, tc), dtype),
+                        pltpu.SemaphoreType.DMA((2,))],
         compiler_params=_compiler_params(3),
         interpret=_interpret(),
     )
     if use_mxu:
-        return lambda x: call(x, A0, A1)
+        return lambda x: call(x, A01)
     return call
 
 
@@ -292,7 +332,9 @@ def _build_filter2_sum(B: int, R: int, C: int, h0bytes: bytes,
     else:
         pad8 = _round_up(max(pad, 1), _SUBLANE)
     dtype = jnp.dtype(dtype_str)
-    use_mxu = max(m0, m1) >= _MXU_MIN_TAPS and not _interpret()
+    # MXU gate on the TOTAL tap count, as in _build_filter2: the VPU path
+    # pays a sublane-shift relayout per tap across BOTH branch merges.
+    use_mxu = (m0 + m1) >= _MXU_MIN_TAPS and not _interpret()
     tr, tc = _pick_tiles_2d(R, 1, C, pad8, dtype.itemsize,
                             temp_rows_per_unit=8 if use_mxu else m0 + m1 + 2,
                             n_slabs=2)

@@ -77,10 +77,13 @@ __all__ = ["filter_axis", "dfilt_axis", "ifilt_axis",
 
 # Per-tile VMEM budget covering the input slab PLUS the unrolled tap
 # temporaries (Mosaic allocates vector temporaries on a scoped VMEM stack
-# with little reuse, so every live shifted slice counts).  Keep well under
-# the 16 MB/core VMEM: the pallas pipeline double-buffers the output blocks
-# on top of this.
-_TILE_BYTES = 8 * 1024 * 1024
+# with little reuse, so every live shifted slice counts).  The pallas
+# pipeline double-buffers the output blocks on top of this; the shared
+# _compiler_params scoped-VMEM ceiling is 100 MB, and 24 MB matches the
+# fused level kernels' measured sweet spot (80 MB thrashes — see
+# pallas_level1).  Raised from 8 MB in r3 so _pick_tiles_2d can afford
+# MXU-filling (t >= 64) row tiles at wide lane extents.
+_TILE_BYTES = 24 * 1024 * 1024
 
 # Hard Mosaic scoped-VMEM ceiling shared by EVERY pallas_call in this
 # package.  The slab planners above are estimates; Mosaic's actual scoped
@@ -187,24 +190,41 @@ def _pick_tile(n_units: int, rows_per_unit: int, C: int, pad8: int,
 def _pick_tiles_2d(n_units: int, rows_per_unit: int, C: int, pad8: int,
                    itemsize: int, temp_rows_per_unit: int,
                    n_slabs: int = 1):
-    """(tile_units, lane_tile) for a sublane kernel: widest lane tile whose
-    slab still admits a valid row tile (lane tiles must divide C and stay
-    128-aligned); None if nothing fits."""
+    """(tile_units, lane_tile) for a sublane kernel: the widest lane tile
+    whose row tile still FILLS the compute units, else the tallest tile
+    found (lane tiles must divide C and stay 128-aligned); None if nothing
+    fits.
+
+    Width alone is the wrong objective: at 256^3 the depth pass got
+    (t=8, tc=16384) tiles whose 16-row stacked matmuls ran the MXU at 1/8
+    occupancy — preferring t >= 64 (>= 128 stacked output rows) at a
+    narrower tc more than doubled the 3-D forward's MXU throughput (r3).
+    DMA efficiency is insensitive to the trade: even tc=2048 keeps 8 KB
+    contiguous row segments.
+    """
     cands = [C] + [c for c in (32768, 16384, 8192, 4096, 2048, 1024, 512,
                                256, 128)
                    if c < C and C % c == 0]
+    best = None
     for tc in cands:
         if tc % _LANE and tc != C:
             continue
         t = _pick_tile(n_units, rows_per_unit, tc, pad8, itemsize,
                        temp_rows_per_unit, n_slabs)
-        if t is not None:
+        if t is None:
+            continue
+        if t == n_units or t >= 64:
             return t, tc
+        if best is None or t > best[0]:
+            best = (t, tc)
+    if best is not None:
+        return best
     return None, None
 
 
 def _load_slab(x_hbm, b, scratch, sem, *, tile_idx, n_tiles: int,
-               t_in: int, pad8: int, fill: int, R: int, lanes=None):
+               t_in: int, pad8: int, fill: int, R: int, lanes=None,
+               phase=None):
     """DMA the rows tile *tile_idx* needs from ``x_hbm[b]`` into *scratch*
     (shape ``(t_in + 2*pad8, C)``) and mirror-fill out-of-range halo rows.
 
@@ -214,8 +234,23 @@ def _load_slab(x_hbm, b, scratch, sem, *, tile_idx, n_tiles: int,
     sublane-aligned; only *fill* (<= pad8) halo rows nearest the body are
     mirror-filled, since compute reads just those.  Requires
     ``pad8 <= t_in <= R``.
+
+    *phase* splits the call for double-buffered prefetch: ``"start"``
+    issues the copy only, ``"wait"`` waits on it (replaying the same
+    descriptor branch structure so the semaphore byte counts match) and
+    runs the mirror fills; ``None`` does both inline.
     """
     g0 = tile_idx * t_in
+    do_fill = fill and phase != "start"
+
+    def op(cp):
+        if phase is None:
+            cp.start()
+            cp.wait()
+        elif phase == "start":
+            cp.start()
+        else:
+            cp.wait()
 
     def fill_front():
         for j in range(pad8 - fill, pad8):
@@ -228,23 +263,19 @@ def _load_slab(x_hbm, b, scratch, sem, *, tile_idx, n_tiles: int,
     csl = slice(None) if lanes is None else pl.ds(lanes[0], lanes[1])
 
     if n_tiles == 1:
-        cp = pltpu.make_async_copy(
-            x_hbm.at[b, :, csl], scratch.at[pl.ds(pad8, t_in), :], sem)
-        cp.start()
-        cp.wait()
-        if fill:
+        op(pltpu.make_async_copy(
+            x_hbm.at[b, :, csl], scratch.at[pl.ds(pad8, t_in), :], sem))
+        if do_fill:
             fill_front()
             fill_back()
         return
 
     @pl.when(tile_idx == 0)
     def _():
-        cp = pltpu.make_async_copy(
+        op(pltpu.make_async_copy(
             x_hbm.at[b, pl.ds(0, t_in + pad8), csl],
-            scratch.at[pl.ds(pad8, t_in + pad8), :], sem)
-        cp.start()
-        cp.wait()
-        if fill:
+            scratch.at[pl.ds(pad8, t_in + pad8), :], sem))
+        if do_fill:
             fill_front()
 
     # t_in and pad8 are multiples of 8 whenever n_tiles > 1 (_pick_tile), so
@@ -257,39 +288,41 @@ def _load_slab(x_hbm, b, scratch, sem, *, tile_idx, n_tiles: int,
         # than the input axis (t_in + 2*pad8 > R), a static shape error.
         @pl.when(jnp.logical_and(tile_idx > 0, tile_idx < n_tiles - 1))
         def _():
-            cp = pltpu.make_async_copy(
+            op(pltpu.make_async_copy(
                 x_hbm.at[b, pl.ds(src0, t_in + 2 * pad8), csl],
-                scratch.at[:, :], sem)
-            cp.start()
-            cp.wait()
+                scratch.at[:, :], sem))
 
     @pl.when(tile_idx == n_tiles - 1)
     def _():
-        cp = pltpu.make_async_copy(
+        op(pltpu.make_async_copy(
             x_hbm.at[b, pl.ds(src0, t_in + pad8), csl],
-            scratch.at[pl.ds(0, t_in + pad8), :], sem)
-        cp.start()
-        cp.wait()
-        if fill:
+            scratch.at[pl.ds(0, t_in + pad8), :], sem))
+        if do_fill:
             fill_back()
 
 
 def _load_slab_ext(x_hbm, b, scratch, sem, *, tile_idx, t_src: int,
-                   rows: int, lanes=None):
+                   rows: int, lanes=None, phase=None):
     """DMA rows ``[tile_idx*t_src, tile_idx*t_src + rows)`` of a
     PRE-EXTENDED input into ``scratch[0:rows]`` — the from-extension twin of
     :func:`_load_slab` used by the sharded transforms, whose halo exchange
     (``parallel/halo.py``) already produced the boundary samples.  No mirror
     fills, no first/last-tile branches: every tile is one contiguous copy.
     Alignment holds by construction (t_src is a sublane multiple and the
-    wide extension is a sublane multiple per side)."""
+    wide extension is a sublane multiple per side).  *phase* as in
+    :func:`_load_slab`."""
     csl = slice(None) if lanes is None else pl.ds(lanes[0], lanes[1])
     src0 = pl.multiple_of(tile_idx * t_src, _SUBLANE)
     cp = pltpu.make_async_copy(
         x_hbm.at[b, pl.ds(src0, rows), csl],
         scratch.at[pl.ds(0, rows), :], sem)
-    cp.start()
-    cp.wait()
+    if phase is None:
+        cp.start()
+        cp.wait()
+    elif phase == "start":
+        cp.start()
+    else:
+        cp.wait()
 
 
 def _shift_corr(ext, taps: Sequence[float], n_out: int, offset: int = 0):
