@@ -185,7 +185,13 @@ class Transform3d:
         sdt = X.dtype
         t21 = None
         if engine.use_pallas():
-            from dtcwt_tpu.ops import pallas_hw
+            from dtcwt_tpu.ops import pallas_hw, pallas_pack3d
+            # fully fused level 1: (H, W) MXU stage pair + depth filter +
+            # in-kernel cube2c packing (f32; bf16/even filters decline)
+            out = pallas_pack3d.fwd_level1_pack(X, h0o, h1o,
+                                                as_planes=planes)
+            if out is not None:
+                return out
             hw = pallas_hw.filter_hw22(X, h0o, h1o)  # bf16 in/out, f32 MXU
             if hw is not None:
                 t21 = [[_comp(hw[0][k]), _comp(hw[1][k])] for k in range(2)]
@@ -304,8 +310,30 @@ class Transform3d:
             if not has(0):
                 Yl = self._level1_inv_lowpass_only(Yl, g0o)
             else:
-                Yl = self._level1_inv(Yl, oct_at(0), g0o, g1o)
+                fused = None
+                if engine.use_pallas():
+                    level0 = (Yb[0] if isinstance(pyramid, PlanePyramid)
+                              else Yh[0])
+                    fused = self._level1_inv_fused(Yl, level0, g0o, g1o)
+                Yl = (fused if fused is not None
+                      else self._level1_inv(Yl, oct_at(0), g0o, g1o))
         return Yl
+
+    @staticmethod
+    def _level1_inv_fused(Yl, level0, g0o, g1o):
+        """Fused level-1 inverse (unpack + depth merge + two-sided (H, W)
+        merge in two kernels, ops/pallas_pack3d.py); None off-envelope."""
+        from dtcwt_tpu.ops import pallas_pack3d
+        if isinstance(level0, tuple):
+            re, im = level0
+        else:
+            # band-minor complex -> band-major planes via static slices
+            # (an index permutation would lower to a gather)
+            re = jnp.stack([jnp.real(level0[..., n]) for n in range(28)],
+                           axis=-4)
+            im = jnp.stack([jnp.imag(level0[..., n]) for n in range(28)],
+                           axis=-4)
+        return pallas_pack3d.inv_level1_pack(Yl, re, im, g0o, g1o)
 
     @staticmethod
     def _octants(Yh):

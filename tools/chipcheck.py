@@ -151,6 +151,25 @@ def main():
                       split(a), split(b))
             check("3d %s ext%d roundtrip" % (biort3, ext),
                   t3.inverse(p3), w3)
+        # fused level-1 pack kernels (ops/pallas_pack3d.py) need W a
+        # 256-multiple, which the 128-wide sweep above never reaches.
+        for biort3, qshift3 in [("near_sym_a", "qshift_a"),
+                                ("near_sym_b", "qshift_b")]:
+            t3 = dt.Transform3d(biort3, qshift3)
+            v = rng.rand(64, 64, 256).astype(np.float32)
+            for layout in (None, "planes"):
+                kw = {} if layout is None else {"layout": layout}
+                p3 = t3.forward(v, 2, **kw)
+                with engine.engine("xla"):
+                    pw3 = t3.forward(v, 2, **kw)
+                    w3 = t3.inverse(pw3)
+                if layout is None:
+                    for lvl, (a, b) in enumerate(zip(p3.highpasses,
+                                                     pw3.highpasses)):
+                        check("3d pack %s fwd L%d" % (biort3, lvl),
+                              split(a), split(b))
+                check("3d pack %s %s roundtrip"
+                      % (biort3, layout or "cplx"), t3.inverse(p3), w3)
 
     def sec_hw22():
         # two-sided (H, W) stage-pair kernels at level >= 2: the
