@@ -107,17 +107,27 @@ def _build_hw5(N: int, H: int, W: int, taps0, taps1, dtype_str: str):
                                    preferred_element_type=jnp.float32
                                    ).astype(dtype)
 
+    if N % 2:
+        return None
     mat = lambda m: pl.BlockSpec(m.shape, lambda d: (0, 0),
                                  memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, H, W), lambda d: (d, 0, 0),
                             memory_space=pltpu.VMEM)
+    # The four grouped outputs scatter their depth slices parity-major
+    # ([..., 2, D/2, H, W] semantics): slice n lands at block
+    # (n - n%2)/2 + (n%2)*N/2.  A free permutation — same writes, different
+    # destinations — that makes the depth-parity corner extraction
+    # downstream a plain slab choice instead of a (slow) register select.
+    par_spec = pl.BlockSpec(
+        (1, H, W), lambda d: ((d - d % 2) // 2 + (d % 2) * (N // 2), 0, 0),
+        memory_space=pltpu.VMEM)
     call = pl.pallas_call(
         kernel,
         grid=(N,),
         in_specs=[pl.BlockSpec((1, H, W), lambda d: (d, 0, 0),
                                memory_space=pltpu.VMEM),
                   mat(A0g), mat(A1g), mat(B0), mat(B0g), mat(B1g)],
-        out_specs=(out_spec,) * 5,
+        out_specs=(out_spec,) + (par_spec,) * 4,
         out_shape=(jax.ShapeDtypeStruct((N, H, W), dtype),) * 5,
         compiler_params=_compiler_params(1),
         interpret=_interpret(),
@@ -163,51 +173,93 @@ def _build_dpack(B: int, D: int, H: int, W: int, h0bytes: bytes,
     taps = {}
     for i, h in ((0, h0), (1, h1)):
         hr = tuple(float(v) for v in h[::-1])
-        taps[i] = (hr, pmax - (h.size // 2))
+        taps[i] = (hr, h.size // 2)
     De = D + 2 * pmax
+    D2 = D // 2
+    # depth-parity scratch paddings: the number of even/odd extended
+    # indices below 0 and at/above D (the grouped inputs arrive
+    # parity-split from _build_hw5's scatter index maps)
+    pe_lo, pe_hi = pmax // 2, (pmax + 1) // 2
+    po_lo, po_hi = (pmax + 1) // 2, pmax // 2
+    Se = pe_lo + D2 + pe_hi
+    So = po_lo + D2 + po_hi
 
     def d_conv(ext, branch: int, scale: float):
-        """Depth correlation as dim-0 register shifts of the pre-extended
-        (De, t2, W) value: out[d] = sum_u h_rev[u] * ext[d + off + u]."""
-        hr, off = taps[branch]
+        """Non-decimating depth correlation as dim-0 register shifts of a
+        pre-extended (De, r, W) value: out[d] = sum_u h_rev[u] *
+        ext[d + pmax - p + u]."""
+        hr, p = taps[branch]
         acc = None
         for u, t in enumerate(hr):
-            term = (lax.slice_in_dim(ext, off + u, off + u + D, axis=0)
+            term = (lax.slice_in_dim(ext, pmax - p + u,
+                                     pmax - p + u + D, axis=0)
                     * jnp.asarray(t * scale, jnp.float32))
             acc = term if acc is None else acc + term
         return acc
 
     def kernel(s00, g00, g01, g10, g11, lll_ref, re_ref, im_ref,
-               ss, sg, sem):
+               ss, sge, sgo, sem):
         b = pl.program_id(0)
         i = pl.program_id(1)
         k = pl.program_id(2)
         grp = (g00, g01, g10, g11)
-
         n_ht_total = H2 // t2
 
         def sched(tile, buf, phase):
-            """Issue or await the ten slab copies of H-tile *tile* into
-            buffer *buf* (double-buffered: tile i+1 prefetches while tile
-            i's eight compute steps run).  he rows live at [tile*t2, +t2),
-            ho at [H2 + tile*t2, +t2); the copy lands at depth offset pmax
-            of the padded slab, whose mirror rows are filled in-kernel."""
-            plan = [(s00, ss, 2 * buf, 8)]
-            plan += [(grp[jk], sg, 8 * buf + jk, jk) for jk in range(4)]
-            for src, dst, j, s in plan:
+            """Issue or await H-tile *tile*'s 18 slab copies into buffer
+            *buf* (double-buffered: tile i+1 prefetches while tile i's
+            eight compute steps run).  The s00 volume is depth-unsplit
+            (rows-grouped, cols-standard); the four grouped volumes arrive
+            depth-parity-major ([2, B, D/2, H, W]) and land at the parity
+            scratches' main regions, whose cross-parity mirror rows are
+            filled in-kernel."""
+            rows = {0: pl.ds(tile * t2, t2), 1: pl.ds(H2 + tile * t2, t2)}
+            for hp in (0, 1):
                 getattr(pltpu.make_async_copy(
-                    src.at[b, :, pl.ds(tile * t2, t2), :],
-                    dst.at[j, pl.ds(pmax, D)], sem.at[buf, s]), phase)()
-                getattr(pltpu.make_async_copy(
-                    src.at[b, :, pl.ds(H2 + tile * t2, t2), :],
-                    dst.at[j + (1 if dst is ss else 4), pl.ds(pmax, D)],
-                    sem.at[buf, s]), phase)()
+                    s00.at[b, :, rows[hp], :],
+                    ss.at[2 * buf + hp, pl.ds(pmax, D)],
+                    sem.at[buf, 8]), phase)()
+                for jk in range(4):
+                    slot = 8 * buf + 4 * hp + jk
+                    getattr(pltpu.make_async_copy(
+                        grp[jk].at[0, b, :, rows[hp], :],
+                        sge.at[slot, pl.ds(pe_lo, D2)],
+                        sem.at[buf, jk + 4 * hp]), phase)()
+                    getattr(pltpu.make_async_copy(
+                        grp[jk].at[1, b, :, rows[hp], :],
+                        sgo.at[slot, pl.ds(po_lo, D2)],
+                        sem.at[buf, jk + 4 * hp]), phase)()
 
-        def mirror_fill(dst, j):
-            # half-sample symmetry ext[-1-t] = v[t] at both depth ends
-            for e in range(pmax):
-                dst[j, e] = dst[j, 2 * pmax - 1 - e]
-                dst[j, pmax + D + e] = dst[j, pmax + D - 1 - e]
+        def mirror_fill(slot):
+            # half-sample symmetry ext[-1-t] = v[t] crosses depth parity:
+            # the even extension rows mirror the odd main rows and vice
+            # versa (cf. the W-parity swap in pallas_level1's wrapper).
+            for j in range(pe_lo):
+                sge[slot, pe_lo - 1 - j] = sgo[slot, po_lo + j]
+            for j in range(po_lo):
+                sgo[slot, po_lo - 1 - j] = sge[slot, pe_lo + j]
+            for j in range(pe_hi):
+                sge[slot, pe_lo + D2 + j] = sgo[slot, po_lo + D2 - 1 - j]
+            for j in range(po_hi):
+                sgo[slot, po_lo + D2 + j] = sge[slot, pe_lo + D2 - 1 - j]
+
+        def d_conv_dec(slot, branch: int, c: int, scale: float):
+            """Decimated depth correlation straight off the parity
+            scratches: y_c[u] = sum_t h_rev[t] * x_ext[2u + c - p + t] —
+            every tap a free leading-dim slice of the source parity slab,
+            so the corner extraction needs no register selects at all."""
+            hr, p = taps[branch]
+            acc = None
+            for t, v in enumerate(hr):
+                g = c - p + t            # source offset relative to 2u
+                q = g % 2
+                base = (g - q) // 2
+                src, lo = (sge, pe_lo) if q == 0 else (sgo, po_lo)
+                term = (src[slot, pl.ds(lo + base, D2)]
+                        .astype(jnp.float32)
+                        * jnp.asarray(v * scale, jnp.float32))
+                acc = term if acc is None else acc + term
+            return acc
 
         buf = i % 2
 
@@ -221,10 +273,15 @@ def _build_dpack(B: int, D: int, H: int, W: int, h0bytes: bytes,
             @pl.when(i + 1 < n_ht_total)
             def _():
                 sched(i + 1, 1 - buf, "start")
+            for slot in range(8):
+                mirror_fill(8 * buf + slot)
+            # the s00 depth extension stays interleaved: mirror rows are
+            # plain row copies, and the conv is free leading-dim shifts
             for j in range(2):
-                mirror_fill(ss, 2 * buf + j)
-            for j in range(8):
-                mirror_fill(sg, 8 * buf + j)
+                for e in range(pmax):
+                    ss[2 * buf + j, e] = ss[2 * buf + j, 2 * pmax - 1 - e]
+                    ss[2 * buf + j, pmax + D + e] = \
+                        ss[2 * buf + j, pmax + D - 1 - e]
             # branch-(0,0) rows arrive grouped (see _build_hw5); the LLL
             # block re-interleaves them with a free leading-dim reshape.
             y_he = d_conv(ss[2 * buf].astype(jnp.float32), 0, 1.0)
@@ -232,40 +289,23 @@ def _build_dpack(B: int, D: int, H: int, W: int, h0bytes: bytes,
             lll_ref[0] = (jnp.stack([y_he, y_ho], axis=2)
                           .reshape(D, tH, W).astype(dtype))
 
-        import os as _os
-        _null = _os.environ.get("DTCWT_PACK3D_NULL", "")
-
         for n, (ib, jb, kb) in enumerate(_OCTANTS):
             @pl.when(k == n + 1)
             def _(ib=ib, jb=jb, kb=kb):
-                if _null == "write":
-                    z = jnp.zeros((D // 2, t2, W2), dtype)
-                    for r in range(4):
-                        re_ref[r] = z
-                        im_ref[r] = z
-                    return
-                jk = 8 * buf + 2 * jb + kb
-                y_he = d_conv(sg[jk].astype(jnp.float32), ib, 0.5)
-                y_ho = d_conv(sg[4 + jk].astype(jnp.float32), ib, 0.5)
-                if _null == "conv":
-                    for r in range(4):
-                        re_ref[r] = y_he[:D // 2, :, :W2].astype(dtype)
-                        im_ref[r] = y_ho[:D // 2, :, :W2].astype(dtype)
-                    return
-                # D-parity by a free leading-dim reshape; H-parity was the
-                # slab choice; W-parity is an aligned lane half.
-                e_he = y_he.reshape(D // 2, 2, t2, W)
-                e_ho = y_ho.reshape(D // 2, 2, t2, W)
-                A = e_he[:, 0, :, :W2]
-                E = e_he[:, 0, :, W2:]
-                C = e_he[:, 1, :, :W2]
-                G = e_he[:, 1, :, W2:]
-                Bq = e_ho[:, 0, :, :W2]
-                F = e_ho[:, 0, :, W2:]
-                Dq = e_ho[:, 1, :, :W2]
-                Hq = e_ho[:, 1, :, W2:]
-                # eqs. (6)-(9) combos (packing._cube_corner_combos); the
-                # 0.5 scale rode the depth taps.
+                s_he = 8 * buf + 2 * jb + kb
+                s_ho = s_he + 4
+                # corners: (D-parity, H-parity, W-parity) = (conv phase,
+                # slab choice, aligned lane half); eqs. (6)-(9) combos
+                # (packing._cube_corner_combos) with the 0.5 scale riding
+                # the depth taps.
+                y_he_e = d_conv_dec(s_he, ib, 0, 0.5)
+                y_he_o = d_conv_dec(s_he, ib, 1, 0.5)
+                y_ho_e = d_conv_dec(s_ho, ib, 0, 0.5)
+                y_ho_o = d_conv_dec(s_ho, ib, 1, 0.5)
+                A, E = y_he_e[..., :W2], y_he_e[..., W2:]
+                C, G = y_he_o[..., :W2], y_he_o[..., W2:]
+                Bq, F = y_ho_e[..., :W2], y_ho_e[..., W2:]
+                Dq, Hq = y_ho_o[..., :W2], y_ho_o[..., W2:]
                 ag_m, ag_p = A - G, A + G
                 df_p, df_m = Dq + F, Dq - F
                 re_ref[0] = (ag_m - df_p).astype(dtype)
@@ -285,18 +325,17 @@ def _build_dpack(B: int, D: int, H: int, W: int, h0bytes: bytes,
         (4, D // 2, t2, W2),
         lambda b, i, k: (b * 7 + jnp.maximum(k - 1, 0), 0, i, 0),
         memory_space=pltpu.VMEM)
-    import os
-    ksteps = int(os.environ.get("DTCWT_PACK3D_KSTEPS", "8"))
     call = pl.pallas_call(
         kernel,
-        grid=(B, n_ht, ksteps),
+        grid=(B, n_ht, 8),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 5,
         out_specs=(lll_spec, band_spec, band_spec),
         out_shape=(jax.ShapeDtypeStruct((B, D, H, W), dtype),
                    jax.ShapeDtypeStruct((B * 28, D // 2, H2, W2), dtype),
                    jax.ShapeDtypeStruct((B * 28, D // 2, H2, W2), dtype)),
         scratch_shapes=[pltpu.VMEM((4, De, t2, W), dtype),
-                        pltpu.VMEM((16, De, t2, W), dtype),
+                        pltpu.VMEM((16, Se, t2, W), dtype),
+                        pltpu.VMEM((16, So, t2, W), dtype),
                         pltpu.SemaphoreType.DMA((2, 9))],
         compiler_params=_compiler_params(3),
         interpret=_interpret(),
@@ -328,6 +367,7 @@ def _build_idpack(B: int, D: int, H: int, W: int, g0bytes: bytes,
     pmax = max(p0, p1)
     dtype = jnp.dtype(dtype_str)
     H2, W2 = H // 2, W // 2
+    D2 = D // 2
 
     t2 = None
     for t in (32, 16, 8) if not _interpret() else (8, 4, 2, 1):
@@ -335,8 +375,8 @@ def _build_idpack(B: int, D: int, H: int, W: int, g0bytes: bytes,
             continue
         slab = D * t * W * 4
         est = (6 * slab      # band/lll slabs (bands are half-volume each)
-               + 10 * slab   # corners + octant/ext/conv temporaries
-               + 4 * slab)   # double-buffered V_he/V_ho out blocks
+               + 10 * slab   # corner pieces + conv temporaries
+               + 8 * slab)   # double-buffered V out blocks (4 refs)
         if est <= _BUDGET:
             t2 = t
             break
@@ -346,106 +386,154 @@ def _build_idpack(B: int, D: int, H: int, W: int, g0bytes: bytes,
     taps = {}
     for i, g in ((0, g0), (1, g1)):
         gr = tuple(float(v) for v in g[::-1])
-        taps[i] = (gr, pmax - (g.size // 2))
+        taps[i] = (gr, g.size // 2)
+    pe_lo, pe_hi = pmax // 2, (pmax + 1) // 2
+    po_lo, po_hi = (pmax + 1) // 2, pmax // 2
+    Se = pe_lo + D2 + pe_hi
+    So = po_lo + D2 + po_hi
 
-    def d_ext(v):
-        lo = [lax.slice_in_dim(v, t, t + 1, axis=0)
-              for t in range(pmax - 1, -1, -1)]
-        hi = [lax.slice_in_dim(v, D - 1 - t, D - t, axis=0)
-              for t in range(pmax)]
-        return jnp.concatenate(lo + [v] + hi, axis=0)
-
-    def d_conv(ext, branch: int):
-        gr, off = taps[branch]
-        acc = None
-        for u, t in enumerate(gr):
-            term = (lax.slice_in_dim(ext, off + u, off + u + D, axis=0)
-                    * jnp.asarray(t, jnp.float32))
-            acc = term if acc is None else acc + term
-        return acc
-
-    def octant_slabs(s_re, s_im):
-        """Rebuild the two H-parity depth slabs of one octant volume from
-        its four packed subband slabs (c2cube: packing._c2cube_parts;
-        reference transform3d.py:581-619).  Returns (oct_he, oct_ho),
-        each (D, t2, W) with grouped W lanes."""
-        pr, qr, rr, sr = (s_re[n].astype(jnp.float32) for n in range(4))
-        pi, qi, ri, si = (s_im[n].astype(jnp.float32) for n in range(4))
-        half = jnp.asarray(0.5, jnp.float32)
-        c000 = (pr + qr + rr + sr) * half
-        c101 = (-pr - qr + rr + sr) * half
-        c110 = (-pr + qr + rr - sr) * half
-        c011 = (-pr + qr - rr + sr) * half
-        c010 = (pi - qi + ri - si) * half
-        c111 = (-pi + qi + ri - si) * half
-        c100 = (pi + qi - ri - si) * half
-        c001 = (pi + qi + ri + si) * half
-
-        def dinter(ev, od):
-            # rows 2u <- ev[u], 2u+1 <- od[u]: free leading-dim reshape
-            return jnp.stack([ev, od], axis=1).reshape(D, t2, W2)
-
-        oct_he = jnp.concatenate([dinter(c000, c100), dinter(c001, c101)],
-                                 axis=-1)
-        oct_ho = jnp.concatenate([dinter(c010, c110), dinter(c011, c111)],
-                                 axis=-1)
-        return oct_he, oct_ho
-
-    def kernel(lll_g, re_hbm, im_hbm, vhe_ref, vho_ref,
-               sl, s_re0, s_im0, s_re1, s_im1, sem):
+    def kernel(lll_g, re_hbm, im_hbm, vee, veo, voe, voo,
+               sb_re, sb_im, sle, slo, sce, sco, sem):
+        # sb_re/sb_im: double-buffered band slabs (slot 8*buf + 4*n + r);
+        # sle/slo: double-buffered LLL parity slabs (slot 2*buf + hp);
+        # sce/sco: per-octant staging (slot = hp), reused within a step.
         b = pl.program_id(0)
         i = pl.program_id(1)
         k = pl.program_id(2)
+        n_ht_total = H2 // t2
+
+        def mirror_fill(se, so, hp):
+            for j in range(pe_lo):
+                se[hp, pe_lo - 1 - j] = so[hp, po_lo + j]
+            for j in range(po_lo):
+                so[hp, po_lo - 1 - j] = se[hp, pe_lo + j]
+            for j in range(pe_hi):
+                se[hp, pe_lo + D2 + j] = so[hp, po_lo + D2 - 1 - j]
+            for j in range(po_hi):
+                so[hp, po_lo + D2 + j] = se[hp, pe_lo + D2 - 1 - j]
+
+        def d_conv_up(se, so, hp, branch: int, c: int):
+            """Full-rate depth synthesis row parity *c* straight off the
+            parity scratches: V_c[u] = sum_t g_rev[t] *
+            oct_ext[2u + c - p + t] — free leading-dim slices."""
+            gr, p = taps[branch]
+            acc = None
+            for t, v in enumerate(gr):
+                g = c - p + t
+                q = g % 2
+                base = (g - q) // 2
+                src, lo = (se, pe_lo) if q == 0 else (so, po_lo)
+                term = (src[hp, pl.ds(lo + base, D2)].astype(jnp.float32)
+                        * jnp.asarray(v, jnp.float32))
+                acc = term if acc is None else acc + term
+            return acc
+
+        def sched(tile, jk, buf, phase):
+            """Issue or await step (tile, branch jk)'s slab copies into
+            buffer *buf* — the next step prefetches while the current one
+            runs its depth synthesis."""
+            plan = []
+            if jk == 0:
+                for hp, rows in ((0, pl.ds(tile * t2, t2)),
+                                 (1, pl.ds(H2 + tile * t2, t2))):
+                    plan.append((lll_g.at[0, b, :, rows, :],
+                                 sle.at[2 * buf + hp, pl.ds(pe_lo, D2)],
+                                 4 + hp))
+                    plan.append((lll_g.at[1, b, :, rows, :],
+                                 slo.at[2 * buf + hp, pl.ds(po_lo, D2)],
+                                 4 + hp))
+            for n, (_ib, o) in enumerate(_BRANCH_OCTS[jk]):
+                row0 = b * 28 + 4 * o
+                plan.append((re_hbm.at[pl.ds(row0, 4), :,
+                                       pl.ds(tile * t2, t2), :],
+                             sb_re.at[pl.ds(8 * buf + 4 * n, 4)], 2 * n))
+                plan.append((im_hbm.at[pl.ds(row0, 4), :,
+                                       pl.ds(tile * t2, t2), :],
+                             sb_im.at[pl.ds(8 * buf + 4 * n, 4)],
+                             2 * n + 1))
+            for src, dst, s in plan:
+                getattr(pltpu.make_async_copy(src, dst,
+                                              sem.at[buf, s]), phase)()
 
         for jk, octs in enumerate(_BRANCH_OCTS):
             @pl.when(k == jk)
             def _(jk=jk, octs=octs):
-                plan = []
+                # within this branch k == jk statically, so the buffer
+                # parity and the next step's branch index are static:
+                # buf = (4*i + jk) % 2 = jk % 2.
+                buf = jk % 2
                 if jk == 0:
-                    plan.append((lll_g.at[b, :, pl.ds(i * t2, t2), :],
-                                 sl.at[0], 4))
-                    plan.append((lll_g.at[b, :, pl.ds(H2 + i * t2, t2), :],
-                                 sl.at[1], 5))
-                for n, (_ib, o) in enumerate(octs):
-                    row0 = b * 28 + 4 * o
-                    s_re = (s_re0, s_re1)[n]
-                    s_im = (s_im0, s_im1)[n]
-                    plan.append((re_hbm.at[pl.ds(row0, 4), :,
-                                           pl.ds(i * t2, t2), :],
-                                 s_re, 2 * n))
-                    plan.append((im_hbm.at[pl.ds(row0, 4), :,
-                                           pl.ds(i * t2, t2), :],
-                                 s_im, 2 * n + 1))
-                for phase in ("start", "wait"):
-                    for src, dst, s in plan:
-                        getattr(pltpu.make_async_copy(src, dst, sem.at[s]),
-                                phase)()
-                acc_he = acc_ho = None
+                    @pl.when(i == 0)
+                    def _():
+                        sched(i, 0, 0, "start")
+                sched(i, jk, buf, "wait")
+                if jk < 3:
+                    sched(i, jk + 1, 1 - buf, "start")
+                else:
+                    @pl.when(i + 1 < n_ht_total)
+                    def _():
+                        sched(i + 1, 0, 1 - buf, "start")
+                acc = {}
                 if jk == 0:
-                    acc_he = d_conv(d_ext(sl[0].astype(jnp.float32)), 0)
-                    acc_ho = d_conv(d_ext(sl[1].astype(jnp.float32)), 0)
+                    mirror_fill(sle, slo, 2 * buf)
+                    mirror_fill(sle, slo, 2 * buf + 1)
+                    for hp in (0, 1):
+                        for c in (0, 1):
+                            acc[(hp, c)] = d_conv_up(sle, slo,
+                                                     2 * buf + hp, 0, c)
                 for n, (ib, _o) in enumerate(octs):
-                    s_re = (s_re0, s_re1)[n]
-                    s_im = (s_im0, s_im1)[n]
-                    o_he, o_ho = octant_slabs(s_re, s_im)
-                    t_he = d_conv(d_ext(o_he), ib)
-                    t_ho = d_conv(d_ext(o_ho), ib)
-                    acc_he = t_he if acc_he is None else acc_he + t_he
-                    acc_ho = t_ho if acc_ho is None else acc_ho + t_ho
-                vhe_ref[0] = acc_he.astype(dtype)
-                vho_ref[0] = acc_ho.astype(dtype)
+                    s_re = sb_re.at[pl.ds(8 * buf + 4 * n, 4)]
+                    s_im = sb_im.at[pl.ds(8 * buf + 4 * n, 4)]
+                    pr, qr, rr, sr = (s_re[m].astype(jnp.float32)
+                                      for m in range(4))
+                    pi, qi, ri, si = (s_im[m].astype(jnp.float32)
+                                      for m in range(4))
+                    half = jnp.asarray(0.5, jnp.float32)
+                    # c2cube corners (packing._c2cube_parts; reference
+                    # transform3d.py:581-619) are NATIVELY depth-parity
+                    # split — each lands in its parity scratch with a lane
+                    # concat, no interleave anywhere.
+                    c000 = (pr + qr + rr + sr) * half
+                    c101 = (-pr - qr + rr + sr) * half
+                    c110 = (-pr + qr + rr - sr) * half
+                    c011 = (-pr + qr - rr + sr) * half
+                    c010 = (pi - qi + ri - si) * half
+                    c111 = (-pi + qi + ri - si) * half
+                    c100 = (pi + qi - ri - si) * half
+                    c001 = (pi + qi + ri + si) * half
+                    cat = lambda a, bb: jnp.concatenate([a, bb], axis=-1)
+                    sce[0, pl.ds(pe_lo, D2)] = cat(c000, c001)
+                    sco[0, pl.ds(po_lo, D2)] = cat(c100, c101)
+                    sce[1, pl.ds(pe_lo, D2)] = cat(c010, c011)
+                    sco[1, pl.ds(po_lo, D2)] = cat(c110, c111)
+                    mirror_fill(sce, sco, 0)
+                    mirror_fill(sce, sco, 1)
+                    for hp in (0, 1):
+                        for c in (0, 1):
+                            term = d_conv_up(sce, sco, hp, ib, c)
+                            acc[(hp, c)] = (term if (hp, c) not in acc
+                                            else acc[(hp, c)] + term)
+                vee[0] = acc[(0, 0)].astype(dtype)
+                veo[0] = acc[(0, 1)].astype(dtype)
+                voe[0] = acc[(1, 0)].astype(dtype)
+                voo[0] = acc[(1, 1)].astype(dtype)
 
-    v_spec = pl.BlockSpec((1, D, t2, W), lambda b, i, k: (b * 4 + k, 0, i, 0),
+    v_spec = pl.BlockSpec((1, D2, t2, W),
+                          lambda b, i, k: (b * 4 + k, 0, i, 0),
                           memory_space=pltpu.VMEM)
     call = pl.pallas_call(
         kernel,
         grid=(B, H2 // t2, 4),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 3,
-        out_specs=(v_spec, v_spec),
-        out_shape=(jax.ShapeDtypeStruct((B * 4, D, H2, W), dtype),) * 2,
-        scratch_shapes=[pltpu.VMEM((2, D, t2, W), dtype)]
-        + [pltpu.VMEM((4, D // 2, t2, W2), dtype)] * 4
-        + [pltpu.SemaphoreType.DMA((6,))],
+        out_specs=(v_spec,) * 4,
+        out_shape=(jax.ShapeDtypeStruct((B * 4, D2, H2, W), dtype),) * 4,
+        scratch_shapes=[pltpu.VMEM((16, D2, t2, W2), dtype),
+                        pltpu.VMEM((16, D2, t2, W2), dtype),
+                        pltpu.VMEM((4, Se, t2, W), dtype),
+                        pltpu.VMEM((4, So, t2, W), dtype),
+                        pltpu.VMEM((2, Se, t2, W), dtype),
+                        pltpu.VMEM((2, So, t2, W), dtype),
+                        pltpu.SemaphoreType.DMA((2, 6))],
         compiler_params=_compiler_params(3),
         interpret=_interpret(),
     )
@@ -456,10 +544,12 @@ def _build_idpack(B: int, D: int, H: int, W: int, g0bytes: bytes,
 def _build_hwsum_grouped(B: int, D: int, H: int, W: int, taps0, taps1,
                          dtype_str: str):
     """Synthesis (H, W) stage-pair merge on grouped-layout branch volumes
-    split into he/ho halves (the :func:`_build_idpack` output form):
-    ``Y[d] = sum_jk Ai_j[:, permH] @ V'[jk][d] @ Bi_k[permW, :]`` — the
-    grouping permutations fold into the operator matrices for free
-    (cf. pallas_hw._build_sum_hw22)."""
+    split into He/Ho × depth-parity quarters (the :func:`_build_idpack`
+    output form): ``Y[d] = sum_jk Ai_j[:, permH] @ V'[jk][d] @
+    Bi_k[permW, :]`` — the grouping permutations fold into the operator
+    matrices for free (cf. pallas_hw._build_sum_hw22).  Each grid step
+    reconstructs one even/odd depth-slice PAIR so the depth parity never
+    needs a data-dependent select."""
     (A0, A1), (B0, B1) = _mats("filter", taps0, taps1, H, W)
     ph, pw = _group_perm(H), _group_perm(W)
     A0g, A1g = A0[:, ph], A1[:, ph]
@@ -467,39 +557,41 @@ def _build_hwsum_grouped(B: int, D: int, H: int, W: int, taps0, taps1,
     dtype = jnp.dtype(dtype_str)
     hp = _mxu_precision(dtype)
 
-    def kernel(he00, he01, he10, he11, ho00, ho01, ho10, ho11,
-               a0, a1, b0, b1, o_ref):
-        hes = (he00, he01, he10, he11)
-        hos = (ho00, ho01, ho10, ho11)
-        acc = None
-        for j, a_ref in ((0, a0), (1, a1)):
-            inner = None
-            for kw, b_ref in ((0, b0), (1, b1)):
-                jk = 2 * j + kw
-                x = jnp.concatenate(
-                    [hes[jk][0, 0].astype(jnp.float32),
-                     hos[jk][0, 0].astype(jnp.float32)], axis=0)
-                term = jnp.dot(x, b_ref[:, :], precision=hp,
+    def kernel(*refs):
+        vs = refs[:16]          # (hp, c, jk) -> vs[8*hp + 4*c + jk]
+        a0, a1, b0, b1 = refs[16:20]
+        o_ref = refs[20]
+        for c in (0, 1):
+            acc = None
+            for j, a_ref in ((0, a0), (1, a1)):
+                inner = None
+                for kw, b_ref in ((0, b0), (1, b1)):
+                    jk = 2 * j + kw
+                    x = jnp.concatenate(
+                        [vs[4 * c + jk][0, 0].astype(jnp.float32),
+                         vs[8 + 4 * c + jk][0, 0].astype(jnp.float32)],
+                        axis=0)
+                    term = jnp.dot(x, b_ref[:, :], precision=hp,
+                                   preferred_element_type=jnp.float32)
+                    inner = term if inner is None else inner + term
+                term = jnp.dot(a_ref[:, :], inner, precision=hp,
                                preferred_element_type=jnp.float32)
-                inner = term if inner is None else inner + term
-            term = jnp.dot(a_ref[:, :], inner, precision=hp,
-                           preferred_element_type=jnp.float32)
-            acc = term if acc is None else acc + term
-        o_ref[0, 0] = acc.astype(dtype)
+                acc = term if acc is None else acc + term
+            o_ref[0, c] = acc.astype(dtype)
 
-    mat = lambda m: pl.BlockSpec(m.shape, lambda b, d: (0, 0),
+    mat = lambda m: pl.BlockSpec(m.shape, lambda b, u: (0, 0),
                                  memory_space=pltpu.VMEM)
-    # each of the four he (and ho) inputs is the SAME stacked (B*4, ...)
-    # array; the per-position index maps select branch jk's block.
+    # all sixteen V inputs are views of the same four stacked (B*4, ...)
+    # arrays; the per-position index maps select branch jk's block.
     in_specs = [pl.BlockSpec((1, 1, H // 2, W),
-                             (lambda jk: lambda b, d: (b * 4 + jk, d, 0, 0)
+                             (lambda jk: lambda b, u: (b * 4 + jk, u, 0, 0)
                               )(jk), memory_space=pltpu.VMEM)
                 for jk in range(4)]
     call = pl.pallas_call(
         kernel,
-        grid=(B, D),
-        in_specs=in_specs * 2 + [mat(A0g), mat(A1g), mat(B0g), mat(B1g)],
-        out_specs=pl.BlockSpec((1, 1, H, W), lambda b, d: (b, d, 0, 0),
+        grid=(B, D // 2),
+        in_specs=in_specs * 4 + [mat(A0g), mat(A1g), mat(B0g), mat(B1g)],
+        out_specs=pl.BlockSpec((1, 2, H, W), lambda b, u: (b, u, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, D, H, W), dtype),
         compiler_params=_compiler_params(2),
@@ -509,11 +601,14 @@ def _build_hwsum_grouped(B: int, D: int, H: int, W: int, taps0, taps1,
     return lambda *v: call(*v, *(jnp.asarray(m) for m in mats))
 
 
-def _group_axes(x):
-    """Parity-group the trailing two axes (even rows/cols first) with
-    single-axis strided slices — fast tiled copies, never gathers."""
+def _group_lowpass(x):
+    """[B, D, H, W] -> [2, B, D/2, H, W] with H/W parity-grouped (even
+    rows/cols first) and depth split by parity — the idpack input form.
+    Single-axis strided slices only (fast tiled copies, never gathers);
+    XLA fuses the whole relayout into one pass."""
     x = jnp.concatenate([x[..., 0::2, :], x[..., 1::2, :]], axis=-2)
-    return jnp.concatenate([x[..., 0::2], x[..., 1::2]], axis=-1)
+    x = jnp.concatenate([x[..., 0::2], x[..., 1::2]], axis=-1)
+    return jnp.stack([x[:, 0::2], x[:, 1::2]], axis=0)
 
 
 def inv_level1_pack(lll, re, im, g0o, g1o) -> Optional[jnp.ndarray]:
@@ -551,8 +646,8 @@ def inv_level1_pack(lll, re, im, g0o, g1o) -> Optional[jnp.ndarray]:
                                  (g1.tobytes(),), str(l4.dtype))
     re4 = re.reshape((B * 28,) + re.shape[-3:])
     im4 = im.reshape((B * 28,) + im.shape[-3:])
-    v_he, v_ho = idpack(_group_axes(l4), re4, im4)
-    y = hwsum(*([v_he] * 4 + [v_ho] * 4))
+    vee, veo, voe, voo = idpack(_group_lowpass(l4), re4, im4)
+    y = hwsum(*([vee] * 4 + [veo] * 4 + [voe] * 4 + [voo] * 4))
     return y.reshape(lead + (D, H, W))
 
 
@@ -587,8 +682,14 @@ def fwd_level1_pack(X, h0o, h1o, as_planes: bool = True
         return None
     hw5 = _build_hw5(B * D, H, W, (h0.tobytes(),), (h1.tobytes(),),
                      str(x4.dtype))
-    o00, g00, g01, g10, g11 = (
-        v.reshape((B, D, H, W)) for v in hw5(x4.reshape(B * D, H, W)))
+    if hw5 is None:
+        return None
+    o00, g00, g01, g10, g11 = hw5(x4.reshape(B * D, H, W))
+    o00 = o00.reshape((B, D, H, W))
+    # the grouped outputs were scattered depth-parity-major by the output
+    # index maps (free): reshape to [2, B, D/2, H, W] views
+    g00, g01, g10, g11 = (
+        v.reshape((2, B, D // 2, H, W)) for v in (g00, g01, g10, g11))
     lll, re, im = dpack(o00, g00, g01, g10, g11)
     lll = lll.reshape(lead + (D, H, W))
     re = re.reshape(lead + (28, D // 2, H // 2, W // 2))
