@@ -129,6 +129,17 @@ def main():
             return r, jnp.sum(r)
         return jax.lax.scan(body, a, None, length=iters3)[1].sum()
 
+    # native plane-layout 3-D roundtrip (band-major re/im planes — the
+    # fused pack kernels' direct input/output form)
+    @jax.jit
+    def run_rt3_planes(a):
+        def body(c, _):
+            p = t3._forward_impl(c, nlevels=3, include_scale=False,
+                                 discard_level_1=False, layout="planes")
+            r = t3._inverse_impl(p)
+            return r, jnp.sum(r)
+        return jax.lax.scan(body, a, None, length=iters3)[1].sum()
+
     def timed3(run):
         float(run(v))
         t0 = time.time()
@@ -182,6 +193,7 @@ def main():
                                                            xbf)))
     carry_s = guard("carry", lambda: timed(run_carry)) or 0.0
     rt3_s = guard("vol3d_256", lambda: timed3(run_rt3))
+    rt3p_s = guard("vol3d_256_planes", lambda: timed3(run_rt3_planes))
     batch_s = guard("batch100_512", lambda: timedb(run_batch))
 
     def frame(s, base=carry_s):
@@ -218,6 +230,9 @@ def main():
         "vol3d_256_roundtrip_ms": ms(rt3_s),
         "vol3d_256_roundtrip_mvox_per_s": (
             None if rt3_s is None else round(256 ** 3 / rt3_s / 1e6, 1)),
+        "vol3d_256_roundtrip_planes_ms": ms(rt3p_s),
+        "vol3d_256_roundtrip_planes_mvox_per_s": (
+            None if rt3p_s is None else round(256 ** 3 / rt3p_s / 1e6, 1)),
         "batch100_512_forward_ms": ms(batch_s),
         "batch100_512_forward_fps": (None if batch_s is None
                                      else round(100.0 / batch_s, 1)),

@@ -213,7 +213,8 @@ def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
             if bp:
                 aq2_ref = refs[0]
                 refs = refs[1:]
-        (out_e_ref, out_o_ref, zslabs, raw, qslabs, streams, sems) = refs
+        (out_ee, out_eo, out_oe, out_oo,
+         zslabs, raw, qslabs, streams, sems) = refs
         b = pl.program_id(0)
         i = pl.program_id(1)
         k = pl.program_id(2)
@@ -412,8 +413,13 @@ def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
                         outs.append(a1 + a2 + a3)
                     else:
                         outs.append(a1 + a2)
-                ref = out_e_ref if cp_out == 0 else out_o_ref
-                ref[0] = jnp.stack(outs, axis=1).reshape(tr, C2)
+                # row parities are written as separate quarter planes —
+                # the wrapper's single XLA relayout interleaves rows and
+                # columns together (an in-kernel sublane stack measured
+                # ~10x its byte cost; see docs/architecture.md).
+                q_refs = ((out_ee, out_oe), (out_eo, out_oo))[cp_out]
+                q_refs[0][0] = outs[0]
+                q_refs[1][0] = outs[1]
 
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
     in_specs = [hbm, hbm, hbm, hbm, hbm]
@@ -423,15 +429,14 @@ def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
         aq_spec = pl.BlockSpec((tr, 2 * qrows), lambda b, i, k: (0, 0),
                                memory_space=pltpu.VMEM)
         in_specs += [aq_spec, aq_spec] + ([aq_spec] if bp else [])
-    out_spec = pl.BlockSpec((1, tr, C2), lambda b, i, k: (b, i, 0),
+    out_spec = pl.BlockSpec((1, tr // 2, C2), lambda b, i, k: (b, i, 0),
                             memory_space=pltpu.VMEM)
     call = pl.pallas_call(
         kernel,
         grid=(B, n_tiles, 3),
         in_specs=in_specs,
-        out_specs=(out_spec, out_spec),
-        out_shape=(jax.ShapeDtypeStruct((B, H, C2), dtype),
-                   jax.ShapeDtypeStruct((B, H, C2), dtype)),
+        out_specs=(out_spec,) * 4,
+        out_shape=(jax.ShapeDtypeStruct((B, H // 2, C2), dtype),) * 4,
         scratch_shapes=[pltpu.VMEM((2, 2, tr + 2 * _PAD, W), dtype),
                         pltpu.VMEM((2, 12, tr // 2 + 2 * _PADQ, W), dtype),
                         pltpu.VMEM((12, tr // 2 + 2 * _PADQ, W), dtype),
@@ -549,6 +554,10 @@ def inv_level1(Z, yh, g0o, g1o, planes=None, g2o=None, bands=None
     mq = jnp.concatenate([edges(partner(imp)),
                           edges(partner(rep))], axis=1)
 
-    out_e, out_o = call(z2, rep, imp, mz, mq)
-    out = jnp.stack([out_e, out_o], axis=-1).reshape((B, H, Wd))
+    # (row parity, col parity) quarter planes -> one fused XLA relayout
+    # interleaving rows (sublane stack) and columns (lane stack) at once
+    q_ee, q_eo, q_oe, q_oo = call(z2, rep, imp, mz, mq)
+    out = jnp.stack([jnp.stack([q_ee, q_eo], axis=-1),
+                     jnp.stack([q_oe, q_oo], axis=-1)],
+                    axis=2).reshape((B, H, Wd))
     return out.reshape(lead + out.shape[-2:])
