@@ -174,7 +174,6 @@ def _build_dpack(B: int, D: int, H: int, W: int, h0bytes: bytes,
     for i, h in ((0, h0), (1, h1)):
         hr = tuple(float(v) for v in h[::-1])
         taps[i] = (hr, h.size // 2)
-    De = D + 2 * pmax
     D2 = D // 2
     # depth-parity scratch paddings: the number of even/odd extended
     # indices below 0 and at/above D (the grouped inputs arrive
@@ -351,10 +350,10 @@ def _build_dpack(B: int, D: int, H: int, W: int, h0bytes: bytes,
 # branch index 2j+k -> list of (depth branch i, index into _OCTANTS).
 # Branch (0, 0)'s depth-lowpass contribution is the LLL volume itself.
 _BRANCH_OCTS = (
-    ((1, 1),),            # (0,0): LLH
-    ((0, 3), (1, 5)),     # (0,1): LLH-col octants (0,0,1), (1,0,1)
-    ((0, 0), (1, 2)),     # (1,0): (0,1,0), (1,1,0)
-    ((0, 4), (1, 6)),     # (1,1): (0,1,1), (1,1,1)
+    ((1, 1),),            # (0,0): LHL (1,0,0)
+    ((0, 3), (1, 5)),     # (0,1): LLH (0,0,1), LHH (1,0,1)
+    ((0, 0), (1, 2)),     # (1,0): HLL (0,1,0), HHL (1,1,0)
+    ((0, 4), (1, 6)),     # (1,1): HLH (0,1,1), HHH (1,1,1)
 )
 
 
@@ -622,6 +621,8 @@ def inv_level1_pack(lll, re, im, g0o, g1o) -> Optional[jnp.ndarray]:
     if jnp.ndim(lll) < 3 or jnp.result_type(lll) != jnp.float32:
         return None
     if jnp.result_type(re) != jnp.float32:
+        return None
+    if im.shape != re.shape or jnp.result_type(im) != jnp.float32:
         return None
     D, H, W = lll.shape[-3], lll.shape[-2], lll.shape[-1]
     if re.shape[-4:] != (28, D // 2, H // 2, W // 2):

@@ -60,13 +60,12 @@ def _oracle_inv(lll, re, im, g0, g1):
         return fb.filter2_sum_axis(u0, u1, g0, g1, -1)
 
 
-@pytest.mark.parametrize("shape", [(16, 16, 32), (2, 12, 16, 32)])
-@pytest.mark.parametrize("fam,shape_b", [("near_sym_a", None),
-                                         ("near_sym_b", (20, 32, 32))])
-def test_fwd_parity(shape, fam, shape_b):
+@pytest.mark.parametrize("fam,shape", [("near_sym_a", (16, 16, 32)),
+                                       ("near_sym_a", (2, 12, 16, 32)),
+                                       ("near_sym_b", (20, 32, 32)),
+                                       ("near_sym_b", (2, 20, 32, 32))])
+def test_fwd_parity(fam, shape):
     h0, _g0, h1, _g1 = biort(fam)
-    if shape_b is not None:
-        shape = shape_b
     x = np.random.RandomState(0).randn(*shape).astype(np.float32)
     out = pallas_pack3d.fwd_level1_pack(jnp.asarray(x), h0, h1)
     assert out is not None
