@@ -122,6 +122,44 @@ def _level_maps(kp_energy, kp_scale, threshold, refine):
     return (vals.ravel(), xs.ravel(), ys.ravel(), scales.ravel())
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "method", "refine", "skip_levels", "upsample_scale", "uhp", "uke",
+    "max_points"))
+def _detect(hps, alpha, beta, kappa, threshold, *, method, refine,
+            skip_levels, upsample_scale, uhp, uke, max_points):
+    """One compiled program for the whole detector (r4 verdict item 5: the
+    eager per-level dispatch cost a tunnel round trip per map on TPU).
+    ``threshold=None`` participates as an empty pytree, so thresholded and
+    unthresholded calls compile separately without retracing per value."""
+    parts = []
+    for scale, subband in enumerate(hps):
+        if uhp is not None:
+            subband = upsample_highpass(subband, uhp)
+        if method == "fauqueur":
+            e = _keypoint_energy_fauqueur(subband, alpha, beta, scale)
+        elif method == "bendale":
+            e = _keypoint_energy_bendale(subband)
+        else:
+            e = _keypoint_energy_kingsbury(subband, kappa)
+        if uke is not None:
+            e = upsample(e, uke)
+        kp_scale = 2 ** (scale + 1 + skip_levels) / float(upsample_scale)
+        parts.append(_level_maps(e, kp_scale, threshold, refine))
+
+    vals = jnp.concatenate([p[0] for p in parts])
+    xs = jnp.concatenate([p[1] for p in parts])
+    ys = jnp.concatenate([p[2] for p in parts])
+    scales = jnp.concatenate([p[3] for p in parts])
+
+    if max_points is not None:
+        # Fixed-size device-side selection: one top_k, then gather.
+        k = min(int(max_points), vals.shape[0])
+        top_vals, top_idx = lax.top_k(vals, k)
+        return jnp.stack((jnp.take(xs, top_idx), jnp.take(ys, top_idx),
+                          jnp.take(scales, top_idx), top_vals), axis=-1)
+    return vals, xs, ys, scales
+
+
 def find_keypoints(highpass_highpasses, method=None,
                    alpha=1.0, beta=0.4, kappa=1.0 / 6.0,
                    threshold=None, max_points=None,
@@ -136,7 +174,11 @@ def find_keypoints(highpass_highpasses, method=None,
     survives, the result is an empty ``(0, 4)`` array.
     """
     method = method or "fauqueur"
-    highpass_highpasses = highpass_highpasses[skip_levels:]
+    if method not in ("fauqueur", "bendale", "kingsbury"):
+        raise ValueError("Unknown method: {0}".format(method))
+    hps = tuple(jnp.asarray(h) for h in highpass_highpasses[skip_levels:])
+    if not hps:
+        return np.zeros((0, 4))
 
     upsample_scale = 1
     if upsample_highpasses is not None:
@@ -144,49 +186,20 @@ def find_keypoints(highpass_highpasses, method=None,
     if upsample_keypoint_energy is not None:
         upsample_scale <<= 1
 
-    kp_energies = []
-    for scale, subband in enumerate(highpass_highpasses):
-        subband = jnp.asarray(subband)
-        if upsample_highpasses is not None:
-            subband = upsample_highpass(subband, upsample_highpasses)
-        if method == "fauqueur":
-            e = _keypoint_energy_fauqueur(subband, alpha, beta, scale)
-        elif method == "bendale":
-            e = _keypoint_energy_bendale(subband)
-        elif method == "kingsbury":
-            e = _keypoint_energy_kingsbury(subband, kappa)
-        else:
-            raise ValueError("Unknown method: {0}".format(method))
-        if upsample_keypoint_energy is not None:
-            e = upsample(e, upsample_keypoint_energy)
-        kp_energies.append(e)
-
-    parts = []
-    for level_idx, kp_energy in enumerate(kp_energies):
-        kp_scale = 2 ** (level_idx + 1 + skip_levels) / float(upsample_scale)
-        parts.append(_level_maps(kp_energy, kp_scale, threshold,
-                                 refine_positions))
-    if not parts:
-        return np.zeros((0, 4))
-
-    vals = jnp.concatenate([p[0] for p in parts])
-    xs = jnp.concatenate([p[1] for p in parts])
-    ys = jnp.concatenate([p[2] for p in parts])
-    scales = jnp.concatenate([p[3] for p in parts])
+    out = _detect(hps, alpha, beta, kappa, threshold, method=method,
+                  refine=bool(refine_positions), skip_levels=skip_levels,
+                  upsample_scale=upsample_scale, uhp=upsample_highpasses,
+                  uke=upsample_keypoint_energy,
+                  max_points=None if max_points is None else int(max_points))
 
     if max_points is not None:
-        # Fixed-size device-side selection: one top_k, then gather.
-        k = min(int(max_points), vals.shape[0])
-        top_vals, top_idx = lax.top_k(vals, k)
-        kps = jnp.stack((jnp.take(xs, top_idx), jnp.take(ys, top_idx),
-                         jnp.take(scales, top_idx), top_vals), axis=-1)
-        kps = np.asarray(kps)
+        kps = np.asarray(out)
         return kps[np.isfinite(kps[:, 3])]
 
     # Unbounded point count: a data-dependent shape, so gather on the host
     # (still no per-point Python work — one nonzero + fancy index).
-    vals = np.asarray(vals)
+    vals, xs, ys, scales = (np.asarray(a) for a in out)
     keep = np.flatnonzero(np.isfinite(vals))
     order = keep[np.argsort(vals[keep])[::-1]]
-    return np.stack((np.asarray(xs)[order], np.asarray(ys)[order],
-                     np.asarray(scales)[order], vals[order]), axis=-1)
+    return np.stack((xs[order], ys[order], scales[order], vals[order]),
+                    axis=-1)

@@ -337,6 +337,61 @@ def test_3d_octant_selectivity_matches_theory():
     assert len(set(hits)) == 28, sorted(hits)
 
 
+def test_3d_band_indices_match_equations():
+    """Pin the *absolute* index of every 3-D subband from theory, killing
+    the one blind spot of golden-data + bijection testing: a consistent
+    band permutation shared with the reference would pass both.
+
+    Derivation (Chen & Kingsbury 2012, eqs (6)-(9); no implementation
+    consulted).  Along each axis the dual tree's even/odd polyphase
+    samples approximate the real/imaginary parts of an analytic wavelet,
+    so the directional wavelet for axis-sign class (s1, s2, s3) is the
+    separable product  Psi = prod_d (psi_r^d + j * s_d * psi_i^d).
+    Expanding over the 8 corner parities (a corner contributes
+    j^{#odd axes} * prod_{odd d} s_d) gives
+
+        Re = A - s1*s2*D - s1*s3*G - s2*s3*F
+        Im = s1*C + s2*B + s3*E - s1*s2*s3*H
+
+    with corner letters (dim0,dim1,dim2 parities): A=(0,0,0) B=(0,1,0)
+    C=(1,0,0) D=(1,1,0) E=(0,0,1) F=(0,1,1) G=(1,0,1) H=(1,1,1).
+    Matching coefficient signs against the published combinations
+    p, q, r, s of eqs (6)-(9) identifies
+
+        p = Psi(+,+,+)   q = Psi(+,-,+)   r = Psi(-,+,+)   s = Psi(-,-,+)
+
+    (each up to global conjugation, which a real cosine probe cannot
+    distinguish).  Hence a plane-wave probe with per-axis frequency signs
+    (s1, s2, s3), normalised so s3 = +1 by flipping all three, must land
+    in combo index c = 2*[s1 < 0] + [s2 < 0] of its octant's 4 bands.
+
+    The 7-octant grouping order is the storage contract (the reference
+    concatenates filter-pattern octants as below, transform3d.py:278-289);
+    the combo index *within* each group is pure eq (6)-(9) theory."""
+    octant_order = [(0, 1, 0), (1, 0, 0), (1, 1, 0), (0, 0, 1),
+                    (0, 1, 1), (1, 0, 1), (1, 1, 1)]  # (dim0,dim1,dim2) hi flags
+    n = np.arange(48)
+    X, Y, Z = np.meshgrid(n, n, n, indexing="ij")
+    t3 = dt.Transform3d()
+    wlo, whi = W_LO / 4.0, W_HI / 4.0
+    for pat in itertools.product((0, 1), repeat=3):
+        if not any(pat):
+            continue
+        m = octant_order.index(pat)
+        mags = [whi if h else wlo for h in pat]
+        for s2, s3 in itertools.product((1, -1), (1, -1)):
+            ph = mags[0] * X + s2 * mags[1] * Y + s3 * mags[2] * Z
+            p = t3.forward(np.cos(ph), nlevels=2)
+            z2 = np.asarray(p.highpasses[1])
+            e = np.array([float(np.sum(np.abs(z2[..., d]) ** 2))
+                          for d in range(28)])
+            # normalise the sign class (1, s2, s3) so the dim-2 sign is +
+            s1n, s2n = (1, s2) if s3 > 0 else (-1, -s2)
+            c = 2 * (s1n < 0) + (s2n < 0)
+            assert int(np.argmax(e)) == 4 * m + c, (pat, s2, s3, 4 * m + c,
+                                                    int(np.argmax(e)))
+
+
 def test_3d_qshift_stage_conserves_energy():
     """Parseval on the 3-D qshift stage: level-2 input energy equals the
     lowpass + 28-subband output energy."""
