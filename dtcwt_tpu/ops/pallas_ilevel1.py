@@ -120,6 +120,12 @@ def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
                 Az[r_, _PAD - p0 + r_ + k_] += float(tv)
 
         def _qmat(h, pad_f):
+            # Output rows 2j / 2j+1 hold the even/odd row-parity streams:
+            # the row interleave is a permutation of the operator rows, so
+            # it happens ON THE MXU for free (same trick as pallas_pack3d's
+            # parity-scatter layouts) — the r2-era wrapper relayout that
+            # interleaved the quarter planes cost ~17 ms when materialised
+            # (profiled via tools/xprof.py, r5).
             hr = h[::-1]
             n = tr // 2
             A = np.zeros((2 * n, 2 * qrows), np.float32)
@@ -129,12 +135,12 @@ def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
                 for j in range(n):
                     if d % 2 == 0:
                         u = d // 2
-                        A[j, _PADQ + u + j] += tv
-                        A[n + j, qrows + _PADQ + u + j] += tv
+                        A[2 * j, _PADQ + u + j] += tv
+                        A[2 * j + 1, qrows + _PADQ + u + j] += tv
                     else:
                         u = (d - 1) // 2
-                        A[j, qrows + _PADQ + u + j] += tv
-                        A[n + j, _PADQ + u + 1 + j] += tv
+                        A[2 * j, qrows + _PADQ + u + j] += tv
+                        A[2 * j + 1, _PADQ + u + 1 + j] += tv
             return A
 
         # f32 operators: see pallas_fb._mxu_precision (bf16 matmuls broken)
@@ -213,8 +219,7 @@ def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
             if bp:
                 aq2_ref = refs[0]
                 refs = refs[1:]
-        (out_ee, out_eo, out_oe, out_oo,
-         zslabs, raw, qslabs, streams, sems) = refs
+        (out_e, out_o, zslabs, raw, qslabs, streams, sems) = refs
         b = pl.program_id(0)
         i = pl.program_id(1)
         k = pl.program_id(2)
@@ -337,8 +342,11 @@ def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
                                 q, 2 * (hq + _PADQ) - 1 - s_, :]
 
                 # Row stage per column parity: y = colfilter(Z|hl, g0o) +
-                # colfilter(lh|hh, g1o), row-parity split via reshape for
-                # the full-res Z part, polyphase planes for the quad parts.
+                # colfilter(lh|hh, g1o).  The full-res Z correlation is in
+                # natural (interleaved) row order, and the quad operators
+                # emit their two row-parity streams interleaved (_qmat row
+                # permutation), so the stream planes hold full-height
+                # interleaved rows — no split, no downstream row relayout.
                 # quad slab index: 4*src + 2*rp + cp, sources (lh, hl, hh).
                 for cp_ in range(2):
                     if use_mxu:
@@ -347,46 +355,40 @@ def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
                                      precision=_mxu_precision(dtype),
                                      preferred_element_type=jnp.float32
                                      ).astype(dtype)
-                        yz2 = yz.reshape(tr // 2, 2, W)
 
                         def rowq(base, a_ref, cp_=cp_):
                             win = _f32win(dtype)(jnp.concatenate(
                                 [qslabs[base + cp_],
                                  qslabs[base + 2 + cp_]], axis=0))
-                            y = jnp.dot(a_ref[:, :], win,
-                                        precision=_mxu_precision(dtype),
-                                        preferred_element_type=jnp.float32
-                                        ).astype(dtype)
-                            n = tr // 2
-                            return (lax.slice_in_dim(y, 0, n, axis=0),
-                                    lax.slice_in_dim(y, n, 2 * n, axis=0))
+                            return jnp.dot(a_ref[:, :], win,
+                                           precision=_mxu_precision(dtype),
+                                           preferred_element_type=jnp.float32
+                                           ).astype(dtype)
 
-                        lh_e, lh_o = rowq(0, aq1_ref)
-                        hl_e, hl_o = rowq(4, aq0_ref)
-                        hh_e, hh_o = rowq(8, aq2_ref if bp else aq1_ref)
+                        lh = rowq(0, aq1_ref)
+                        hl = rowq(4, aq0_ref)
+                        hh = rowq(8, aq2_ref if bp else aq1_ref)
                     else:
+                        # interpret-mode (CPU) twin: interleave the parity
+                        # streams with a sublane stack (cost irrelevant off
+                        # hardware; on TPU the MXU operators own it).
+                        def ilv(pair):
+                            return jnp.stack(pair, axis=1).reshape(tr, W)
                         yz = conv_full(zslabs[buf, cp_], g0r, p0)
-                        yz2 = yz.reshape(tr // 2, 2, W)
-                        lh_e, lh_o = conv_planes_rows(qslabs[0 + cp_],
-                                                      qslabs[2 + cp_],
-                                                      g1, p1)
-                        hl_e, hl_o = conv_planes_rows(qslabs[4 + cp_],
-                                                      qslabs[6 + cp_],
-                                                      g0, p0)
-                        hh_e, hh_o = conv_planes_rows(qslabs[8 + cp_],
-                                                      qslabs[10 + cp_],
-                                                      g2 if bp else g1,
-                                                      p2 if bp else p1)
-                    streams[0, 2 * 0 + cp_] = yz2[:, 0, :] + lh_e   # y1 rp0
-                    streams[1, 2 * 0 + cp_] = yz2[:, 1, :] + lh_o   # y1 rp1
+                        lh = ilv(conv_planes_rows(qslabs[0 + cp_],
+                                                  qslabs[2 + cp_], g1, p1))
+                        hl = ilv(conv_planes_rows(qslabs[4 + cp_],
+                                                  qslabs[6 + cp_], g0, p0))
+                        hh = ilv(conv_planes_rows(qslabs[8 + cp_],
+                                                  qslabs[10 + cp_],
+                                                  g2 if bp else g1,
+                                                  p2 if bp else p1))
+                    streams[2 * 0 + cp_] = yz + lh                  # y1
                     if bp:
-                        streams[0, 2 + cp_] = hl_e                  # y2 rp0
-                        streams[1, 2 + cp_] = hl_o                  # y2 rp1
-                        streams[0, 4 + cp_] = hh_e                  # y2bp rp0
-                        streams[1, 4 + cp_] = hh_o                  # y2bp rp1
+                        streams[2 + cp_] = hl                       # y2
+                        streams[4 + cp_] = hh                       # y2bp
                     else:
-                        streams[0, 2 + cp_] = hl_e + hh_e           # y2 rp0
-                        streams[1, 2 + cp_] = hl_o + hh_o           # y2 rp1
+                        streams[2 + cp_] = hl + hh                  # y2
 
             @pl.when(t % 2 == 0)
             def _():
@@ -396,30 +398,24 @@ def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
             def _():
                 stage(1)
 
-        # Lane stage: one output column parity per grid step; rows of both
-        # parities interleave in-kernel via a sublane stack.
+        # Lane stage: one output column parity per grid step.  The stream
+        # planes are full-height (rows interleaved by the MXU operators),
+        # so each step emits a complete column-parity plane; the wrapper's
+        # only relayout is the single-axis lane interleave (the fast
+        # stack+reshape pattern, ~415 GB/s — the r2-era combined row+column
+        # relayout lowered ~50x slower when materialised).
         for cp_out in range(2):
             @pl.when(k == cp_out + 1)
             def _(cp_out=cp_out):
-                outs = []
-                for rp in range(2):
-                    y1e, y1o = (streams[rp, 0], streams[rp, 1])
-                    y2e, y2o = (streams[rp, 2], streams[rp, 3])
-                    a1 = conv_planes_lanes(y1e, y1o, g0, p0)[cp_out]
-                    a2 = conv_planes_lanes(y2e, y2o, g1, p1)[cp_out]
-                    if bp:
-                        y3e, y3o = (streams[rp, 4], streams[rp, 5])
-                        a3 = conv_planes_lanes(y3e, y3o, g2, p2)[cp_out]
-                        outs.append(a1 + a2 + a3)
-                    else:
-                        outs.append(a1 + a2)
-                # row parities are written as separate quarter planes —
-                # the wrapper's single XLA relayout interleaves rows and
-                # columns together (an in-kernel sublane stack measured
-                # ~10x its byte cost; see docs/architecture.md).
-                q_refs = ((out_ee, out_oe), (out_eo, out_oo))[cp_out]
-                q_refs[0][0] = outs[0]
-                q_refs[1][0] = outs[1]
+                a1 = conv_planes_lanes(streams[0], streams[1],
+                                       g0, p0)[cp_out]
+                a2 = conv_planes_lanes(streams[2], streams[3],
+                                       g1, p1)[cp_out]
+                if bp:
+                    a3 = conv_planes_lanes(streams[4], streams[5],
+                                           g2, p2)[cp_out]
+                    a1 = a1 + a3
+                (out_e, out_o)[cp_out][0] = a1 + a2
 
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
     in_specs = [hbm, hbm, hbm, hbm, hbm]
@@ -429,18 +425,18 @@ def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
         aq_spec = pl.BlockSpec((tr, 2 * qrows), lambda b, i, k: (0, 0),
                                memory_space=pltpu.VMEM)
         in_specs += [aq_spec, aq_spec] + ([aq_spec] if bp else [])
-    out_spec = pl.BlockSpec((1, tr // 2, C2), lambda b, i, k: (b, i, 0),
+    out_spec = pl.BlockSpec((1, tr, C2), lambda b, i, k: (b, i, 0),
                             memory_space=pltpu.VMEM)
     call = pl.pallas_call(
         kernel,
         grid=(B, n_tiles, 3),
         in_specs=in_specs,
-        out_specs=(out_spec,) * 4,
-        out_shape=(jax.ShapeDtypeStruct((B, H // 2, C2), dtype),) * 4,
+        out_specs=(out_spec,) * 2,
+        out_shape=(jax.ShapeDtypeStruct((B, H, C2), dtype),) * 2,
         scratch_shapes=[pltpu.VMEM((2, 2, tr + 2 * _PAD, W), dtype),
                         pltpu.VMEM((2, 12, tr // 2 + 2 * _PADQ, W), dtype),
                         pltpu.VMEM((12, tr // 2 + 2 * _PADQ, W), dtype),
-                        pltpu.VMEM((2, 2 * n_str, tr // 2, W), dtype),
+                        pltpu.VMEM((2 * n_str, tr, W), dtype),
                         pltpu.SemaphoreType.DMA((2, 7))],
         compiler_params=_compiler_params(3),
         interpret=_interpret(),
@@ -554,10 +550,12 @@ def inv_level1(Z, yh, g0o, g1o, planes=None, g2o=None, bands=None
     mq = jnp.concatenate([edges(partner(imp)),
                           edges(partner(rep))], axis=1)
 
-    # (row parity, col parity) quarter planes -> one fused XLA relayout
-    # interleaving rows (sublane stack) and columns (lane stack) at once
-    q_ee, q_eo, q_oe, q_oo = call(z2, rep, imp, mz, mq)
-    out = jnp.stack([jnp.stack([q_ee, q_eo], axis=-1),
-                     jnp.stack([q_oe, q_oo], axis=-1)],
-                    axis=2).reshape((B, H, Wd))
+    # The kernel emits full-height column-parity planes (rows interleaved
+    # by the MXU operator permutation), so the only wrapper relayout is
+    # this single-axis lane interleave — the fast stack+reshape pattern.
+    # (The r2-era 4-quarter-plane form left a combined row+column relayout
+    # to XLA, which lowered at ~8 GB/s when materialised: 17 ms of the
+    # 23 ms standalone 4096^2 roundtrip, found with tools/xprof.py.)
+    z_e, z_o = call(z2, rep, imp, mz, mq)
+    out = jnp.stack([z_e, z_o], axis=-1).reshape((B, H, Wd))
     return out.reshape(lead + out.shape[-2:])
