@@ -522,8 +522,9 @@ def inv_level1(Z, yh, g0o, g1o, planes=None, g2o=None, bands=None
         imp = bands[1].reshape((B, 6, L, C2)).astype(zdtype)
 
         def partner(a):
-            return jnp.flip(a.reshape(B, 3, 2, L, C2),
-                            axis=2).reshape(B, 6, L, C2)
+            # shape-agnostic in the lane dim: applied to the 2G-col strips
+            return jnp.flip(a.reshape(B, 3, 2, L, a.shape[-1]),
+                            axis=2).reshape(a.shape)
     else:
         # One band transpose — the only full-size XLA pass.  c2q, margins
         # and the parity-plane stack all happen inside the kernel.
@@ -540,6 +541,9 @@ def inv_level1(Z, yh, g0o, g1o, planes=None, g2o=None, bands=None
     # Pre-flipped margin strips [left | right]: z planes swap cp partners;
     # re margins of band A are the flipped im edges of its quad partner
     # (and vice versa) — c2q's quad reflection swaps the re/im roles.
+    # The band-partner permutation commutes with the lane slicing, so it
+    # runs on the 2G-column strips, never the full planes (a full-plane
+    # flip cost 0.27 ms of the 4096^2 roundtrip — r5 xprof).
     G = _MARGIN
 
     def edges(a):
@@ -547,8 +551,8 @@ def inv_level1(Z, yh, g0o, g1o, planes=None, g2o=None, bands=None
                                 jnp.flip(a[..., -G:], axis=-1)], axis=-1)
 
     mz = edges(jnp.stack([zo, ze], axis=1).astype(zdtype))
-    mq = jnp.concatenate([edges(partner(imp)),
-                          edges(partner(rep))], axis=1)
+    mq = jnp.concatenate([partner(edges(imp)),
+                          partner(edges(rep))], axis=1)
 
     # The kernel emits full-height column-parity planes (rows interleaved
     # by the MXU operator permutation), so the only wrapper relayout is

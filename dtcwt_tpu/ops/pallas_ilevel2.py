@@ -526,8 +526,9 @@ def inv_level2(Z, yh, g0a, g0b, g1a, g1b, planes=None, as_planes=False,
         imp = bands[1].reshape((B, 6, L, C2)).astype(zdtype)
 
         def partner(a):
-            return jnp.flip(a.reshape(B, 3, 2, L, C2),
-                            axis=2).reshape(B, 6, L, C2)
+            # shape-agnostic in the lane dim: applied to the 2G-col strips
+            return jnp.flip(a.reshape(B, 3, 2, L, a.shape[-1]),
+                            axis=2).reshape(a.shape)
     else:
         # One band transpose — the only full-size XLA pass.  c2q, margins
         # and the parity-plane stack all happen inside the kernel.
@@ -558,9 +559,12 @@ def inv_level2(Z, yh, g0a, g0b, g1a, g1b, planes=None, as_planes=False,
 
     zsw = jnp.concatenate([z4[:, 1:2], z4[:, 0:1], z4[:, 3:4], z4[:, 2:3]],
                           axis=1)
+    # band-partner permutation applied to the 2G-col strips, not the full
+    # planes (edges and partner commute; full-plane flips cost a whole
+    # memory pass each — r5 xprof)
     marg = jnp.concatenate(
-        [edges(zsw), edges(partner(imp)),
-         edges(partner(rep))], axis=1)             # (B, 16, L, 2G)
+        [edges(zsw), partner(edges(imp)),
+         partner(edges(rep))], axis=1)             # (B, 16, L, 2G)
 
     # (B, 2, 4, 2L, C2): [row-parity, lane-stream, rows, lanes]; the kernel
     # already interleaved the two row streams of each parity over sublanes,
