@@ -45,7 +45,6 @@ from dtcwt_tpu.ops.pallas_fb import (
 __all__ = ["inv_level1"]
 
 _MARGIN = 128            # boundary columns per side (DMA lane alignment)
-_PAD = 16                # halo rows for the full-res (Z) slabs
 _PADQ = 8                # halo rows for the half-res quad-plane slabs
 # This kernel holds 26 half/full-res slabs + stream planes live at once, so
 # it runs out of row budget long before VMEM: 48 MB (tr 32 -> 80 at 4096^2)
@@ -78,7 +77,7 @@ def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
     p0, p1 = m0 // 2, m1 // 2
     p2 = m2 // 2
     pmax = max(p0, p1, p2)
-    if pmax > _PAD or pmax // 2 + 2 > _PADQ or pmax > _MARGIN:
+    if pmax // 2 + 2 > _PADQ or pmax > _MARGIN:
         return None
     G = _MARGIN
     W = C2 + 2 * G
@@ -92,33 +91,26 @@ def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
     for t in (H, 256, 128, 96, 64, 48, 32, 16):
         if t > H or H % t or t % 16:
             continue
-        # 2x2 full-res + 2x12 re/im (double-buffered) + 12 quad half-res
-        # slabs + stream planes
-        if (4 * (t + 2 * _PAD) + 36 * (t // 2 + 2 * _PADQ) + 2 * n_str * t
+        # 2x16 raw (re/im/lowpass-quarters, double-buffered) + 12 quad
+        # half-res slabs + stream planes
+        if (44 * (t // 2 + 2 * _PADQ) + 2 * n_str * t
                 + t * temp_rows) <= budget_rows:
             tr = t
             break
-    if tr is None or _PAD > H or _PADQ > H // 2:
+    if tr is None or _PADQ > H // 2:
         return None
     n_tiles = H // tr
 
-    g0r = tuple(float(v) for v in g0[::-1])
-    g1r = tuple(float(v) for v in g1[::-1])
-    g2r = tuple(float(v) for v in g2[::-1]) if bp else None
-
     # Row-stage banded MXU operators: per-tap sublane shifts each cost a
-    # VMEM relayout, so the full-res z correlation and the two-phase
-    # polyphase pair convolutions run as matmuls instead (operand = the
-    # slab / the concatenated [P0; P1] pair slabs).
+    # VMEM relayout, so the two-phase polyphase convolutions run as
+    # matmuls (operand = the concatenated [P0; P1] pair slabs).  The
+    # lowpass arrives as its four (rp, cp) quarter planes and rides the
+    # SAME polyphase operator as the hl quads (both filter with g0) — the
+    # r2-era full-res z slab needed a stacked (B, 2, H, C2) input that
+    # cost two XLA relayout passes plus operand copies per call (r5 xprof).
     use_mxu = not _interpret()
-    zrows = tr + 2 * _PAD
     qrows = tr // 2 + 2 * _PADQ
     if use_mxu:
-        Az = np.zeros((tr, zrows), np.float32)
-        for r_ in range(tr):
-            for k_, tv in enumerate(g0[::-1]):
-                Az[r_, _PAD - p0 + r_ + k_] += float(tv)
-
         def _qmat(h, pad_f):
             # Output rows 2j / 2j+1 hold the even/odd row-parity streams:
             # the row interleave is a permutation of the operator rows, so
@@ -144,20 +136,9 @@ def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
             return A
 
         # f32 operators: see pallas_fb._mxu_precision (bf16 matmuls broken)
-        Az = Az.astype(np.float32)
         Aq0 = _qmat(g0, p0).astype(np.float32)
         Aq1 = _qmat(g1, p1).astype(np.float32)
         Aq2 = _qmat(g2, p2).astype(np.float32) if bp else None
-
-    def conv_full(slab, taps, pad_f):
-        """Plain sublane correlation of a full-res slab (tr outputs)."""
-        acc = None
-        for k, tv in enumerate(taps):
-            lo = _PAD - pad_f + k
-            sl = lax.slice_in_dim(slab, lo, lo + tr, axis=0)
-            term = sl * jnp.asarray(tv, dtype)
-            acc = term if acc is None else acc + term
-        return acc
 
     def conv_planes_rows(p0_ref, p1_ref, h: np.ndarray, pad_f: int):
         """Non-decimating row conv of an interleaved signal held as parity
@@ -212,17 +193,18 @@ def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
             oo = so if oo is None else oo + so
         return oe, oo
 
-    def kernel(z_hbm, re_hbm, im_hbm, mz_hbm, mq_hbm, *refs):
+    def kernel(zp0, zp1, zp2, zp3, re_hbm, im_hbm, mz_hbm, mq_hbm, *refs):
         if use_mxu:
-            az_ref, aq0_ref, aq1_ref = refs[0], refs[1], refs[2]
-            refs = refs[3:]
+            aq0_ref, aq1_ref = refs[0], refs[1]
+            refs = refs[2:]
             if bp:
                 aq2_ref = refs[0]
                 refs = refs[1:]
-        (out_e, out_o, zslabs, raw, qslabs, streams, sems) = refs
+        (out_e, out_o, raw, qslabs, streams, sems) = refs
         b = pl.program_id(0)
         i = pl.program_id(1)
         k = pl.program_id(2)
+        zps = (zp0, zp1, zp2, zp3)
 
         @pl.when(k == 0)
         def _():
@@ -231,42 +213,41 @@ def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
 
             # Double-buffered overlapped DMAs (tile t uses buffer t % 2;
             # tile t+1's copies are issued right after the wait so they
-            # overlap this tile's quad build + row stage).  Descriptor:
-            # (src (P,rows,cols), dst slab, rows per tile, row halo, src
-            # lane window, dst lane window, semaphore index).
+            # overlap this tile's quad build + row stage).  All inputs are
+            # half-height (rp, cp) parity planes landing in `raw`:
+            # slots 0-5 re, 6-11 im, 12-15 the lowpass quarter planes
+            # (slot 12 + 2*rp + cp).  Descriptor: (src, dst slot range,
+            # src lane window, dst lane window, semaphore index).
             def _dma_all(t_, buf, start: bool):
                 b_ = t_ // n_tiles
                 i_ = t_ % n_tiles
                 descs = (
-                    (z_hbm, "z", tr, _PAD, None, pl.ds(G, C2), 0),
-                    (mz_hbm, "z", tr, _PAD, pl.ds(0, G), pl.ds(0, G), 1),
-                    (mz_hbm, "z", tr, _PAD, pl.ds(G, G),
-                     pl.ds(G + C2, G), 2),
-                    (re_hbm, "r0", tr // 2, _PADQ, None, pl.ds(G, C2), 3),
-                    (im_hbm, "r6", tr // 2, _PADQ, None, pl.ds(G, C2), 4),
-                    (mq_hbm, "rall", tr // 2, _PADQ, pl.ds(0, G),
-                     pl.ds(0, G), 5),
-                    (mq_hbm, "rall", tr // 2, _PADQ, pl.ds(G, G),
-                     pl.ds(G + C2, G), 6),
-                )
+                    [(zps[s], (12 + s, 1), None, pl.ds(G, C2), s)
+                     for s in range(4)]
+                    + [(mz_hbm, (12, 4), pl.ds(0, G), pl.ds(0, G), 4),
+                       (mz_hbm, (12, 4), pl.ds(G, G), pl.ds(G + C2, G), 5),
+                       (re_hbm, (0, 6), None, pl.ds(G, C2), 6),
+                       (im_hbm, (6, 6), None, pl.ds(G, C2), 7),
+                       (mq_hbm, (0, 12), pl.ds(0, G), pl.ds(0, G), 8),
+                       (mq_hbm, (0, 12), pl.ds(G, G),
+                        pl.ds(G + C2, G), 9)])
 
                 def op(row_sel):
                     cps = []
-                    for (src, which, t_in, pad, scol, dcol, sem) in descs:
-                        lo, n, dlo = row_sel(t_in, pad)
-                        sref = (src.at[b_, :, pl.ds(lo, n), scol]
-                                if scol is not None
-                                else src.at[b_, :, pl.ds(lo, n), :])
-                        if which == "z":
-                            dref = zslabs.at[buf, :, pl.ds(dlo, n), dcol]
-                        elif which == "r0":
-                            dref = raw.at[buf, pl.ds(0, 6),
-                                          pl.ds(dlo, n), dcol]
-                        elif which == "r6":
-                            dref = raw.at[buf, pl.ds(6, 6),
-                                          pl.ds(dlo, n), dcol]
+                    for (src, (s0, ns), scol, dcol, sem) in descs:
+                        lo, n, dlo = row_sel(tr // 2, _PADQ)
+                        rows = pl.ds(lo, n)
+                        if src.ndim == 3:       # a single quarter plane
+                            sref = (src.at[b_, rows, scol]
+                                    if scol is not None
+                                    else src.at[b_, rows, :])
+                            dref = raw.at[buf, s0, pl.ds(dlo, n), dcol]
                         else:
-                            dref = raw.at[buf, :, pl.ds(dlo, n), dcol]
+                            sref = (src.at[b_, :, rows, scol]
+                                    if scol is not None
+                                    else src.at[b_, :, rows, :])
+                            dref = raw.at[buf, pl.ds(s0, ns),
+                                          pl.ds(dlo, n), dcol]
                         cps.append(pltpu.make_async_copy(
                             sref, dref, sems.at[buf, sem]))
                     for c in cps:
@@ -313,33 +294,36 @@ def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
                     qslabs[4 * src + 2] = (imA - imB) * sc
                     qslabs[4 * src + 3] = (reB - reA) * sc
 
-                # Mirror fills: Z slabs self-mirror (row reflection stays
-                # in the same column plane); quad slabs swap row-parity
-                # partners.
+                # Mirror fills: row reflection swaps row-parity partners
+                # (p ^ 2) for the quad slabs and the raw lowpass quarter
+                # planes alike (image row -1-t = row t maps plane
+                # rp0[-1-u] = rp1[u] and vice versa).
                 @pl.when(i == 0)
                 def _():
-                    for p in range(2):
-                        for s_ in range(_PAD):
-                            zslabs[buf, p, s_, :] = zslabs[
-                                buf, p, 2 * _PAD - 1 - s_, :]
                     for p in range(12):
                         q = p ^ 2
                         for s_ in range(_PADQ):
                             qslabs[p, s_, :] = qslabs[
                                 q, 2 * _PADQ - 1 - s_, :]
+                    for p in range(12, 16):
+                        q = p ^ 2
+                        for s_ in range(_PADQ):
+                            raw[buf, p, s_, :] = raw[
+                                buf, q, 2 * _PADQ - 1 - s_, :]
 
                 @pl.when(i == n_tiles - 1)
                 def _():
-                    for p in range(2):
-                        for s_ in range(tr + _PAD, tr + 2 * _PAD):
-                            zslabs[buf, p, s_, :] = zslabs[
-                                buf, p, 2 * (tr + _PAD) - 1 - s_, :]
+                    hq = tr // 2
                     for p in range(12):
                         q = p ^ 2
-                        hq = tr // 2
                         for s_ in range(hq + _PADQ, hq + 2 * _PADQ):
                             qslabs[p, s_, :] = qslabs[
                                 q, 2 * (hq + _PADQ) - 1 - s_, :]
+                    for p in range(12, 16):
+                        q = p ^ 2
+                        for s_ in range(hq + _PADQ, hq + 2 * _PADQ):
+                            raw[buf, p, s_, :] = raw[
+                                buf, q, 2 * (hq + _PADQ) - 1 - s_, :]
 
                 # Row stage per column parity: y = colfilter(Z|hl, g0o) +
                 # colfilter(lh|hh, g1o).  The full-res Z correlation is in
@@ -350,21 +334,22 @@ def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
                 # quad slab index: 4*src + 2*rp + cp, sources (lh, hl, hh).
                 for cp_ in range(2):
                     if use_mxu:
-                        yz = jnp.dot(az_ref[:, :],
-                                     _f32win(dtype)(zslabs[buf, cp_]),
-                                     precision=_mxu_precision(dtype),
-                                     preferred_element_type=jnp.float32
-                                     ).astype(dtype)
-
-                        def rowq(base, a_ref, cp_=cp_):
+                        def rowq2(pl0, pl1, a_ref):
                             win = _f32win(dtype)(jnp.concatenate(
-                                [qslabs[base + cp_],
-                                 qslabs[base + 2 + cp_]], axis=0))
+                                [pl0, pl1], axis=0))
                             return jnp.dot(a_ref[:, :], win,
                                            precision=_mxu_precision(dtype),
                                            preferred_element_type=jnp.float32
                                            ).astype(dtype)
 
+                        def rowq(base, a_ref, cp_=cp_):
+                            return rowq2(qslabs[base + cp_],
+                                         qslabs[base + 2 + cp_], a_ref)
+
+                        # the lowpass quarter planes filter with g0 — the
+                        # hl operator, reused verbatim
+                        yz = rowq2(raw[buf, 12 + cp_], raw[buf, 14 + cp_],
+                                   aq0_ref)
                         lh = rowq(0, aq1_ref)
                         hl = rowq(4, aq0_ref)
                         hh = rowq(8, aq2_ref if bp else aq1_ref)
@@ -374,7 +359,9 @@ def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
                         # hardware; on TPU the MXU operators own it).
                         def ilv(pair):
                             return jnp.stack(pair, axis=1).reshape(tr, W)
-                        yz = conv_full(zslabs[buf, cp_], g0r, p0)
+                        yz = ilv(conv_planes_rows(raw[buf, 12 + cp_],
+                                                  raw[buf, 14 + cp_],
+                                                  g0, p0))
                         lh = ilv(conv_planes_rows(qslabs[0 + cp_],
                                                   qslabs[2 + cp_], g1, p1))
                         hl = ilv(conv_planes_rows(qslabs[4 + cp_],
@@ -418,10 +405,8 @@ def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
                 (out_e, out_o)[cp_out][0] = a1 + a2
 
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
-    in_specs = [hbm, hbm, hbm, hbm, hbm]
+    in_specs = [hbm] * 8
     if use_mxu:
-        in_specs.append(pl.BlockSpec((tr, zrows), lambda b, i, k: (0, 0),
-                                     memory_space=pltpu.VMEM))
         aq_spec = pl.BlockSpec((tr, 2 * qrows), lambda b, i, k: (0, 0),
                                memory_space=pltpu.VMEM)
         in_specs += [aq_spec, aq_spec] + ([aq_spec] if bp else [])
@@ -433,16 +418,15 @@ def _build_ilevel1(B: int, H: int, C2: int, g0bytes: bytes, g1bytes: bytes,
         in_specs=in_specs,
         out_specs=(out_spec,) * 2,
         out_shape=(jax.ShapeDtypeStruct((B, H, C2), dtype),) * 2,
-        scratch_shapes=[pltpu.VMEM((2, 2, tr + 2 * _PAD, W), dtype),
-                        pltpu.VMEM((2, 12, tr // 2 + 2 * _PADQ, W), dtype),
+        scratch_shapes=[pltpu.VMEM((2, 16, tr // 2 + 2 * _PADQ, W), dtype),
                         pltpu.VMEM((12, tr // 2 + 2 * _PADQ, W), dtype),
                         pltpu.VMEM((2 * n_str, tr, W), dtype),
-                        pltpu.SemaphoreType.DMA((2, 7))],
+                        pltpu.SemaphoreType.DMA((2, 10))],
         compiler_params=_compiler_params(3),
         interpret=_interpret(),
     )
     if use_mxu:
-        mats = (Az, Aq0, Aq1) + ((Aq2,) if bp else ())
+        mats = (Aq0, Aq1) + ((Aq2,) if bp else ())
         return lambda *xs: call(*xs, *mats)
     return call
 
@@ -491,20 +475,20 @@ def inv_level1(Z, yh, g0o, g1o, planes=None, g2o=None, bands=None
     if C2 < _MARGIN:
         return None
     if planes is not None:
+        # The kernel consumes the (rp, cp) quarter planes directly in
+        # slot order 2*rp + cp — a chained fused level's planes pass
+        # through with NO relayout at all (the r2-era stacked z2 form
+        # cost two XLA passes plus operand copies — r5 xprof).
         p4, leads = zip(*[_flatten_batch(p) for p in planes])
         lead = leads[0]
         B = p4[0].shape[0]
-        # ze/zo are the full-height column-parity planes: interleave the
-        # row-parity halves back over sublanes (cheap stack+reshape).
-        def rows(pe, po):
-            q = jnp.stack([pe, po], axis=2)
-            return q.reshape(B, H, C2)
-        ze, zo = rows(p4[0], p4[2]), rows(p4[1], p4[3])
+        zq = (p4[0], p4[1], p4[2], p4[3])
         zdtype = p4[0].dtype
     else:
         z3, lead = _flatten_batch(Z)
         B = z3.shape[0]
         ze, zo = z3[:, :, 0::2], z3[:, :, 1::2]
+        zq = (ze[:, 0::2], zo[:, 0::2], ze[:, 1::2], zo[:, 1::2])
         zdtype = z3.dtype
 
     call = _build_ilevel1(B, H, C2, g0.tobytes(), g1.tobytes(),
@@ -536,21 +520,23 @@ def inv_level1(Z, yh, g0o, g1o, planes=None, g2o=None, bands=None
         def partner(a):
             return jnp.flip(a, axis=1)             # degree partner 5 - A
 
-    z2 = jnp.stack([ze, zo], axis=1).astype(zdtype)    # (B, 2, H, C2)
+    zq = tuple(p.astype(zdtype) for p in zq)
 
-    # Pre-flipped margin strips [left | right]: z planes swap cp partners;
-    # re margins of band A are the flipped im edges of its quad partner
-    # (and vice versa) — c2q's quad reflection swaps the re/im roles.
-    # The band-partner permutation commutes with the lane slicing, so it
-    # runs on the 2G-column strips, never the full planes (a full-plane
-    # flip cost 0.27 ms of the 4096^2 roundtrip — r5 xprof).
+    # Pre-flipped margin strips [left | right]: lane reflection keeps the
+    # row parity and swaps column-parity partners (slot s ^ 1); re margins
+    # of band A are the flipped im edges of its quad partner (and vice
+    # versa) — c2q's quad reflection swaps the re/im roles.  The partner
+    # permutations commute with the lane slicing, so they run on the
+    # 2G-column strips, never the full planes (a full-plane flip cost
+    # 0.27 ms of the 4096^2 roundtrip — r5 xprof).
     G = _MARGIN
 
     def edges(a):
         return jnp.concatenate([jnp.flip(a[..., :G], axis=-1),
                                 jnp.flip(a[..., -G:], axis=-1)], axis=-1)
 
-    mz = edges(jnp.stack([zo, ze], axis=1).astype(zdtype))
+    mz = jnp.stack([edges(zq[1]), edges(zq[0]),
+                    edges(zq[3]), edges(zq[2])], axis=1)
     mq = jnp.concatenate([partner(edges(imp)),
                           partner(edges(rep))], axis=1)
 
@@ -560,6 +546,6 @@ def inv_level1(Z, yh, g0o, g1o, planes=None, g2o=None, bands=None
     # (The r2-era 4-quarter-plane form left a combined row+column relayout
     # to XLA, which lowered at ~8 GB/s when materialised: 17 ms of the
     # 23 ms standalone 4096^2 roundtrip, found with tools/xprof.py.)
-    z_e, z_o = call(z2, rep, imp, mz, mq)
+    z_e, z_o = call(*zq, rep, imp, mz, mq)
     out = jnp.stack([z_e, z_o], axis=-1).reshape((B, H, Wd))
     return out.reshape(lead + out.shape[-2:])
