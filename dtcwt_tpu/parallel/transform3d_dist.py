@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import PartitionSpec as P
 
+from dtcwt_tpu.ops import engine as _engine
 from dtcwt_tpu.ops import fb
 from dtcwt_tpu.ops.packing import cube2c, c2cube, c2cube_planes
 from dtcwt_tpu.parallel.halo import halo_exchange
@@ -284,6 +285,20 @@ class ShardedTransform3d:
                         cur = requant(tree_filter(out, h0o, -3, d_sharded))
                         Yh.append((None, None) if planes else None)
                         continue
+                    if not d_sharded and not r_sharded:
+                        # all spatial axes replicated on this level (incl.
+                        # batch-only meshes and the degenerate 1x1 case):
+                        # the shard-local volume IS the global one, so the
+                        # single-device fused level-1 kernels apply
+                        # verbatim (r4 verdict item: the sharded path must
+                        # not lag the fused kernel set)
+                        lll, hp = Transform3d._level1_fwd(
+                            cur, h0o, h1o, planes=planes)
+                        if planes:
+                            hp = (hp[0].astype(sdt), hp[1].astype(sdt))
+                        cur = requant(lll)
+                        Yh.append(hp)
+                        continue
                     t2 = fb.filter2_axis(cur, h0o, h1o, -1)
                     t21 = [tree_filter2(v, -2, r_sharded) for v in t2]
                     oct_ = {}
@@ -298,6 +313,16 @@ class ShardedTransform3d:
                     # the plans; the single-device trim rule applies there)
                     Yh.append(Transform3d._pack_octants(
                         [oct_[o] for o in _OCTANTS], planes, dtype=sdt))
+                elif not d_sharded and not r_sharded:
+                    # replicated level >= 2: single-device fused stage
+                    # (two-sided MXU (H, W) kernel + engine-dispatched
+                    # depth passes), identical semantics incl. its pads
+                    lll, hp = self._single._level2_fwd(
+                        cur, h0a, h0b, h1a, h1b, planes=planes)
+                    if planes:
+                        hp = (hp[0].astype(sdt), hp[1].astype(sdt))
+                    cur = requant(lll)
+                    Yh.append(hp)
                 else:
                     # level >= 2: qshift dual filters; edge-repeat pad on
                     # unsharded axes only (plans reject sharded-axis pads)
@@ -520,26 +545,34 @@ class ShardedTransform3d:
             r_on = rplan[nlevels - 1]
             for level in range(nlevels - 1, 0, -1):
                 oct_ = octs(Yh[level])
-                oct_[(0, 0, 0)] = Yl
-                Yl = synth2(oct_, d_on, r_on)
-                # ext_mode crops: W is never sharded; depth/rows crops only
-                # occur on the replicated stretch (the plans exclude them
-                # on the sharded suffix).  Reference crop rule: crop when
-                # 2*curr_grid != finer_grid (transform3d.py:505-524).
                 curr = hp_shapes[level][-4:-1]
                 if hp_shapes[level - 1] is not None:
                     prev = hp_shapes[level - 1][-4:-1]
                 else:
                     prev = tuple(2 * s for s in curr)
-                if not d_on and 2 * curr[0] != prev[0]:
-                    Yl = lax.slice_in_dim(Yl, crop, Yl.shape[-3] - crop,
-                                          axis=-3)
-                if not r_on and 2 * curr[1] != prev[1]:
-                    Yl = lax.slice_in_dim(Yl, crop, Yl.shape[-2] - crop,
-                                          axis=-2)
-                if 2 * curr[2] != prev[2]:
-                    Yl = lax.slice_in_dim(Yl, crop, Yl.shape[-1] - crop,
-                                          axis=-1)
+                if not d_on and not r_on:
+                    # all spatial axes replicated: the single-device fused
+                    # synthesis stage (hw22 two-sided merge + crops) applies
+                    # verbatim to the shard-local (= global) volume
+                    Yl = self._single._level2_inv(Yl, oct_, curr, g0a, g0b,
+                                                  g1a, g1b, prev)
+                else:
+                    oct_[(0, 0, 0)] = Yl
+                    Yl = synth2(oct_, d_on, r_on)
+                    # ext_mode crops: W is never sharded; depth/rows crops
+                    # only occur on the replicated stretch (the plans
+                    # exclude them on the sharded suffix).  Reference crop
+                    # rule: crop when 2*curr_grid != finer_grid
+                    # (transform3d.py:505-524).
+                    if not d_on and 2 * curr[0] != prev[0]:
+                        Yl = lax.slice_in_dim(Yl, crop, Yl.shape[-3] - crop,
+                                              axis=-3)
+                    if not r_on and 2 * curr[1] != prev[1]:
+                        Yl = lax.slice_in_dim(Yl, crop, Yl.shape[-2] - crop,
+                                              axis=-2)
+                    if 2 * curr[2] != prev[2]:
+                        Yl = lax.slice_in_dim(Yl, crop, Yl.shape[-1] - crop,
+                                              axis=-1)
                 # per-level storage-dtype requantization: bit parity with
                 # _level2_inv's `out.astype(sdt)` (the elementwise cast
                 # commutes with the reshard slices below)
@@ -574,9 +607,18 @@ class ShardedTransform3d:
                     Yl = lowfilt(Yl, -3, d_on)
                     Yl = fb.filter_axis(Yl, g0o, -1)
                 else:
-                    oct_ = octs(Yh[0])
-                    oct_[(0, 0, 0)] = Yl
-                    Yl = synth1(oct_, d_on, r_on)
+                    fused = None
+                    if not d_on and not r_on and _engine.use_pallas():
+                        level0 = ((_comp(Yh[0][0]), _comp(Yh[0][1]))
+                                  if planes else Yh[0])
+                        fused = Transform3d._level1_inv_fused(
+                            Yl, level0, g0o, g1o)
+                    if fused is not None:
+                        Yl = fused
+                    else:
+                        oct_ = octs(Yh[0])
+                        oct_[(0, 0, 0)] = Yl
+                        Yl = synth1(oct_, d_on, r_on)
             return Yl.astype(sdt)
 
         shmapped = jax.shard_map(

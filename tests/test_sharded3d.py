@@ -270,3 +270,37 @@ def test_sharded3d_rows_axis_discard_and_ext8():
         assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-12
     assert np.abs(np.asarray(st8.inverse(p8))
                   - np.asarray(t8.inverse(q8))).max() < 1e-12
+
+def test_sharded3d_batch_mesh_dispatches_fused(monkeypatch):
+    """On a batch-only (spatially replicated) mesh the shard-local level-1
+    work routes through the fused pack kernels (r4 verdict item 4: the
+    sharded path must not lag the single-device kernel set)."""
+    from dtcwt_tpu.ops import engine, pallas_pack3d
+    calls = {"fwd": 0, "inv": 0}
+    orig_f, orig_i = (pallas_pack3d.fwd_level1_pack,
+                      pallas_pack3d.inv_level1_pack)
+
+    def spy_f(*a, **k):
+        out = orig_f(*a, **k)
+        calls["fwd"] += out is not None
+        return out
+
+    def spy_i(*a, **k):
+        out = orig_i(*a, **k)
+        calls["inv"] += out is not None
+        return out
+
+    monkeypatch.setattr(pallas_pack3d, "fwd_level1_pack", spy_f)
+    monkeypatch.setattr(pallas_pack3d, "inv_level1_pack", spy_i)
+    mesh = _mesh(8, 1)
+    st = ShardedTransform3d(mesh)
+    t = Transform3d()
+    X = RNG.rand(8, 16, 16, 32).astype(np.float32)
+    with engine.engine("pallas"):
+        ps = st.forward(X, nlevels=2)
+        rec = np.asarray(st.inverse(ps))
+        p = t.forward(X, nlevels=2)
+    assert calls["fwd"] >= 1 and calls["inv"] >= 1
+    for a, b in zip(ps.highpasses, p.highpasses):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-5
+    assert np.abs(rec - X).max() < 1e-4
