@@ -132,14 +132,12 @@ def _build_level2(B: int, R: int, C4: int, h0abytes: bytes, h0bbytes: bytes,
     # Column stage as banded MXU matmuls: rows [0,tq) = even-row tree,
     # [tq,2tq) = odd-row tree, taps indexed straight off the slab
     # (Ya[i] = sum_k rev(ha)[k] slab[off + 4i + 2 + 2k], Yb at +3).
-    # bf16 MXU matmuls are broken on the current Mosaic toolchain (see
-    # pallas_fb._mxu_precision), and the f32 cast FUSED into this kernel's
-    # banded column dot also miscompiled (deterministic first-tile NaNs at
-    # the (R=1024, C=1024) build, composition-dependent).  bf16 therefore
-    # stages each slab through an f32 VMEM scratch (one whole-slab vector
-    # cast, separated from the dot) and runs the known-good f32 matmul.
+    # bf16 slabs cast f32 per dot (_f32win): the r3-era toolchain
+    # miscompiled this fused cast here (deterministic first-tile NaNs at
+    # the (R=1024, C=1024) build) and forced a whole-slab f32 VMEM staging
+    # pass; re-probed 2026-08-20 (r5) the fused cast is exact on the
+    # current Mosaic and the staging scratch is gone.
     use_mxu = m >= 6 and not _interpret()
-    stage_f32 = use_mxu and jnp.dtype(dtype_str) == jnp.bfloat16
     off_slab = pad8 - m
     slab_rows = 4 * tq + 2 * pad8
 
@@ -280,9 +278,6 @@ def _build_level2(B: int, R: int, C4: int, h0abytes: bytes, h0bbytes: bytes,
             else:
                 ac0_ref, ac1_ref = refs[0], refs[1]
                 refs = refs[2:]
-        if stage_f32:
-            s32 = refs[-1]
-            refs = refs[:-1]
         (lolo_e_ref, lolo_o_ref, re_ref, im_ref,
          s0, s1, s2, s3, cols, sems) = refs
         b = pl.program_id(0)
@@ -318,11 +313,7 @@ def _build_level2(B: int, R: int, C4: int, h0abytes: bytes, h0bbytes: bytes,
                 if use_mxu:
                     # Column stage: one banded matmul per (plane, pair).
                     for p in range(4):
-                        if stage_f32:
-                            s32[p] = slabs[p][buf].astype(jnp.float32)
-                            sl = s32[p]
-                        else:
-                            sl = slabs[p][buf]
+                        sl = _f32win(dtype)(slabs[p][buf])
                         ylo = jnp.dot(ac0_ref[:, :], sl,
                                       precision=_mxu_precision(dtype),
                                       preferred_element_type=jnp.float32
@@ -433,9 +424,7 @@ def _build_level2(B: int, R: int, C4: int, h0abytes: bytes, h0bbytes: bytes,
                         pltpu.VMEM((2, 4 * tq + 2 * pad8, W), dtype),
                         pltpu.VMEM((2, 4 * tq + 2 * pad8, W), dtype),
                         pltpu.VMEM((2 * n_br, 4, tq, W), dtype),
-                        pltpu.SemaphoreType.DMA((2, 4))]
-                       + ([pltpu.VMEM((4, 4 * tq + 2 * pad8, W),
-                                      jnp.float32)] if stage_f32 else []),
+                        pltpu.SemaphoreType.DMA((2, 4))],
         compiler_params=_compiler_params(3),
         interpret=_interpret(),
     )
