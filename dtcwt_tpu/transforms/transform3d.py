@@ -242,7 +242,16 @@ class Transform3d:
         sdt = X.dtype
         t21 = None
         if engine.use_pallas():
-            from dtcwt_tpu.ops import pallas_hw
+            from dtcwt_tpu.ops import pallas_hw, pallas_pack3d
+            # fully fused level >= 2: depth dfilt stage + one per-pair
+            # (H, W) MXU pack kernel (f32; bf16/off-envelope declines)
+            out = pallas_pack3d.fwd_level2_pack(
+                _comp(X), (h0b, h0a), (h1b, h1a), as_planes=planes)
+            if out is not None:
+                lll, hp = out
+                if planes and sdt != lll.dtype:
+                    hp = (hp[0].astype(sdt), hp[1].astype(sdt))
+                return lll.astype(sdt), hp
             hw = pallas_hw.dfilt_hw22(X, (h0b, h0a), (h1b, h1a))
             if hw is not None:
                 t21 = [[_comp(hw[0][k]), _comp(hw[1][k])] for k in range(2)]
@@ -304,6 +313,15 @@ class Transform3d:
                 prev_shape = spatial(level - 1)
             else:
                 prev_shape = tuple(2 * s for s in spatial(level))
+            fused = None
+            if engine.use_pallas():
+                lvl = (Yb[level] if isinstance(pyramid, PlanePyramid)
+                       else Yh[level])
+                fused = self._level2_inv_fused(Yl, lvl, spatial(level),
+                                               prev_shape)
+            if fused is not None:
+                Yl = fused.astype(Yl.dtype)
+                continue
             Yl = self._level2_inv(Yl, oct_at(level), spatial(level),
                                   g0a, g0b, g1a, g1b, prev_shape)
         if nlevels >= 1:
@@ -318,6 +336,30 @@ class Transform3d:
                 Yl = (fused if fused is not None
                       else self._level1_inv(Yl, oct_at(0), g0o, g1o))
         return Yl
+
+    def _level2_inv_fused(self, Yl, level_bands, curr, prev_shape):
+        """Fused level->=2 inverse (per-pair unpack kernel + dual-sum depth
+        merge, ops/pallas_pack3d.py) with the reference crop rule applied;
+        None off-envelope."""
+        from dtcwt_tpu.ops import pallas_pack3d
+        q = self.qshift
+        g0a, g0b, g1a, g1b = q[2], q[3], q[6], q[7]
+        if isinstance(level_bands, tuple):
+            re, im = _comp(level_bands[0]), _comp(level_bands[1])
+        else:
+            re = jnp.stack([jnp.real(level_bands[..., n])
+                            for n in range(28)], axis=-4)
+            im = jnp.stack([jnp.imag(level_bands[..., n])
+                            for n in range(28)], axis=-4)
+        out = pallas_pack3d.inv_level2_pack(_comp(Yl), re, im,
+                                            (g0b, g0a), (g1b, g1a))
+        if out is None:
+            return None
+        crop = 1 if self.ext_mode == 4 else 2
+        for d, ax in enumerate((-3, -2, -1)):
+            if 2 * curr[d] != prev_shape[d]:
+                out = _crop(out, ax, crop)
+        return out
 
     @staticmethod
     def _level1_inv_fused(Yl, level0, g0o, g1o):

@@ -148,3 +148,101 @@ def test_transform3d_routes_through_pack(monkeypatch):
             r = t3.inverse(p)
             assert _err(r, v) < 1e-3
     assert calls["fwd"] >= 2 and calls["inv"] >= 2
+
+
+def _oracle_fwd2(x, q):
+    h0a, h0b, h1a, h1b = q[0], q[1], q[4], q[5]
+    with engine.engine("xla"):
+        lo_w, hi_w = fb.dfilt2_axis(jnp.asarray(x), (h0b, h0a),
+                                    (h1b, h1a), -1)
+        t21 = {}
+        for k, v in ((0, lo_w), (1, hi_w)):
+            t21[(0, k)], t21[(1, k)] = fb.dfilt2_axis(v, (h0b, h0a),
+                                                      (h1b, h1a), -2)
+        octs = {}
+        for (j, k), v in t21.items():
+            octs[(0, j, k)], octs[(1, j, k)] = fb.dfilt2_axis(
+                v, (h0b, h0a), (h1b, h1a), -3)
+        parts = [cube2c_planes(octs[o]) for o in _OCT]
+        re = jnp.concatenate([r for r, _ in parts], axis=-4)
+        im = jnp.concatenate([i for _, i in parts], axis=-4)
+        return octs[(0, 0, 0)], re, im
+
+
+@pytest.mark.parametrize("shape", [(16, 16, 32), (2, 16, 16, 32)])
+def test_fwd2_parity(shape):
+    from dtcwt_tpu.coeffs import qshift
+    q = qshift("qshift_a")
+    x = np.random.RandomState(0).randn(*shape).astype(np.float32)
+    out = pallas_pack3d.fwd_level2_pack(jnp.asarray(x), (q[1], q[0]),
+                                        (q[5], q[4]))
+    assert out is not None
+    lll, (re, im) = out
+    wl, wre, wim = _oracle_fwd2(x, q)
+    assert _err(lll, wl) < TOL
+    assert _err(re, wre) < TOL
+    assert _err(im, wim) < TOL
+
+
+def test_inv2_parity_and_pr():
+    from dtcwt_tpu.coeffs import qshift
+    from dtcwt_tpu.ops.packing import c2cube_planes
+    q = qshift("qshift_a")
+    rs = np.random.RandomState(0)
+    shape = (16, 16, 32)
+    x = rs.randn(*shape).astype(np.float32)
+    lll, (re, im) = pallas_pack3d.fwd_level2_pack(
+        jnp.asarray(x), (q[1], q[0]), (q[5], q[4]))
+    y = pallas_pack3d.inv_level2_pack(lll, re, im, (q[3], q[2]),
+                                      (q[7], q[6]))
+    assert y is not None
+    # oracle inverse: c2cube + per-axis dual-sum interpolating merges
+    with engine.engine("xla"):
+        octs = {}
+        for n, o in enumerate(_OCT):
+            octs[o] = c2cube_planes(
+                jnp.asarray(re)[..., 4 * n:4 * n + 4, :, :, :],
+                jnp.asarray(im)[..., 4 * n:4 * n + 4, :, :, :])
+        octs[(0, 0, 0)] = jnp.asarray(lll)
+        V = {}
+        for j in range(2):
+            for k in range(2):
+                V[(j, k)] = fb.ifilt2_sum_axis(
+                    octs[(0, j, k)], octs[(1, j, k)],
+                    (q[3], q[2]), (q[7], q[6]), -3)
+        u0 = fb.ifilt2_sum_axis(V[(0, 0)], V[(1, 0)],
+                                (q[3], q[2]), (q[7], q[6]), -2)
+        u1 = fb.ifilt2_sum_axis(V[(0, 1)], V[(1, 1)],
+                                (q[3], q[2]), (q[7], q[6]), -2)
+        want = fb.ifilt2_sum_axis(u0, u1, (q[3], q[2]), (q[7], q[6]), -1)
+    assert _err(y, want) < TOL
+    # perfect reconstruction through the fused level-2 pair
+    assert _err(y, x) < 1e-3
+
+
+def test_transform3d_routes_through_pack2(monkeypatch):
+    import dtcwt_tpu as dt
+    calls = {"fwd": 0, "inv": 0}
+    orig_f, orig_i = (pallas_pack3d.fwd_level2_pack,
+                      pallas_pack3d.inv_level2_pack)
+
+    def spy_f(*a, **k):
+        out = orig_f(*a, **k)
+        calls["fwd"] += out is not None
+        return out
+
+    def spy_i(*a, **k):
+        out = orig_i(*a, **k)
+        calls["inv"] += out is not None
+        return out
+
+    monkeypatch.setattr(pallas_pack3d, "fwd_level2_pack", spy_f)
+    monkeypatch.setattr(pallas_pack3d, "inv_level2_pack", spy_i)
+    t3 = dt.Transform3d()
+    v = np.random.RandomState(2).rand(16, 16, 32).astype(np.float32)
+    with engine.engine("pallas"):
+        for layout in ("interleaved", "planes"):
+            p = t3.forward(v, 2, layout=layout)
+            r = t3.inverse(p)
+            assert _err(r, v) < 1e-3
+    assert calls["fwd"] >= 2 and calls["inv"] >= 2
