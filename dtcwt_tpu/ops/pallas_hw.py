@@ -80,6 +80,17 @@ def _mats(kind: str, taps0, taps1, H: int, W: int):
     return A, B
 
 
+def _slice_batch(N: int) -> int:
+    """Depth slices per grid step.  One-slice steps dominate these kernels
+    with per-step overhead (a 256^3 level-1 stage spent ~half its time on
+    256 single-slice steps — r5 chip bisect); batching 8 slices per step
+    amortises it while keeping blocks comfortably inside VMEM."""
+    for s in (8, 4, 2):
+        if N % s == 0:
+            return s
+    return 1
+
+
 @functools.lru_cache(maxsize=None)
 def _build_hw22(N: int, H: int, W: int, kind: str, taps0, taps1,
                 dtype_str: str):
@@ -87,25 +98,27 @@ def _build_hw22(N: int, H: int, W: int, kind: str, taps0, taps1,
     HO, WO = A0.shape[0], B0.shape[1]
     dtype = jnp.dtype(dtype_str)
     hp = _mxu_precision(dtype)
+    S = _slice_batch(N)
 
     def kernel(x_ref, a0, a1, b0, b1, o00, o01, o10, o11):
-        x = _f32win(dtype)(x_ref[0])
-        for a_ref, outs in ((a0, (o00, o01)), (a1, (o10, o11))):
-            t = jnp.dot(a_ref[:, :], x, precision=hp,
-                        preferred_element_type=jnp.float32)
-            for b_ref, o_ref in zip((b0, b1), outs):
-                o_ref[0] = jnp.dot(t, b_ref[:, :], precision=hp,
-                                   preferred_element_type=jnp.float32
-                                   ).astype(dtype)
+        for s in range(S):
+            x = _f32win(dtype)(x_ref[s])
+            for a_ref, outs in ((a0, (o00, o01)), (a1, (o10, o11))):
+                t = jnp.dot(a_ref[:, :], x, precision=hp,
+                            preferred_element_type=jnp.float32)
+                for b_ref, o_ref in zip((b0, b1), outs):
+                    o_ref[s] = jnp.dot(t, b_ref[:, :], precision=hp,
+                                       preferred_element_type=jnp.float32
+                                       ).astype(dtype)
 
     mat = lambda m: pl.BlockSpec(m.shape, lambda d: (0, 0),
                                  memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, HO, WO), lambda d: (d, 0, 0),
+    out_spec = pl.BlockSpec((S, HO, WO), lambda d: (d, 0, 0),
                             memory_space=pltpu.VMEM)
     call = pl.pallas_call(
         kernel,
-        grid=(N,),
-        in_specs=[pl.BlockSpec((1, H, W), lambda d: (d, 0, 0),
+        grid=(N // S,),
+        in_specs=[pl.BlockSpec((S, H, W), lambda d: (d, 0, 0),
                                memory_space=pltpu.VMEM),
                   mat(A0), mat(A1), mat(B0), mat(B1)],
         out_specs=(out_spec,) * 4,
@@ -159,28 +172,32 @@ def _build_sum_hw22(N: int, H: int, W: int, kind: str, taps0, taps1,
     HO, WO = A0.shape[0], B0.shape[1]
     dtype = jnp.dtype(dtype_str)
     hp = _mxu_precision(dtype)
+    S = _slice_batch(N)
 
     def kernel(v00, v01, v10, v11, a0, a1, b0, b1, o_ref):
-        acc = None
-        for a_ref, (vj0, vj1) in ((a0, (v00, v01)), (a1, (v10, v11))):
-            inner = (jnp.dot(_f32win(dtype)(vj0[0]), b0[:, :], precision=hp,
-                             preferred_element_type=jnp.float32)
-                     + jnp.dot(_f32win(dtype)(vj1[0]), b1[:, :], precision=hp,
-                               preferred_element_type=jnp.float32))
-            term = jnp.dot(a_ref[:, :], inner, precision=hp,
-                           preferred_element_type=jnp.float32)
-            acc = term if acc is None else acc + term
-        o_ref[0] = acc.astype(dtype)
+        for s in range(S):
+            acc = None
+            for a_ref, (vj0, vj1) in ((a0, (v00, v01)), (a1, (v10, v11))):
+                inner = (jnp.dot(_f32win(dtype)(vj0[s]), b0[:, :],
+                                 precision=hp,
+                                 preferred_element_type=jnp.float32)
+                         + jnp.dot(_f32win(dtype)(vj1[s]), b1[:, :],
+                                   precision=hp,
+                                   preferred_element_type=jnp.float32))
+                term = jnp.dot(a_ref[:, :], inner, precision=hp,
+                               preferred_element_type=jnp.float32)
+                acc = term if acc is None else acc + term
+            o_ref[s] = acc.astype(dtype)
 
     mat = lambda m: pl.BlockSpec(m.shape, lambda d: (0, 0),
                                  memory_space=pltpu.VMEM)
-    in_spec = pl.BlockSpec((1, H, W), lambda d: (d, 0, 0),
+    in_spec = pl.BlockSpec((S, H, W), lambda d: (d, 0, 0),
                            memory_space=pltpu.VMEM)
     call = pl.pallas_call(
         kernel,
-        grid=(N,),
+        grid=(N // S,),
         in_specs=[in_spec] * 4 + [mat(A0), mat(A1), mat(B0), mat(B1)],
-        out_specs=pl.BlockSpec((1, HO, WO), lambda d: (d, 0, 0),
+        out_specs=pl.BlockSpec((S, HO, WO), lambda d: (d, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, HO, WO), dtype),
         compiler_params=_compiler_params(1),
