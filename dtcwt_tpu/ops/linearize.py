@@ -23,7 +23,7 @@ from dtcwt_tpu.ops import engine
 __all__ = ["linear_vjp"]
 
 
-def linear_vjp(impl, spec):
+def linear_vjp(impl, spec, adjoint=None):
     """Wrap linear *impl* (a single-pytree-argument function) so it
     differentiates via the linear transpose of its XLA-engine evaluation.
 
@@ -32,6 +32,11 @@ def linear_vjp(impl, spec):
         transposed jaxpr never contains a kernel call.
     :param spec: a pytree of ``jax.ShapeDtypeStruct`` describing the operand
         (the shapes are static at trace time).
+    :param adjoint: optional explicit adjoint (cotangent -> operand
+        cotangent).  When given, the backward pass runs it instead of the
+        XLA transpose — the transforms supply kernel-speed adjoints built
+        from the fused kernels themselves (:mod:`ops.adjoint`), exact to
+        f32 roundoff against the XLA transpose.
     """
     def ref(operand):
         with engine.engine("xla"):
@@ -45,6 +50,8 @@ def linear_vjp(impl, spec):
         return impl(operand), None
 
     def bwd(_, cotangent):
+        if adjoint is not None:
+            return (adjoint(cotangent),)
         transpose = jax.linear_transpose(ref, spec)
         (grad,) = transpose(cotangent)
         return (grad,)

@@ -200,12 +200,129 @@ class Transform2d:
                                             include_scale=include_scale,
                                             layout=layout)
         if engine.use_pallas():
-            # Pallas kernels have no autodiff rule; the transform is linear,
-            # so grads go through the XLA path's linear transpose.
+            # Pallas kernels have no autodiff rule; the transform is
+            # linear, so grads go through its linear transpose — the
+            # kernel-speed explicit adjoint where available (ops/adjoint),
+            # the XLA path's mechanical transpose otherwise.
             from dtcwt_tpu.ops.linearize import linear_vjp
             spec = jax.ShapeDtypeStruct(X.shape, X.dtype)
-            return linear_vjp(impl, spec)(X)
+            adj = self._fwd_adjoint_fn(X.shape, X.dtype, nlevels,
+                                       include_scale, layout)
+            return linear_vjp(impl, spec, adjoint=adj)(X)
         return impl(X)
+
+    # ------------------------------------------------------------------
+    # kernel-speed adjoints (see ops/adjoint.py): the qshift stage is
+    # exactly orthogonal (||A^T A - I|| ~ 1e-15 at matrix level incl.
+    # boundaries), so the level>=2 analysis adjoint IS the fused inverse
+    # stage and the synthesis adjoint the fused forward stage; level 1
+    # (biort, redundant) gets its explicit zero-extension + border-fold
+    # adjoint.  JAX's complex-cotangent convention arrives conjugated.
+    # ------------------------------------------------------------------
+    def _fwd_adjoint_fn(self, shape, dtype, nlevels: int,
+                        include_scale: bool, layout: str):
+        """Cotangent map of the forward at kernel speed, or None when the
+        configuration falls outside its envelope (bp variants, scales,
+        plane layout, pad/crop shape chains, non-f32)."""
+        if (len(self.biort) != 4 or len(self.qshift) != 8
+                or include_scale or layout != "interleaved"
+                or nlevels < 1):
+            return None
+        if jnp.dtype(dtype) != jnp.float32:
+            return None
+        H, W = shape[-2], shape[-1]
+        if H % (2 ** nlevels) or W % (2 ** nlevels):
+            return None
+        b, q = self.biort, self.qshift
+        h0o, h1o = b[0], b[2]
+        g0a, g0b, g1a, g1b = q[2], q[3], q[6], q[7]
+
+        def adj(cot):
+            from dtcwt_tpu.ops import pallas_ilevel2
+            from dtcwt_tpu.ops import adjoint as adjops
+            Yh = cot.highpasses
+            Z = jnp.asarray(cot.lowpass)
+            zplanes = None
+            for level in range(nlevels - 1, 0, -1):
+                yh_c = jnp.conj(Yh[level])
+                zp = pallas_ilevel2.inv_level2(
+                    Z, yh_c, g0a, g0b, g1a, g1b,
+                    planes=zplanes, as_planes=True)
+                if zp is not None:
+                    zplanes, Z = zp, None
+                    continue
+                if zplanes is not None:
+                    Z = _interleave_planes(zplanes)
+                    zplanes = None
+                lh = c2q(yh_c[..., 0], yh_c[..., 5], 1.0, 1.0)
+                hl = c2q(yh_c[..., 2], yh_c[..., 3], 1.0, 1.0)
+                hh = c2q(yh_c[..., 1], yh_c[..., 4], 1.0, 1.0)
+                p0, p1 = (g0b, g0a), (g1b, g1a)
+                y1 = fb.ifilt2_sum_axis(Z, lh, p0, p1, -2)
+                y2 = fb.ifilt2_sum_axis(hl, hh, p0, p1, -2)
+                Z = fb.ifilt2_sum_axis(y1, y2, p0, p1, -1)
+            if zplanes is not None:
+                Z = _interleave_planes(zplanes)
+            return adjops.level1_fwd_adj(Z, jnp.conj(Yh[0]), h0o, h1o)
+        return adj
+
+    def _inv_adjoint_fn(self, pyramid):
+        """Cotangent map of the (gain-free) inverse at kernel speed, or
+        None outside its envelope."""
+        if isinstance(pyramid, PlanePyramid) or not isinstance(
+                pyramid, Pyramid):
+            return None
+        if len(self.biort) != 4 or len(self.qshift) != 8:
+            return None
+        if pyramid.scales is not None:
+            return None
+        Yh = pyramid.highpasses
+        nlevels = len(Yh)
+        if nlevels < 1:
+            return None
+        if jnp.result_type(pyramid.lowpass) != jnp.float32:
+            return None
+        hw = [tuple(h.shape[-3:-1]) for h in Yh]
+        for lvl in range(1, nlevels):
+            if hw[lvl - 1] != tuple(2 * s for s in hw[lvl]):
+                return None
+        if tuple(pyramid.lowpass.shape[-2:]) != tuple(
+                2 * s for s in hw[-1]):
+            return None
+        b, q = self.biort, self.qshift
+        g0o, g1o = b[1], b[3]
+        h0a, h0b, h1a, h1b = q[0], q[1], q[4], q[5]
+
+        def adj(xbar):
+            from dtcwt_tpu.ops import pallas_level2
+            from dtcwt_tpu.ops import adjoint as adjops
+            z, b1 = adjops.level1_inv_adj(jnp.asarray(xbar), g0o, g1o)
+            Yh_cot = [jnp.conj(b1)]
+            pair = None
+            for level in range(1, nlevels):
+                keep_split = level < nlevels - 1
+                fused = pallas_level2.fwd_level2(
+                    z, h0a, h0b, h1a, h1b, pair=pair,
+                    as_split=keep_split)
+                if fused is not None:
+                    lp, yh = fused
+                    Yh_cot.append(jnp.conj(yh))
+                    if isinstance(lp, tuple):
+                        pair, z = lp, None
+                    else:
+                        z, pair = lp, None
+                    continue
+                if pair is not None:
+                    z, pair = _interleave_cols(pair), None
+                zc = _comp(z)
+                lo, hi = fb.dfilt2_axis(zc, (h0b, h0a), (h1b, h1a), -2)
+                z, im23 = fb.dfilt2_axis(lo, (h0b, h0a), (h1b, h1a), -1)
+                im05, im14 = fb.dfilt2_axis(hi, (h0b, h0a), (h1b, h1a), -1)
+                Yh_cot.append(jnp.conj(_pack_bands(im05, im23, im14)))
+            if pair is not None:
+                z = _interleave_cols(pair)
+            return Pyramid(z, tuple(Yh_cot), None)
+        return adj
 
     def _forward_body(self, X, *, nlevels: int, include_scale: bool,
                       layout: str = "interleaved") -> Pyramid:
@@ -437,7 +554,8 @@ class Transform2d:
             from dtcwt_tpu.ops.linearize import linear_vjp
             spec = jax.tree_util.tree_map(
                 lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), pyramid)
-            return linear_vjp(impl, spec)(pyramid)
+            return linear_vjp(impl, spec,
+                              adjoint=self._inv_adjoint_fn(pyramid))(pyramid)
         return impl(pyramid)
 
     def _inverse_body(self, pyramid: Pyramid, gain_mask):
