@@ -130,6 +130,14 @@ def filter2_sum_adj_axis(ya, yb, h0, h1, axis: int):
     return _fold_borders(core, yb, h1, axis)
 
 
+def level1_fwd_adj_quads(glow, lh, hl, hh, h0o, h1o):
+    """Level-1 analysis adjoint from the already-unpacked quad cotangents
+    (``c2q`` of the conjugated band cotangents, either layout)."""
+    lo_bar = filter2_sum_adj_axis(glow, hl, h0o, h1o, -1)
+    hi_bar = filter2_sum_adj_axis(lh, hh, h0o, h1o, -1)
+    return filter2_sum_adj_axis(lo_bar, hi_bar, h0o, h1o, -2)
+
+
 def level1_fwd_adj(glow, ybar, h0o, h1o):
     """Adjoint of the level-1 2-D analysis stage: cotangents of
     ``(lowpass, Yh[0])`` back to the input-image cotangent.
@@ -141,9 +149,7 @@ def level1_fwd_adj(glow, ybar, h0o, h1o):
     lh = c2q(ybar[..., 0], ybar[..., 5], 1.0, 1.0)
     hl = c2q(ybar[..., 2], ybar[..., 3], 1.0, 1.0)
     hh = c2q(ybar[..., 1], ybar[..., 4], 1.0, 1.0)
-    lo_bar = filter2_sum_adj_axis(glow, hl, h0o, h1o, -1)
-    hi_bar = filter2_sum_adj_axis(lh, hh, h0o, h1o, -1)
-    return filter2_sum_adj_axis(lo_bar, hi_bar, h0o, h1o, -2)
+    return level1_fwd_adj_quads(glow, lh, hl, hh, h0o, h1o)
 
 
 def filter2_adj_axis(y, h0, h1, axis: int):

@@ -131,6 +131,16 @@ def _pack_bands(lohi, hilo, hihi):
                      axis=-1)
 
 
+def _pack_band_planes_from_complex(yh):
+    """Band-minor complex ``[..., h, w, 6]`` -> band-major ``(re, im)``
+    planes in PLANE_BAND_ORDER (static slices; no gather)."""
+    re = jnp.stack([jnp.real(yh[..., d]) for d in PLANE_BAND_ORDER],
+                   axis=-3)
+    im = jnp.stack([jnp.imag(yh[..., d]) for d in PLANE_BAND_ORDER],
+                   axis=-3)
+    return re, im
+
+
 def _pack_band_planes(lohi, hilo, hihi, dtype):
     """Quad->plane pack of the three highpass images straight into the
     band-major ``(re, im)`` plane pair (``PLANE_BAND_ORDER``), with no
@@ -225,9 +235,9 @@ class Transform2d:
         configuration falls outside its envelope (bp variants, scales,
         plane layout, pad/crop shape chains, non-f32)."""
         if (len(self.biort) != 4 or len(self.qshift) != 8
-                or include_scale or layout != "interleaved"
-                or nlevels < 1):
+                or include_scale or nlevels < 1):
             return None
+        planes = layout == "planes"
         if jnp.dtype(dtype) != jnp.float32:
             return None
         H, W = shape[-2], shape[-1]
@@ -240,49 +250,71 @@ class Transform2d:
         def adj(cot):
             from dtcwt_tpu.ops import pallas_ilevel2
             from dtcwt_tpu.ops import adjoint as adjops
-            Yh = cot.highpasses
-            Z = jnp.asarray(cot.lowpass)
+            if planes:
+                # plane outputs are REAL arrays: no complex-cotangent
+                # conjugation convention applies (unlike lax.complex)
+                bands = tuple((_comp(r), _comp(i)) for r, i in
+                              zip(cot.highpasses_re, cot.highpasses_im))
+                quads_of = lambda lvl: (
+                    lambda bp: (c2q_planes(bp(0), bp(5)),
+                                c2q_planes(bp(2), bp(3)),
+                                c2q_planes(bp(1), bp(4))))(
+                    lambda d: (bands[lvl][0][..., _PLANE_POS[d], :, :],
+                               bands[lvl][1][..., _PLANE_POS[d], :, :]))
+            else:
+                bands = tuple(jnp.conj(h) for h in cot.highpasses)
+                quads_of = lambda lvl: (
+                    c2q(bands[lvl][..., 0], bands[lvl][..., 5], 1.0, 1.0),
+                    c2q(bands[lvl][..., 2], bands[lvl][..., 3], 1.0, 1.0),
+                    c2q(bands[lvl][..., 1], bands[lvl][..., 4], 1.0, 1.0))
+            Z = _comp(jnp.asarray(cot.lowpass))
             zplanes = None
             for level in range(nlevels - 1, 0, -1):
-                yh_c = jnp.conj(Yh[level])
                 zp = pallas_ilevel2.inv_level2(
-                    Z, yh_c, g0a, g0b, g1a, g1b,
-                    planes=zplanes, as_planes=True)
+                    Z, None if planes else bands[level],
+                    g0a, g0b, g1a, g1b, planes=zplanes, as_planes=True,
+                    bands=bands[level] if planes else None)
                 if zp is not None:
                     zplanes, Z = zp, None
                     continue
                 if zplanes is not None:
                     Z = _interleave_planes(zplanes)
                     zplanes = None
-                lh = c2q(yh_c[..., 0], yh_c[..., 5], 1.0, 1.0)
-                hl = c2q(yh_c[..., 2], yh_c[..., 3], 1.0, 1.0)
-                hh = c2q(yh_c[..., 1], yh_c[..., 4], 1.0, 1.0)
+                lh, hl, hh = quads_of(level)
                 p0, p1 = (g0b, g0a), (g1b, g1a)
                 y1 = fb.ifilt2_sum_axis(Z, lh, p0, p1, -2)
                 y2 = fb.ifilt2_sum_axis(hl, hh, p0, p1, -2)
                 Z = fb.ifilt2_sum_axis(y1, y2, p0, p1, -1)
             if zplanes is not None:
                 Z = _interleave_planes(zplanes)
-            return adjops.level1_fwd_adj(Z, jnp.conj(Yh[0]), h0o, h1o)
+            lh, hl, hh = quads_of(0)
+            return adjops.level1_fwd_adj_quads(Z, lh, hl, hh, h0o, h1o)
         return adj
 
     def _inv_adjoint_fn(self, pyramid):
         """Cotangent map of the (gain-free) inverse at kernel speed, or
         None outside its envelope."""
-        if isinstance(pyramid, PlanePyramid) or not isinstance(
-                pyramid, Pyramid):
+        planes = isinstance(pyramid, PlanePyramid)
+        if not planes and not isinstance(pyramid, Pyramid):
             return None
         if len(self.biort) != 4 or len(self.qshift) != 8:
             return None
         if pyramid.scales is not None:
             return None
-        Yh = pyramid.highpasses
-        nlevels = len(Yh)
+        if planes:
+            if pyramid.kind != "2d":
+                return None
+            hw = [tuple(r.shape[-2:]) for r in pyramid.highpasses_re]
+            if any(jnp.result_type(r) != jnp.float32
+                   for r in pyramid.highpasses_re):
+                return None
+        else:
+            hw = [tuple(h.shape[-3:-1]) for h in pyramid.highpasses]
+        nlevels = len(hw)
         if nlevels < 1:
             return None
         if jnp.result_type(pyramid.lowpass) != jnp.float32:
             return None
-        hw = [tuple(h.shape[-3:-1]) for h in Yh]
         for lvl in range(1, nlevels):
             if hw[lvl - 1] != tuple(2 * s for s in hw[lvl]):
                 return None
@@ -297,16 +329,24 @@ class Transform2d:
             from dtcwt_tpu.ops import pallas_level2
             from dtcwt_tpu.ops import adjoint as adjops
             z, b1 = adjops.level1_inv_adj(jnp.asarray(xbar), g0o, g1o)
-            Yh_cot = [jnp.conj(b1)]
+            if planes:
+                re1, im1 = _pack_band_planes_from_complex(b1)
+                res, ims = [re1], [im1]
+            else:
+                Yh_cot = [jnp.conj(b1)]
             pair = None
             for level in range(1, nlevels):
                 keep_split = level < nlevels - 1
                 fused = pallas_level2.fwd_level2(
                     z, h0a, h0b, h1a, h1b, pair=pair,
-                    as_split=keep_split)
+                    as_split=keep_split, as_planes=planes)
                 if fused is not None:
                     lp, yh = fused
-                    Yh_cot.append(jnp.conj(yh))
+                    if planes:
+                        res.append(yh[0])
+                        ims.append(yh[1])
+                    else:
+                        Yh_cot.append(jnp.conj(yh))
                     if isinstance(lp, tuple):
                         pair, z = lp, None
                     else:
@@ -318,9 +358,17 @@ class Transform2d:
                 lo, hi = fb.dfilt2_axis(zc, (h0b, h0a), (h1b, h1a), -2)
                 z, im23 = fb.dfilt2_axis(lo, (h0b, h0a), (h1b, h1a), -1)
                 im05, im14 = fb.dfilt2_axis(hi, (h0b, h0a), (h1b, h1a), -1)
-                Yh_cot.append(jnp.conj(_pack_bands(im05, im23, im14)))
+                if planes:
+                    re_l, im_l = _pack_band_planes(im05, im23, im14,
+                                                   jnp.float32)
+                    res.append(re_l)
+                    ims.append(im_l)
+                else:
+                    Yh_cot.append(jnp.conj(_pack_bands(im05, im23, im14)))
             if pair is not None:
                 z = _interleave_cols(pair)
+            if planes:
+                return PlanePyramid(z, tuple(res), tuple(ims), None)
             return Pyramid(z, tuple(Yh_cot), None)
         return adj
 

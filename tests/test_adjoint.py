@@ -80,8 +80,6 @@ def test_adjoint_envelope_declines():
     tb = dt.Transform2d("near_sym_b_bp", "qshift_b_bp")
     assert tb._fwd_adjoint_fn((32, 32), jnp.float32, 2, False,
                               "interleaved") is None
-    assert t._fwd_adjoint_fn((32, 32), jnp.float32, 2, False,
-                             "planes") is None
     assert t._fwd_adjoint_fn((32, 32), jnp.float32, 2, True,
                              "interleaved") is None
     assert t._fwd_adjoint_fn((30, 32), jnp.float32, 3, False,
@@ -105,3 +103,51 @@ def test_grad_through_custom_adjoint_matches_xla():
     with engine.engine("xla"):
         g2 = jax.grad(loss)(x)
     assert np.abs(np.asarray(g1) - np.asarray(g2)).max() < 1e-3
+
+
+def test_planes_adjoints_match_transpose():
+    """Plane-layout forward and inverse adjoints against the transpose."""
+    t = dt.Transform2d()
+    nlevels = 3
+    shape = (32, 32)
+
+    def ref(x):
+        with engine.engine("xla"):
+            return t._forward_body(x, nlevels=nlevels, include_scale=False,
+                                   layout="planes")
+
+    adj = t._fwd_adjoint_fn(shape, jnp.float32, nlevels, False, "planes")
+    assert adj is not None
+    x0 = jnp.zeros(shape, jnp.float32)
+    p = ref(x0)
+    cot = type(p)(
+        jnp.asarray(RNG.randn(*p.lowpass.shape), jnp.float32),
+        tuple(jnp.asarray(RNG.randn(*r.shape), jnp.float32)
+              for r in p.highpasses_re),
+        tuple(jnp.asarray(RNG.randn(*i.shape), jnp.float32)
+              for i in p.highpasses_im), None)
+    (want,) = jax.linear_transpose(ref, x0)(cot)
+    with engine.engine("pallas"):
+        got = adj(cot)
+    assert np.abs(np.asarray(got) - np.asarray(want)).max() < TOL
+
+    x = RNG.randn(32, 32).astype(np.float32)
+    with engine.engine("xla"):
+        pp = t._forward_body(jnp.asarray(x), nlevels=nlevels,
+                             include_scale=False, layout="planes")
+    iadj = t._inv_adjoint_fn(pp)
+    assert iadj is not None
+
+    def iref(q):
+        with engine.engine("xla"):
+            return t._inverse_body(q, None)
+
+    spec = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), pp)
+    xbar = jnp.asarray(RNG.randn(32, 32), jnp.float32)
+    (want_p,) = jax.linear_transpose(iref, spec)(xbar)
+    with engine.engine("pallas"):
+        got_p = iadj(xbar)
+    for g, w in zip(jax.tree_util.tree_leaves(got_p),
+                    jax.tree_util.tree_leaves(want_p)):
+        assert np.abs(np.asarray(g) - np.asarray(w)).max() < TOL
