@@ -119,8 +119,147 @@ class Transform3d:
         if engine.use_pallas():
             from dtcwt_tpu.ops.linearize import linear_vjp
             spec = jax.ShapeDtypeStruct(X.shape, X.dtype)
-            return linear_vjp(impl, spec)(X)
+            adj = self._fwd_adjoint_fn(X.shape, X.dtype, nlevels,
+                                       include_scale, discard_level_1,
+                                       layout)
+            return linear_vjp(impl, spec, adjoint=adj)(X)
         return impl(X)
+
+    # ------------------------------------------------------------------
+    # kernel-speed adjoints (ops/adjoint.py; same structure as the 2-D
+    # ones): the orthogonal qshift stage's analysis adjoint is the fused
+    # inverse stage (and vice versa), cube2c is orthogonal (its adjoint
+    # is c2cube), and the redundant level-1 biort stage gets the explicit
+    # zero-extension + border-fold adjoint along each axis.
+    # ------------------------------------------------------------------
+    def _adjoint_shapes_ok(self, spatial, nlevels: int) -> bool:
+        """Crop/pad-free level chain: every level divides exactly."""
+        pw = nlevels + (1 if self.ext_mode == 8 else 0)
+        return not any(s % (2 ** max(pw, 1)) for s in spatial)
+
+    def _fwd_adjoint_fn(self, shape, dtype, nlevels, include_scale,
+                        discard_level_1, layout):
+        if (len(self.biort) != 4 or len(self.qshift) != 8
+                or include_scale or discard_level_1 or nlevels < 1):
+            return None
+        if jnp.dtype(dtype) != jnp.float32:
+            return None
+        if self.biort[0].size % 2 == 0:   # even filters trim shapes
+            return None
+        if not self._adjoint_shapes_ok(shape[-3:], nlevels):
+            return None
+        planes = layout == "planes"
+        h0o, h1o = self.biort[0], self.biort[2]
+        q = self.qshift
+        g0a, g0b, g1a, g1b = q[2], q[3], q[6], q[7]
+
+        def adj(cot):
+            from dtcwt_tpu.ops import adjoint as adjops
+            if planes:
+                # real plane cotangents: no complex conjugation convention
+                bands = tuple((_comp(r), _comp(i)) for r, i in
+                              zip(cot.highpasses_re, cot.highpasses_im))
+                oct_of = lambda lvl: self._octants_planes(*bands[lvl])
+            else:
+                bands = tuple(jnp.conj(h) for h in cot.highpasses)
+                oct_of = lambda lvl: self._octants(bands[lvl])
+            Yl = _comp(jnp.asarray(cot.lowpass))
+            for level in range(nlevels - 1, 0, -1):
+                curr = tuple(s // 2 for s in Yl.shape[-3:])
+                prev = tuple(Yl.shape[-3:])   # crop-free: prev == 2*curr
+                lvl_b = bands[level]
+                fused = self._level2_inv_fused(Yl, lvl_b, curr, prev)
+                if fused is not None:
+                    Yl = fused
+                else:
+                    Yl = self._level2_inv(Yl, oct_of(level), curr,
+                                          g0a, g0b, g1a, g1b, prev)
+            oc = oct_of(0)
+            oc[(0, 0, 0)] = Yl
+            V = {}
+            for j in range(2):
+                for k in range(2):
+                    V[(j, k)] = adjops.filter2_sum_adj_axis(
+                        oc[(0, j, k)], oc[(1, j, k)], h0o, h1o, -3)
+            u0 = adjops.filter2_sum_adj_axis(V[(0, 0)], V[(1, 0)],
+                                             h0o, h1o, -2)
+            u1 = adjops.filter2_sum_adj_axis(V[(0, 1)], V[(1, 1)],
+                                             h0o, h1o, -2)
+            return adjops.filter2_sum_adj_axis(u0, u1, h0o, h1o, -1)
+        return adj
+
+    def _inv_adjoint_fn(self, pyramid):
+        planes = isinstance(pyramid, PlanePyramid)
+        if not planes and not isinstance(pyramid, Pyramid):
+            return None
+        if len(self.biort) != 4 or len(self.qshift) != 8:
+            return None
+        if pyramid.scales is not None:
+            return None
+        if self.biort[0].size % 2 == 0:
+            return None
+        if planes:
+            if pyramid.kind != "3d":
+                return None
+            if any(r is None for r in pyramid.highpasses_re):
+                return None
+            shapes = [tuple(r.shape[-3:]) for r in pyramid.highpasses_re]
+            if any(jnp.result_type(r) != jnp.float32
+                   for r in pyramid.highpasses_re):
+                return None
+        else:
+            if any(h is None for h in pyramid.highpasses):
+                return None
+            shapes = [tuple(h.shape[-4:-1]) for h in pyramid.highpasses]
+        nlevels = len(shapes)
+        if nlevels < 1:
+            return None
+        if jnp.result_type(pyramid.lowpass) != jnp.float32:
+            return None
+        for lvl in range(1, nlevels):
+            if shapes[lvl - 1] != tuple(2 * s for s in shapes[lvl]):
+                return None
+        if tuple(pyramid.lowpass.shape[-3:]) != tuple(
+                2 * s for s in shapes[-1]):
+            return None
+        if not self._adjoint_shapes_ok(
+                tuple(2 * s for s in shapes[0]), nlevels):
+            return None
+        g0o, g1o = self.biort[1], self.biort[3]
+        q = self.qshift
+        h0a, h0b, h1a, h1b = q[0], q[1], q[4], q[5]
+
+        def adj(xbar):
+            from dtcwt_tpu.ops import adjoint as adjops
+            u0b, u1b = adjops.filter2_adj_axis(jnp.asarray(xbar),
+                                               g0o, g1o, -1)
+            V00b, V10b = adjops.filter2_adj_axis(u0b, g0o, g1o, -2)
+            V01b, V11b = adjops.filter2_adj_axis(u1b, g0o, g1o, -2)
+            octb = {}
+            for (j, k), vb in (((0, 0), V00b), ((1, 0), V10b),
+                               ((0, 1), V01b), ((1, 1), V11b)):
+                octb[(0, j, k)], octb[(1, j, k)] = adjops.filter2_adj_axis(
+                    vb, g0o, g1o, -3)
+            glll = octb[(0, 0, 0)]
+            hp1 = self._pack_octants([octb[o] for o in _OCTANTS], planes,
+                                     dtype=jnp.float32)
+            if planes:
+                res, ims = [hp1[0]], [hp1[1]]
+            else:
+                Yh_cot = [jnp.conj(hp1)]
+            for level in range(1, nlevels):
+                glll, hp = self._level2_fwd(glll, h0a, h0b, h1a, h1b,
+                                            planes=planes)
+                if planes:
+                    res.append(hp[0])
+                    ims.append(hp[1])
+                else:
+                    Yh_cot.append(jnp.conj(hp))
+            if planes:
+                return PlanePyramid(glll, tuple(res), tuple(ims), None,
+                                    kind="3d")
+            return Pyramid(glll, tuple(Yh_cot), None)
+        return adj
 
     def _forward_body(self, X, *, nlevels, include_scale, discard_level_1,
                       layout="interleaved"):
@@ -285,7 +424,8 @@ class Transform3d:
             from dtcwt_tpu.ops.linearize import linear_vjp
             spec = jax.tree_util.tree_map(
                 lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), pyramid)
-            return linear_vjp(impl, spec)(pyramid)
+            return linear_vjp(impl, spec,
+                              adjoint=self._inv_adjoint_fn(pyramid))(pyramid)
         return impl(pyramid)
 
     def _inverse_body(self, pyramid: Pyramid):

@@ -151,3 +151,60 @@ def test_planes_adjoints_match_transpose():
     for g, w in zip(jax.tree_util.tree_leaves(got_p),
                     jax.tree_util.tree_leaves(want_p)):
         assert np.abs(np.asarray(g) - np.asarray(w)).max() < TOL
+
+
+@pytest.mark.parametrize("layout", ["interleaved", "planes"])
+def test_3d_adjoints_match_transpose(layout):
+    t = dt.Transform3d()
+    nlevels = 2
+    shape = (16, 16, 32)
+
+    def ref(x):
+        with engine.engine("xla"):
+            return t._forward_body(x, nlevels=nlevels, include_scale=False,
+                                   discard_level_1=False, layout=layout)
+
+    adj = t._fwd_adjoint_fn(shape, jnp.float32, nlevels, False, False,
+                            layout)
+    assert adj is not None
+    x0 = jnp.zeros(shape, jnp.float32)
+    p = ref(x0)
+    if layout == "planes":
+        cot = type(p)(
+            jnp.asarray(RNG.randn(*p.lowpass.shape), jnp.float32),
+            tuple(jnp.asarray(RNG.randn(*r.shape), jnp.float32)
+                  for r in p.highpasses_re),
+            tuple(jnp.asarray(RNG.randn(*i.shape), jnp.float32)
+                  for i in p.highpasses_im), None, kind="3d")
+    else:
+        cot = Pyramid(
+            jnp.asarray(RNG.randn(*p.lowpass.shape), jnp.float32),
+            tuple(jnp.asarray(RNG.randn(*h.shape)
+                              + 1j * RNG.randn(*h.shape), jnp.complex64)
+                  for h in p.highpasses), None)
+    (want,) = jax.linear_transpose(ref, x0)(cot)
+    with engine.engine("pallas"):
+        got = adj(cot)
+    assert np.abs(np.asarray(got) - np.asarray(want)).max() < TOL
+
+    x = RNG.randn(*shape).astype(np.float32)
+    with engine.engine("xla"):
+        pp = t._forward_body(jnp.asarray(x), nlevels=nlevels,
+                             include_scale=False, discard_level_1=False,
+                             layout=layout)
+    iadj = t._inv_adjoint_fn(pp)
+    assert iadj is not None
+
+    def iref(q):
+        with engine.engine("xla"):
+            return t._inverse_body(q)
+
+    spec = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), pp)
+    xbar = jnp.asarray(RNG.randn(*shape), jnp.float32)
+    (want_p,) = jax.linear_transpose(iref, spec)(xbar)
+    with engine.engine("pallas"):
+        got_p = iadj(xbar)
+    for g, w in zip(jax.tree_util.tree_leaves(got_p),
+                    jax.tree_util.tree_leaves(want_p)):
+        assert np.abs(np.asarray(g) - np.asarray(w)).max() < TOL

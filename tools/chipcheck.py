@@ -260,20 +260,37 @@ def main():
         check("sharded3d mesh1 roundtrip", t3s.inverse(p3s), w3s)
 
     def sec_grad():
-        # gradient through the Pallas dispatch (linear-transpose VJP); must
-        # run under jit — eager complex intermediates hit the axon tunnel's
-        # unimplemented complex-transfer path (CLAUDE.md)
+        # gradient through the Pallas dispatch: the fused custom adjoints
+        # (ops/adjoint.py) against the XLA engine's mechanical transpose.
+        # Must run under jit — eager complex intermediates hit the axon
+        # tunnel's unimplemented complex-transfer path (CLAUDE.md).
         t = dt.Transform2d()
+        t3 = dt.Transform3d()
         x = rng.rand(512, 512).astype(np.float32)
-        g = jax.jit(jax.grad(lambda a: jnp.sum(
-            t._inverse_impl(t._forward_impl(a, nlevels=2,
-                                            include_scale=False),
-                            None) ** 2)))(jnp.asarray(x))
-        ok = bool(np.isfinite(np.asarray(g)).all())
-        print("%-52s %s" % ("grad fwd+inv finite", "ok" if ok else "FAIL"),
-              flush=True)
-        if not ok:
-            failures.append("grad")
+        v = rng.rand(32, 32, 256).astype(np.float32)
+
+        def loss2(a):
+            return jnp.sum(t._inverse_impl(
+                t._forward_impl(a, nlevels=2, include_scale=False),
+                None) ** 2)
+
+        def loss3(a):
+            return jnp.sum(t3._inverse_impl(t3._forward_impl(
+                a, nlevels=2, include_scale=False,
+                discard_level_1=False)) ** 2)
+
+        for name, loss, arg in (("grad 2d fwd+inv", loss2, x),
+                                ("grad 3d fwd+inv", loss3, v)):
+            g1 = jax.jit(jax.grad(loss))(jnp.asarray(arg))
+            with engine.engine("xla"):
+                g2 = jax.jit(jax.grad(loss))(jnp.asarray(arg))
+            rel = float(np.abs(np.asarray(g1) - np.asarray(g2)).max()
+                        / max(np.abs(np.asarray(g2)).max(), 1e-30))
+            ok = np.isfinite(np.asarray(g1)).all() and rel < 5e-3
+            print("%-52s %s  (rel %.2e)" % (name, "ok" if ok else "FAIL",
+                                            rel), flush=True)
+            if not ok:
+                failures.append(name)
 
     runners = {"2d": sec_2d, "planes": sec_planes, "gain": sec_gain,
                "1d": sec_1d, "3d": sec_3d, "hw22": sec_hw22,
