@@ -185,7 +185,7 @@ def _build_ilevel2(B: int, L: int, C2: int, g0abytes: bytes, g0bbytes: bytes,
         A1 = _row_matrix(f1).astype(np.float32)   # lh and hh
         A2 = _row_matrix(f2).astype(np.float32) if bp else None
 
-    def kernel(z_hbm, re_hbm, im_hbm, mg_hbm, *refs):
+    def kernel(zp0, zp1, zp2, zp3, re_hbm, im_hbm, mg_hbm, *refs):
         if use_mxu:
             if bp:
                 a0_ref, a1_ref, a2_ref = refs[0], refs[1], refs[2]
@@ -196,6 +196,7 @@ def _build_ilevel2(B: int, L: int, C2: int, g0abytes: bytes, g0bbytes: bytes,
         b = pl.program_id(0)
         i = pl.program_id(1)
         k = pl.program_id(2)
+        zps = (zp0, zp1, zp2, zp3)
 
         def run_stages(buf):
             def src_plane(src_idx, phase, cp):
@@ -268,12 +269,17 @@ def _build_ilevel2(B: int, L: int, C2: int, g0abytes: bytes, g0bbytes: bytes,
                 i_ = t_ % n_tiles
 
                 def op(src_lo, nrows, dst_lo):
+                    # the lowpass arrives as four separate (rp, cp) quarter
+                    # planes (slot 2*rp + cp) — a chained fused level's
+                    # planes pass straight through, no stack pass
                     cps = [
                         pltpu.make_async_copy(
-                            z_hbm.at[b_, :, pl.ds(src_lo, nrows), :],
-                            raw.at[buf, pl.ds(0, 4), pl.ds(dst_lo, nrows),
+                            zps[s].at[b_, pl.ds(src_lo, nrows), :],
+                            raw.at[buf, s, pl.ds(dst_lo, nrows),
                                    pl.ds(G, C2)],
-                            sems.at[buf, 0]),
+                            sems.at[buf, 5 + s])
+                        for s in range(4)
+                    ] + [
                         pltpu.make_async_copy(
                             re_hbm.at[b_, :, pl.ds(src_lo, nrows), :],
                             raw.at[buf, pl.ds(4, 6), pl.ds(dst_lo, nrows),
@@ -417,7 +423,7 @@ def _build_ilevel2(B: int, L: int, C2: int, g0abytes: bytes, g0bbytes: bytes,
                         axis=1).reshape(2 * tq, C2)
 
     in_spec = pl.BlockSpec(memory_space=pltpu.HBM)
-    in_specs = [in_spec, in_spec, in_spec, in_spec]
+    in_specs = [in_spec] * 7
     if use_mxu:
         a_spec = pl.BlockSpec((4 * tq, 2 * Lslab), lambda b, i, k: (0, 0),
                               memory_space=pltpu.VMEM)
@@ -435,14 +441,14 @@ def _build_ilevel2(B: int, L: int, C2: int, g0abytes: bytes, g0bbytes: bytes,
         scratch_shapes=[pltpu.VMEM((2, 16, tq + 2 * _PAD, W), dtype),
                         pltpu.VMEM((12, tq + 2 * _PAD, W), dtype),
                         pltpu.VMEM((n_str, 8, tq, W), dtype),
-                        pltpu.SemaphoreType.DMA((2, 5))],
+                        pltpu.SemaphoreType.DMA((2, 9))],
         compiler_params=_compiler_params(3),
         interpret=_interpret(),
     )
     if use_mxu:
         if bp:
-            return lambda z, re, im, mg: call(z, re, im, mg, A0, A1, A2)
-        return lambda z, re, im, mg: call(z, re, im, mg, A0, A1)
+            return lambda *xs: call(*xs, A0, A1, A2)
+        return lambda *xs: call(*xs, A0, A1)
     return call
 
 
@@ -541,11 +547,11 @@ def inv_level2(Z, yh, g0a, g0b, g1a, g1b, planes=None, as_planes=False,
             return jnp.flip(a, axis=1)             # degree partner 5 - A
 
     if planes is not None:
-        z4 = jnp.stack(list(p4), axis=1)           # (B, 4, L, C2)
+        zq = tuple(p4)                             # (rp, cp) slot order
     else:
         ze, zo = z3[:, 0::2], z3[:, 1::2]          # single-axis splits
-        z4 = jnp.stack([ze[:, :, 0::2], ze[:, :, 1::2],
-                        zo[:, :, 0::2], zo[:, :, 1::2]], axis=1)
+        zq = (ze[:, :, 0::2], ze[:, :, 1::2],
+              zo[:, :, 0::2], zo[:, :, 1::2])
 
     # Pre-flipped margin strips [left | right], plane order [z, re, im]:
     # z margins swap cp partners; re margins of band A are the flipped im
@@ -557,19 +563,19 @@ def inv_level2(Z, yh, g0a, g0b, g1a, g1b, planes=None, as_planes=False,
         return jnp.concatenate([jnp.flip(a[..., :G], axis=-1),
                                 jnp.flip(a[..., -G:], axis=-1)], axis=-1)
 
-    zsw = jnp.concatenate([z4[:, 1:2], z4[:, 0:1], z4[:, 3:4], z4[:, 2:3]],
-                          axis=1)
+    zsw = jnp.stack([edges(zq[1]), edges(zq[0]),
+                     edges(zq[3]), edges(zq[2])], axis=1)
     # band-partner permutation applied to the 2G-col strips, not the full
     # planes (edges and partner commute; full-plane flips cost a whole
     # memory pass each — r5 xprof)
     marg = jnp.concatenate(
-        [edges(zsw), partner(edges(imp)),
+        [zsw, partner(edges(imp)),
          partner(edges(rep))], axis=1)             # (B, 16, L, 2G)
 
     # (B, 2, 4, 2L, C2): [row-parity, lane-stream, rows, lanes]; the kernel
     # already interleaved the two row streams of each parity over sublanes,
     # so image row 2r+rp, col 4j+s lives at out[:, rp, s, r, j].
-    out = call(z4, rep, imp, marg)
+    out = call(*zq, rep, imp, marg)
     if as_planes:
         # One lane interleave per (rp, cp) quarter plane.
         res = []
